@@ -1,0 +1,83 @@
+"""Ordered upsert/delete apply — the reference's core semantic.
+
+The reference serializes all changes for one key into one partition worker
+and applies them strictly in log-id order (sync/DataPoller.scala:92-96,
+sync/DataSyncer.scala:38-54, doc/architecture.cn.md:14-27). On Spark the
+same guarantee is declarative: the final state of a key after applying a
+change log in id order is simply the event with the greatest id
+(last-writer-wins), with 'D' removing the row. Upserts are idempotent
+(INSERT .. ON CONFLICT DO UPDATE, dbopt/PgOperation.scala:47-79), so
+at-least-once replay converges to the same state.
+
+Scale notes:
+- `last_writer_wins` uses groupBy + max_by, which gets map-side partial
+  aggregation (each task pre-reduces its keys before the shuffle) — strictly
+  less shuffle I/O than the window row_number() formulation, and no per-
+  partition full sort. One shuffle on the key columns; AQE coalesces/splits
+  skewed partitions.
+- `merge_into` unions the existing target (as id=-1 inserts) with the new
+  changes and re-reduces: one shuffle, no driver-side collect, works
+  identically at 100 TB given a partitioned target layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+OP_INSERT = "I"
+OP_UPDATE = "U"
+OP_DELETE = "D"
+
+
+def parse_changes(log: DataFrame, payload_schema: StructType) -> DataFrame:
+    """Decode the JSON row image into typed columns (reference: Jackson
+    decode at sync/DataPoller.scala:91; we use from_json so Catalyst can
+    prune unused payload fields down to the scan)."""
+    return log.select(
+        "id",
+        "operation",
+        F.from_json("data", payload_schema).alias("row"),
+    ).select("id", "operation", "row.*")
+
+
+def last_writer_wins(changes: DataFrame, key_cols: list[str],
+                     id_col: str = "id", op_col: str = "operation") -> DataFrame:
+    """Final state of applying `changes` in id order: per key, the event
+    with max id wins; a final 'D' removes the row.
+
+    Equivalent to the reference's ordered per-key apply (strict ordering,
+    Readme.md:9) without needing ordered execution: upserts commute into
+    max_by, deletes are a terminal state.
+    """
+    payload_cols = [c for c in changes.columns if c not in (id_col, op_col)]
+    winner = changes.groupBy(*key_cols).agg(
+        F.max_by(
+            F.struct(F.col(op_col).alias(op_col),
+                     *[F.col(c).alias(c) for c in payload_cols if c not in key_cols]),
+            F.col(id_col),
+        ).alias("_w")
+    )
+    kept = winner.where(F.col(f"_w.{op_col}") != OP_DELETE)
+    return kept.select(
+        *[F.col(c) if c in key_cols else F.col(f"_w.{c}").alias(c) for c in payload_cols]
+    )
+
+
+def merge_into(existing: DataFrame | None, changes: DataFrame,
+               key_cols: list[str], id_col: str = "id", op_col: str = "operation") -> DataFrame:
+    """MERGE semantics over an existing snapshot: existing rows are treated
+    as inserts that happened before every logged change (id = -1), then the
+    union is reduced last-writer-wins. This is the Spark-side equivalent of
+    the reference's upsert/delete sinks (S6/S9)."""
+    payload_cols = [c for c in changes.columns if c not in (id_col, op_col)]
+    if existing is None:
+        return last_writer_wins(changes, key_cols, id_col, op_col)
+    base = existing.select(
+        F.lit(-1).cast("long").alias(id_col),
+        F.lit(OP_INSERT).alias(op_col),
+        *payload_cols,
+    )
+    return last_writer_wins(base.unionByName(changes.select(id_col, op_col, *payload_cols)),
+                            key_cols, id_col, op_col)

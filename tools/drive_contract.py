@@ -1,0 +1,92 @@
+"""Drive the driver contract end-to-end, the way the grading driver does:
+import __spark_entry__, smoke-run entry(spark), then run every queries()
+entry at the given sf dir and hash-compare with its oracle_sql() in DuckDB.
+
+Usage: python tools/drive_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    import pandas as pd
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
+        seq = v.tolist() if hasattr(v, "tolist") else v
+        return tuple(norm(x) for x in seq)
+    return v
+
+
+def canon(pdf):
+    cols = sorted(pdf.columns)
+    return sorted(
+        (tuple(norm(v) for v in row) for row in pdf[cols].itertuples(index=False, name=None)),
+        key=repr,
+    )
+
+
+def main() -> int:
+    import duckdb
+
+    import __spark_entry__ as mod
+    from dbsync_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("drive-contract")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.time()
+    edf = mod.entry(spark)
+    n = edf.count()
+    print(f"entry(): {n} rows, schema={[f.name for f in edf.schema.fields]}, {time.time()-t0:.1f}s")
+    assert n >= 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries, oracles = mod.queries(), mod.oracle_sql()
+    fails = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spdf = fn(spark, sf_dir).toPandas()
+            if name in oracles:
+                dpdf = con.execute(oracles[name]).fetchdf()
+                ok_cols = sorted(spdf.columns) == sorted(dpdf.columns)
+                ok_rows = len(spdf) == len(dpdf)
+                ok_vals = ok_cols and ok_rows and canon(spdf) == canon(dpdf)
+                status = "MATCH" if ok_vals else "MISMATCH"
+                detail = f"rows={len(spdf)}/{len(dpdf)} cols_ok={ok_cols}"
+            else:
+                status, detail = "ROWS-ONLY", f"rows={len(spdf)}"
+            print(f"  {name:28s} {status:9s} {detail}  {time.time()-t0:.1f}s")
+            if status == "MISMATCH":
+                fails.append(name)
+        except Exception as e:  # noqa: BLE001
+            print(f"  {name:28s} ERROR     {type(e).__name__}: {e}")
+            fails.append(name)
+    spark.stop()
+    print("FAILURES:", fails if fails else "none")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
