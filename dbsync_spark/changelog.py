@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from dbsync_spark.sources.tables import read_table
+
 ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
 EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
 
@@ -100,7 +102,7 @@ def build_log_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def build_log_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change log over `events`: pure inserts, multi-target fan-out on purchases."""
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = read_table(spark, sf_dir, "events")
     w = Window.orderBy("event_id")
     ins = events.select(
         F.row_number().over(w).cast("long").alias("id"),

@@ -1,0 +1,37 @@
+"""Time-bucketed throughput counters (A2).
+
+Reference: StatisticsComponent.incr keeps per-hour / per-day counter maps
+with bounded retention (sync/ComponentManager.scala:68-106).
+
+Spark-first: tumbling-window aggregation. In batch this is
+groupBy(window(ts, '1 hour')); in streaming the same expression plus a
+watermark gives bounded state eviction (the reference's "retain last 7x24
+buckets" becomes `withWatermark` — state trimmed by event time, no manual
+map pruning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_counts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Rows per hour bucket; bucket exposed as its start timestamp."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("bucket_start"), "cnt")
+    )
+
+
+def hourly_counts_streaming(df: DataFrame, ts_col: str = "ts",
+                            watermark: str = "25 hours") -> DataFrame:
+    """Streaming variant: watermark bounds state like the reference's
+    bounded retention of counter buckets."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("bucket_start"), "cnt")
+    )
