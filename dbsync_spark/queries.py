@@ -221,3 +221,21 @@ def q_window_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sync/ComponentManager.scala:68-106)."""
     events = read_table(spark, sf_dir, "events")
     return hourly_counts(events, "ts")
+
+
+@_register("q_retry_replay", oracles.LWW_ORDERS_SQL)
+def q_retry_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4-O6: inject failures (keys with o_orderkey%13==0 fail twice before
+    succeeding), drive the ERR/BLK/retry state machine to convergence, and
+    verify the final applied state is identical to the failure-free run —
+    the reference's idempotent-convergence guarantee
+    (doc/architecture.cn.md:21-27, sync/ErrorResolver.scala:43-78)."""
+    from dbsync_spark.operators.retry import apply_with_retry, converged_apply
+
+    log = build_log_orders(spark, sf_dir)
+    changes = parse_changes(log, ORDERS_PAYLOAD_SCHEMA)
+    fail_until = F.when(F.col("o_orderkey") % 13 == 0, 2).otherwise(0)
+    state, _passes = apply_with_retry(
+        changes, key=F.col("o_orderkey").cast("string"), fail_until=fail_until)
+    applied = converged_apply(changes, state)
+    return last_writer_wins(applied, ["o_orderkey"])
