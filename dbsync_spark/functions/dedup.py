@@ -1,0 +1,159 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all shuffle-conscious:
+- exact: hash-groupBy on md5(text) — one shuffle with map-side combine.
+- MinHash + LSH: shingle -> K minhashes as K parallel agg expressions over
+  ONE explode (no K-times row blowup), band -> bucket self-join restricted
+  to same-bucket pairs (never the O(n^2) cross join), exact-Jaccard verify
+  on the candidate set only.
+- SimHash: 32-bit signature via bit-vote aggregation over distinct tokens.
+- n-gram Jaccard: exact similarity, computed only for LSH candidates.
+
+Hashes are the portable h15/h8 (md5-derived) so the DuckDB oracle computes
+identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbsync_spark.functions.text import h15, tokens
+
+NUM_MINHASHES = 16
+BAND_SIZE = 4  # 4 bands of 4 -> candidate if any band collides
+
+
+def h8(col: Column) -> Column:
+    """32-bit md5-derived hash (for simhash bit votes)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest id per identical text (hash-groupBy; the md5 keeps
+    shuffle keys narrow even for multi-KB documents)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("_k"), F.col(id_col))
+        .groupBy("_k")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-token shingles joined by spaces; empty when the doc is shorter
+    than k tokens."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(n >= k,
+                  F.transform(F.sequence(F.lit(1), n - (k - 1)),
+                              lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+                  ).otherwise(F.array())
+
+
+def doc_shingles(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs."""
+    return (
+        df.select(id_col, F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id",
+                       num_hashes: int = NUM_MINHASHES) -> DataFrame:
+    """K minhash values per doc: min over shingles of h15(seed:shingle),
+    computed as K aggregate expressions over one pass (map-side combine;
+    no row multiplication by K)."""
+    aggs = [
+        F.min(h15(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(signatures: DataFrame, id_col: str = "doc_id",
+              num_hashes: int = NUM_MINHASHES, band_size: int = BAND_SIZE) -> DataFrame:
+    """(id, band_idx, band_key) — band key = md5 of the band's minhashes."""
+    bands = []
+    for b in range(num_hashes // band_size):
+        cols = [F.col(f"mh{b * band_size + j}").cast("string")
+                for j in range(band_size)]
+        bands.append(F.struct(F.lit(b).alias("band"),
+                              F.md5(F.concat_ws(",", *cols)).alias("band_key")))
+    return (
+        signatures.select(id_col, F.explode(F.array(*bands)).alias("b"))
+        .select(id_col, "b.band", "b.band_key")
+    )
+
+
+def lsh_candidates(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one band bucket.
+    The join key (band, band_key) keeps this linear in bucket sizes —
+    never a full cross join."""
+    left = bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
+    right = bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
+    return (
+        left.join(right, on=["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def exact_jaccard(candidates: DataFrame, shingled: DataFrame,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact shingle-set Jaccard for the candidate pairs only."""
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n"))
+    inter = (
+        candidates
+        .join(shingled.select(F.col(id_col).alias("doc_a"), "shingle"), on="doc_a")
+        .join(shingled.select(F.col(id_col).alias("doc_b"), "shingle"),
+              on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        candidates
+        .join(inter, on=["doc_a", "doc_b"], how="left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a")), on="doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b")), on="doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("n_inter").cast("double")
+             / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dups(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.5,
+                      k: int = 3) -> DataFrame:
+    """End-to-end MinHash LSH near-dup pairs with exact-Jaccard verify."""
+    shingled = doc_shingles(df, text_col, id_col, k)
+    sigs = minhash_signatures(shingled, id_col)
+    cands = lsh_candidates(lsh_bands(sigs, id_col), id_col)
+    scored = exact_jaccard(cands, shingled, id_col)
+    return scored.where(F.col("jaccard") >= threshold)
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash signature: for each bit, vote +1/-1 per distinct token by
+    that bit of h8(token); bit set iff the vote sum is positive."""
+    toked = df.select(
+        id_col, F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+    h = h8(F.col("tok"))
+    votes = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+        .alias(f"v{b}")
+        for b in range(bits)
+    ]
+    voted = toked.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return voted.select(id_col, sig.alias("simhash"))

@@ -1,0 +1,77 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path expressions are built-in pyspark.sql.functions (JVM-side,
+whole-stage-codegen) — no Python UDFs. The cross-engine hash primitive is
+h15(s) = int(md5(s)[:15 hex digits]) — 60 bits, identical in Spark
+(conv(substr(md5,1,15),16,10)) and DuckDB (('0x'||substr(md5,1,15))::BIGINT),
+verified exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ("the", "a")
+
+
+def h15(col: Column) -> Column:
+    """60-bit deterministic string hash, portable across engines."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token counting (BPE-ish subword counting would swap the
+    delimiter regex; the plumbing is identical)."""
+    return df.select(id_col, F.size(tokens(F.col(text_col))).alias("n_tokens"))
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", threshold: float = 0.05) -> DataFrame:
+    """N-gram/stopword-ratio language heuristic: fraction of tokens in an
+    English stopword set; >= threshold -> 'en'."""
+    toks = tokens(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    ratio = n_stop.cast("double") / F.size(toks)
+    return df.select(
+        id_col,
+        ratio.alias("stop_ratio"),
+        F.when(ratio >= threshold, "en").otherwise("other").alias("lang_pred"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features: token count, type-token (distinct)
+    ratio, exact average token length."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
+    avg_tok_len = (F.length(F.col(text_col)) - (n - 1)).cast("double") / n
+    return df.select(
+        id_col,
+        n.alias("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        avg_tok_len.alias("avg_token_len"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Positional rolling-hash document fingerprint:
+    sum over positions of (pos+1) * (h15(token) % (2^31-1)) — order-sensitive
+    (anagram documents fingerprint differently), fits in int64."""
+    exploded = df.select(
+        id_col, F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"))
+    term = (F.col("pos") + 1) * (h15(F.col("tok")) % F.lit(2147483647))
+    return (
+        exploded.select(id_col, term.alias("term"))
+        .groupBy(id_col)
+        .agg(F.sum("term").cast("long").alias("fingerprint"))
+    )

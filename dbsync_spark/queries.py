@@ -239,3 +239,257 @@ def q_retry_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         changes, key=F.col("o_orderkey").cast("string"), fail_until=fail_until)
     applied = converged_apply(changes, state)
     return last_writer_wins(applied, ["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (beyond the reference; SURVEY.md §7 step 9)
+# ---------------------------------------------------------------------------
+
+from dbsync_spark.functions import dedup as dd
+from dbsync_spark.functions import multimodal as mm
+from dbsync_spark.functions import similarity as sim
+from dbsync_spark.functions import text as tx
+
+_H15 = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
+_H8 = "('0x' || substr(md5({s}), 1, 8))::BIGINT"
+
+
+@_register(
+    "q_token_count",
+    "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_count(read_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q_lang_id",
+    """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text,' '), t -> t='the' OR t='a')) AS DOUBLE)
+         / len(string_split(text,' ')) AS stop_ratio,
+       CASE WHEN CAST(len(list_filter(string_split(text,' '), t -> t='the' OR t='a')) AS DOUBLE)
+                 / len(string_split(text,' ')) >= 0.05
+            THEN 'en' ELSE 'other' END AS lang_pred
+FROM documents
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.lang_id(read_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q_quality",
+    """
+SELECT doc_id,
+       len(string_split(text,' ')) AS n_tokens,
+       CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+         / len(string_split(text,' ')) AS distinct_ratio,
+       CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+         / len(string_split(text,' ')) AS avg_token_len
+FROM documents
+""",
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.quality_score(read_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q_fingerprint",
+    f"""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+         generate_subscripts(string_split(text,' '), 1) AS pos1
+  FROM documents
+)
+SELECT doc_id,
+       CAST(sum(pos1 * ({_H15.format(s='tok')} % 2147483647)) AS BIGINT) AS fingerprint
+FROM ex GROUP BY doc_id
+""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.fingerprint(read_table(spark, sf_dir, "documents"))
+
+
+_DUP_CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text FROM documents
+)
+"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    off = docs.agg(F.max("doc_id")).first()[0] + 1
+    return docs.unionByName(
+        docs.select((F.col("doc_id") + off).alias("doc_id"), "text"))
+
+
+@_register(
+    "q_dedup_exact",
+    f"WITH {_DUP_CORPUS_CTE} SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a corpus where every document is duplicated once
+    (deterministic id-offset copy): keeps exactly the original ids."""
+    return dd.exact_dedup(_dup_corpus(spark, sf_dir))
+
+
+def _minhash_oracle() -> str:
+    mh_exprs = ",\n         ".join(
+        f"min({_H15.format(s=chr(39) + str(i) + ':' + chr(39) + ' || shingle')}) AS mh{i}"
+        for i in range(dd.NUM_MINHASHES)
+    )
+    n_bands = dd.NUM_MINHASHES // dd.BAND_SIZE
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_key FROM sig".format(
+            b=b,
+            cols=", ".join(f"mh{b * dd.BAND_SIZE + j}" for j in range(dd.BAND_SIZE)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH near_corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text || ' spark'
+  FROM documents WHERE doc_id % 50 = 0
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM near_corpus),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+sig AS (
+  SELECT doc_id, {mh_exprs}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{band_rows}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+           / (na.n + nb.n - coalesce(i.n_inter, 0)) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes na ON na.doc_id = c.doc_a
+  JOIN sizes nb ON nb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+
+@_register("q_minhash_dedup", _minhash_oracle())
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (shingle -> 16 minhashes -> 4 bands ->
+    bucket join -> exact-Jaccard verify) over a corpus with deterministic
+    near-duplicate variants (one token appended to every 50th doc)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    off = docs.agg(F.max("doc_id")).first()[0] + 1
+    variants = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + off).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" spark")).alias("text"))
+    corpus = docs.unionByName(variants)
+    return dd.minhash_near_dups(corpus, threshold=0.5)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    h = _H8.format(s="tok")
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (({h}) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"""
+WITH toked AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+voted AS (
+  SELECT doc_id, {votes}
+  FROM toked GROUP BY doc_id
+)
+SELECT doc_id, {sig} AS simhash FROM voted
+"""
+
+
+@_register("q_simhash", _simhash_oracle())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (bit votes over distinct tokens)."""
+    return dd.simhash(read_table(spark, sf_dir, "documents"))
+
+
+_COSINE_ORACLE = """
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.e, q.qe)
+           / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(q.qe, q.qe)))
+           AS cosine_sim
+  FROM c, q WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@_register("q_cosine_topk", _COSINE_ORACLE)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for query vectors vec_id < 5."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return sim.cosine_topk(emb, queries, k=10)
+
+
+@_register("q_ann_srp")  # rows-only: SRP buckets are engine-side; recall tested in pytest
+def q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via SRP-LSH buckets (the 100 TB path: probe one
+    bucket instead of the full corpus)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return sim.srp_ann_topk(emb, queries, dim=64, k=10, n_planes=6)
+
+
+@_register(
+    "q_multimodal",
+    """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS digest,
+       ('0x' || substr(md5(text), 1, 2))::INT + 1 AS width,
+       ('0x' || substr(md5(text), 3, 2))::INT + 1 AS height
+FROM documents
+""",
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload + metadata, feature
+    extraction via Arrow mapInPandas (deterministic fake decoder)."""
+    media = mm.to_media(read_table(spark, sf_dir, "documents"))
+    return mm.extract_features(media).select(
+        "doc_id", "n_bytes", "digest", "width", "height")

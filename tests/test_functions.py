@@ -1,0 +1,95 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from dbsync_spark.functions.dedup import exact_dedup, minhash_near_dups, simhash
+from dbsync_spark.functions.multimodal import extract_features, to_media
+from dbsync_spark.functions.similarity import cosine_topk, srp_ann_topk
+from dbsync_spark.sources.tables import read_table
+from tests.compare import assert_matches
+
+ORACLE_BACKED = [
+    "q_token_count", "q_lang_id", "q_quality", "q_fingerprint",
+    "q_dedup_exact", "q_minhash_dedup", "q_simhash", "q_cosine_topk",
+    "q_multimodal",
+]
+
+
+def test_training_queries_match_oracle(spark, sf_dir, duck):
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    for name in ORACLE_BACKED:
+        assert_matches(qs[name](spark, sf_dir), duck, os_[name])
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "aa")], ["doc_id", "text"])
+    kept = sorted(r["doc_id"] for r in exact_dedup(df).collect())
+    assert kept == [1, 2]
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base + " extra"),              # near-dup of 1
+        (3, "completely different words describing some other thing entirely here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             minhash_near_dups(df, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_near_dup_hamming(spark):
+    base = ("spark table merge join filter scan window batch stream hash "
+            "sort group row column value data query order part line key")
+    rows = [(1, base), (2, base + " dup"), (3, "x y z w q r s t u v")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    ham_near = bin(sigs[1] ^ sigs[2]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_ann_recall_against_bruteforce(spark, sf_dir):
+    """SRP-LSH ANN must find a decent fraction of the true top-10 — and be
+    a strict subset of valid neighbors (same scoring)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=10)
+    approx = srp_ann_topk(emb, queries, dim=64, k=10, n_planes=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.2, f"recall {recall} too low even for 16 buckets"
+    # within-bucket scoring must agree with exact scoring
+    exact_sims = {(r["query_id"], r["vec_id"]): r["cosine_sim"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_sims:
+            assert abs(r["cosine_sim"] - exact_sims[key]) < 1e-12
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "abc")], ["doc_id", "text"])
+    media = to_media(df)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = extract_features(media, fake=True)
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert rows[1]["n_bytes"] == len(b"hello world")
+    assert 1 <= rows[1]["width"] <= 256 and 1 <= rows[1]["height"] <= 256
+    import hashlib
+    assert rows[2]["digest"] == hashlib.md5(b"abc").hexdigest()
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    media = to_media(df)
+    try:
+        extract_features(media, fake=False)
+        raise AssertionError("expected NotImplementedError")
+    except NotImplementedError:
+        pass
