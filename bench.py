@@ -1,0 +1,148 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline = end-to-end change-log apply (BASELINE.md target: 600k-row I/U/D
+log -> merged target + status in <= 60s, >= 10k rows/s sustained). The
+bench log is built with a sort-free id scheme (key-derived ids, no global
+row_number) so the timed path contains only work that scales: scan ->
+JSON decode -> LWW reduce -> parquet write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def build_bench_log(spark, sf_dir: str):
+    """~1.23M-row I/U/D change log over lineitem at sf0.1, keyed
+    (l_orderkey, l_linenumber). Ids are key-derived (monotone I < U < D per
+    key, unique) — no global sort anywhere."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = li.columns
+    key_id = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
+    max_id = F.lit(li.agg(F.max(F.col("l_orderkey") * 8 + F.col("l_linenumber"))).first()[0])
+
+    def shape(df, op, id_expr):
+        return df.select(
+            id_expr.alias("id"),
+            F.lit("db1").alias("sourceDb"),
+            F.lit("t1").alias("targetDb"),
+            F.lit("public").alias("schema"),
+            F.lit("lineitem").alias("table"),
+            F.lit(op).alias("operation"),
+            F.to_json(F.struct(*cols)).alias("data"),
+            F.col("l_shipdate").alias("createTime"),
+        )
+
+    ins = shape(li, "I", key_id)
+    upd = shape(
+        li.where(F.col("l_orderkey") % 5 == 0)
+        .withColumn("l_extendedprice", F.col("l_extendedprice") * 1.1),
+        "U", key_id + max_id)
+    dele = shape(li.where(F.col("l_orderkey") % 17 == 0), "D", key_id + max_id * 2)
+    return ins.unionByName(upd).unionByName(dele)
+
+
+def main() -> None:
+    from dbsync_spark.changelog import build_log_orders
+    from dbsync_spark.operators.apply import last_writer_wins, parse_changes
+    from dbsync_spark.operators.retention import sweep
+    from dbsync_spark.operators.status import derive_status_fixture, status_counts
+    from dbsync_spark.operators.window_agg import hourly_counts
+    from dbsync_spark.session import get_spark
+    from dbsync_spark.sources.tables import read_table
+
+    spark = get_spark("dbsync-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    workdir = tempfile.mkdtemp(prefix="dbsync_bench_")
+    timings: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+
+            def __exit__(self, *a):
+                timings[name] = round(time.time() - self.t0, 3)
+
+        return _T()
+
+    from pyspark.sql import types as T
+
+    li_schema = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").schema
+
+    # -- headline: end-to-end change-log apply ------------------------------
+    log = build_bench_log(spark, SF_DIR)
+    log_rows = None
+    with timed("apply_e2e"):
+        changes = parse_changes(log, li_schema)
+        final = last_writer_wins(changes, ["l_orderkey", "l_linenumber"])
+        final.write.mode("overwrite").parquet(f"{workdir}/target")
+        acks = log.select(
+            F.col("id").alias("dataId"), F.lit("OK").alias("status"),
+            F.lit("").alias("message"), F.lit(0).alias("retry"),
+            F.col("createTime"))
+        acks.write.mode("overwrite").parquet(f"{workdir}/status")
+        log_rows = log.count()
+
+    # -- status aggregation over the full log -------------------------------
+    # cache the fixture so timings measure the operator, not log construction
+    olog = build_log_orders(spark, SF_DIR).cache()
+    olog.count()
+    st = derive_status_fixture(olog).cache()
+    st.count()
+    with timed("status_agg"):
+        status_counts(olog, st).collect()
+
+    # -- retention sweep -----------------------------------------------------
+    with timed("retention"):
+        sweep(olog, st, F.lit("1998-01-01").cast("timestamp")).count()
+
+    # -- hourly window counts ------------------------------------------------
+    events = read_table(spark, SF_DIR, "events")
+    with timed("window_count"):
+        hourly_counts(events, "ts").collect()
+
+    # -- minhash near-dup over documents -------------------------------------
+    from dbsync_spark.functions.dedup import minhash_near_dups
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    with timed("minhash_dedup"):
+        minhash_near_dups(docs, threshold=0.5).count()
+
+    # -- cosine top-k ---------------------------------------------------------
+    from dbsync_spark.functions.similarity import cosine_topk
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    with timed("cosine_topk"):
+        cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=10).collect()
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "apply_e2e_sec",
+        "value": timings["apply_e2e"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "log_rows": log_rows,
+        "apply_rows_per_sec": round(log_rows / timings["apply_e2e"]),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
