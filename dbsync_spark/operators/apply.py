@@ -81,3 +81,45 @@ def merge_into(existing: DataFrame | None, changes: DataFrame,
     )
     return last_writer_wins(base.unionByName(changes.select(id_col, op_col, *payload_cols)),
                             key_cols, id_col, op_col)
+
+
+LAST_ID_COL = "_last_id"
+DELETED_COL = "_deleted"
+
+
+def merge_snapshot(existing: DataFrame | None, changes: DataFrame,
+                   key_cols: list[str], id_col: str = "id",
+                   op_col: str = "operation") -> DataFrame:
+    """Cross-batch MERGE that stays correct under replay and out-of-order
+    micro-batches: the snapshot carries the winning log id per key
+    (_last_id) and keeps deletes as tombstones (_deleted), so re-applying
+    an already-seen batch is a no-op and an older change can never clobber
+    a newer row or resurrect a deleted one — the streaming analog of the
+    reference's strict per-key ordering. Read through `live_rows`."""
+    payload_cols = [c for c in changes.columns if c not in (id_col, op_col)]
+    incoming = changes.select(id_col, op_col, *payload_cols)
+    if existing is not None:
+        base = existing.select(
+            F.col(LAST_ID_COL).alias(id_col),
+            F.when(F.col(DELETED_COL), OP_DELETE).otherwise(OP_INSERT).alias(op_col),
+            *payload_cols,
+        )
+        incoming = base.unionByName(incoming)
+    winner = incoming.groupBy(*key_cols).agg(
+        F.max_by(
+            F.struct(F.col(op_col).alias(op_col),
+                     *[F.col(c).alias(c) for c in payload_cols if c not in key_cols]),
+            F.col(id_col),
+        ).alias("_w"),
+        F.max(id_col).alias(LAST_ID_COL),
+    )
+    return winner.select(
+        *[F.col(c) if c in key_cols else F.col(f"_w.{c}").alias(c) for c in payload_cols],
+        LAST_ID_COL,
+        (F.col(f"_w.{op_col}") == OP_DELETE).alias(DELETED_COL),
+    )
+
+
+def live_rows(snapshot: DataFrame) -> DataFrame:
+    """User-facing view of a merge_snapshot table (tombstones hidden)."""
+    return snapshot.where(~F.col(DELETED_COL)).drop(LAST_ID_COL, DELETED_COL)

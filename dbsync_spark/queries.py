@@ -241,6 +241,29 @@ def q_retry_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return last_writer_wins(applied, ["o_orderkey"])
 
 
+@_register("q_streaming_apply", oracles.LWW_ORDERS_SQL)
+def q_streaming_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 hot path as Structured Streaming: the orders change log written
+    as files, consumed via readStream + foreachBatch in several micro-
+    batches (maxFilesPerTrigger=2), MERGEd into a versioned snapshot with
+    checkpointing. Final live rows must equal the batch LWW oracle."""
+    import tempfile
+
+    from dbsync_spark.operators.apply import live_rows
+    from dbsync_spark.streaming.pipeline import SyncPipeline
+
+    workdir = tempfile.mkdtemp(prefix="dbsync_stream_q_")
+    build_log_orders(spark, sf_dir).repartition(4).write.parquet(f"{workdir}/log")
+    rule = SyncRule("db1", "public", "orders", ("o_orderkey",))
+    pipe = SyncPipeline(
+        spark, rule, ORDERS_PAYLOAD_SCHEMA,
+        log_path=f"{workdir}/log", target_path=f"{workdir}/target",
+        status_path=f"{workdir}/status", checkpoint_path=f"{workdir}/ckpt",
+        max_files_per_trigger=2)
+    pipe.run_to_completion()
+    return live_rows(pipe.target.read(spark))
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (beyond the reference; SURVEY.md §7 step 9)
 # ---------------------------------------------------------------------------

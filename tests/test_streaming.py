@@ -1,0 +1,69 @@
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from dbsync_spark.changelog import ORDERS_PAYLOAD_SCHEMA, build_log_orders
+from dbsync_spark.operators.apply import live_rows, merge_snapshot
+from dbsync_spark.operators.route import SyncRule
+from dbsync_spark.streaming.pipeline import SyncPipeline
+from tests.compare import assert_matches
+
+
+def test_streaming_apply_matches_oracle(spark, sf_dir, duck):
+    q = entrymod.queries()["q_streaming_apply"]
+    assert_matches(q(spark, sf_dir), duck,
+                   entrymod.oracle_sql()["q_streaming_apply"])
+
+
+def test_streaming_incremental_and_restart(spark, sf_dir):
+    """Checkpoint semantics: re-running with no new data is a no-op;
+    appending new log files applies only the increment."""
+    workdir = tempfile.mkdtemp(prefix="dbsync_stream_t_")
+    log = build_log_orders(spark, sf_dir).cache()
+    first = log.where(F.col("operation") == "I")
+    second = log.where(F.col("operation") != "I")
+
+    first.repartition(2).write.mode("append").parquet(f"{workdir}/log")
+    rule = SyncRule("db1", "public", "orders", ("o_orderkey",))
+    pipe = SyncPipeline(
+        spark, rule, ORDERS_PAYLOAD_SCHEMA,
+        log_path=f"{workdir}/log", target_path=f"{workdir}/target",
+        status_path=f"{workdir}/status", checkpoint_path=f"{workdir}/ckpt")
+    pipe.run_to_completion()
+    after_first = live_rows(pipe.target.read(spark))
+    n_orders = first.count()
+    assert after_first.count() == n_orders  # all inserts live
+    v1 = pipe.target.current_version()
+
+    # restart with no new data -> no new snapshot version
+    pipe.run_to_completion()
+    assert pipe.target.current_version() == v1
+
+    # append U/D legs -> incremental apply equals full batch LWW
+    second.repartition(2).write.mode("append").parquet(f"{workdir}/log")
+    pipe.run_to_completion()
+    final = live_rows(pipe.target.read(spark))
+    from dbsync_spark.operators.apply import last_writer_wins, parse_changes
+    expected = last_writer_wins(parse_changes(log, ORDERS_PAYLOAD_SCHEMA),
+                                ["o_orderkey"])
+    assert final.count() == expected.count()
+    assert final.exceptAll(expected).count() == 0
+
+
+def test_merge_snapshot_out_of_order_and_replay(spark):
+    """An older change can never clobber a newer row; replaying a batch is
+    a no-op; deletes tombstone (no resurrection by stale updates)."""
+    b1 = spark.createDataFrame(
+        [(5, "U", 1, "new"), (6, "D", 2, "gone")], ["id", "operation", "k", "v"])
+    b0 = spark.createDataFrame(
+        [(1, "I", 1, "old"), (2, "I", 2, "old2"), (3, "U", 2, "stale")],
+        ["id", "operation", "k", "v"])
+    s1 = merge_snapshot(None, b1, ["k"])
+    s2 = merge_snapshot(s1, b0, ["k"])  # out-of-order older batch
+    live = {r["k"]: r["v"] for r in live_rows(s2).collect()}
+    assert live == {1: "new"}  # k=1 keeps newer value, k=2 stays deleted
+    s3 = merge_snapshot(s2, b0, ["k"])  # replay
+    assert sorted(live_rows(s3).collect()) == sorted(live_rows(s2).collect())
