@@ -1,0 +1,129 @@
+"""Monitoring: heartbeat health, threshold rules, alert actions, endpoints.
+
+Reference semantics:
+- M1 heartbeat eval (sync/ComponentManager.scala:47-65): component status
+  by missed-interval ratio — GREEN < 2x, YELLOW < 5x, RED >= 5x.
+- M2 threshold rules (monitor/SelfMonitor.scala:45-105): heartbeatLostOver,
+  syncBlockedOver, syncErrorOver, syncPendingOver -> action. NOTE the
+  reference compares the *blocked* count in its error/pending rules
+  (SelfMonitor.scala:92,98) — a reference bug; we compare the matching
+  counts (the documented intent).
+- M3 actions (monitor/{Email,Webhook,Restart}ActionHandler.scala): alert
+  dispatch; here email/webhook are injectable callables (no SMTP/HTTP in
+  this environment) and restart stops/restarts streaming queries.
+- M4 endpoints (monitor/Endpoints.scala:27-96): status snapshots as dicts,
+  servable by any HTTP layer.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+GREEN, YELLOW, RED = "GREEN", "YELLOW", "RED"
+
+
+def heartbeat_status(last_beat_ms: float, interval_ms: float,
+                     now_ms: float | None = None) -> str:
+    """GREEN/YELLOW/RED by (now - last) / interval thresholds (<2 / <5 / >=5)."""
+    now_ms = time.time() * 1000 if now_ms is None else now_ms
+    missed = (now_ms - last_beat_ms) / interval_ms
+    if missed < 2:
+        return GREEN
+    if missed < 5:
+        return YELLOW
+    return RED
+
+
+@dataclass
+class ComponentRegistry:
+    """Heartbeat registry (the reference's ComponentManager)."""
+
+    intervals: dict[str, float] = field(default_factory=dict)
+    last_beats: dict[str, float] = field(default_factory=dict)
+
+    def register(self, name: str, interval_ms: float) -> None:
+        self.intervals[name] = interval_ms
+        self.last_beats[name] = time.time() * 1000
+
+    def heartbeat(self, name: str) -> None:
+        self.last_beats[name] = time.time() * 1000
+
+    def statuses(self, now_ms: float | None = None) -> dict[str, str]:
+        return {
+            name: heartbeat_status(self.last_beats[name], self.intervals[name], now_ms)
+            for name in self.intervals
+        }
+
+
+@dataclass
+class SyncState:
+    """Global pending/blocked/error/success counts (A1 fold,
+    monitor/SelfMonitor.scala:53-66)."""
+
+    pending: int = 0
+    blocked: int = 0
+    error: int = 0
+    success: int = 0
+    others: int = 0
+
+    @classmethod
+    def from_status_counts(cls, rows) -> SyncState:
+        m = {"PENDING": "pending", "BLK": "blocked", "ERR": "error", "OK": "success"}
+        state = cls()
+        for r in rows:
+            setattr(state, m.get(r["status"], "others"),
+                    getattr(state, m.get(r["status"], "others")) + r["cnt"])
+        return state
+
+
+def evaluate_rules(rules, sync_state: SyncState,
+                   component_statuses: dict[str, str]) -> list[tuple]:
+    """Returns [(rule, reason)] for every tripped rule. Error/pending rules
+    compare their own counts — not the reference's copy-paste of the
+    blocked count (SelfMonitor.scala:92,98)."""
+    lost = sum(1 for s in component_statuses.values() if s == RED)
+    tripped = []
+    for r in rules:
+        if r.heartbeatLostOver is not None and lost > r.heartbeatLostOver:
+            tripped.append((r, f"heartbeat lost {lost} > {r.heartbeatLostOver}"))
+        if r.syncBlockedOver is not None and sync_state.blocked > r.syncBlockedOver:
+            tripped.append((r, f"blocked {sync_state.blocked} > {r.syncBlockedOver}"))
+        if r.syncErrorOver is not None and sync_state.error > r.syncErrorOver:
+            tripped.append((r, f"error {sync_state.error} > {r.syncErrorOver}"))
+        if r.syncPendingOver is not None and sync_state.pending > r.syncPendingOver:
+            tripped.append((r, f"pending {sync_state.pending} > {r.syncPendingOver}"))
+    return tripped
+
+
+class ActionDispatcher:
+    """Pluggable alert actions (ServiceLoader pattern -> plain registry)."""
+
+    def __init__(self, email=None, webhook=None, restart=None):
+        self.handlers = {}
+        if email:
+            self.handlers["email"] = email
+        if webhook:
+            self.handlers["webhook"] = webhook
+        if restart:
+            self.handlers["restart"] = restart
+        self.dispatched: list[tuple[str, str]] = []
+
+    def dispatch(self, rule, reason: str) -> None:
+        self.dispatched.append((rule.action, reason))
+        handler = self.handlers.get(rule.action)
+        if handler:
+            handler(reason, **rule.params)
+
+
+def status_endpoints(sync_state: SyncState, registry: ComponentRegistry,
+                     queries=()) -> dict[str, dict]:
+    """The M4 endpoint payloads (/status/sync, /status/component, ...)."""
+    return {
+        "/status/sync": vars(sync_state).copy(),
+        "/status/component": registry.statuses(),
+        "/status/sys": {
+            "queries": [getattr(q, "name", str(q)) for q in queries],
+            "ts": time.time(),
+        },
+    }

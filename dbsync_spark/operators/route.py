@@ -30,6 +30,7 @@ class SyncRule:
     source_schema: str
     source_table: str
     source_keys: tuple[str, ...]
+    target_db: str | None = None
     target_schema: str | None = None
     target_table: str | None = None
     insert_condition: str = "1=1"
