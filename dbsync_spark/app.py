@@ -1,0 +1,162 @@
+"""Application orchestration: config -> running pipelines + control loops.
+
+The Spark shape of the reference's bootstrap (§3.1, DbSyncLauncher.scala):
+parse config -> SparkSession -> ensure storage -> one streaming pipeline
+per sync rule -> driver-side monitor/retention loops -> HTTP endpoints.
+Thread-per-component becomes: concurrent streaming queries (executors) +
+a single driver control loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from dbsync_spark.config import AppConfig
+from dbsync_spark.monitor.health import (
+    ActionDispatcher,
+    ComponentRegistry,
+    SyncState,
+    evaluate_rules,
+    status_endpoints,
+)
+from dbsync_spark.operators.retention import sweep
+from dbsync_spark.operators.status import status_counts
+from dbsync_spark.schemas import SYNC_DATA_SCHEMA, SYNC_STATUS_SCHEMA
+from dbsync_spark.streaming.pipeline import SyncPipeline
+
+
+def poll_backoff_ms(batch_rows: int, batch_size: int, max_poll_wait_ms: int) -> int:
+    """S5 adaptive pacing law: sleep (1 - fill_ratio) * maxPollWait — full
+    batches poll immediately, empty ones wait (sync/DataPoller.scala:64-69)."""
+    fill = min(1.0, batch_rows / batch_size) if batch_size > 0 else 1.0
+    return int((1.0 - fill) * max_poll_wait_ms)
+
+
+class DbSyncApp:
+    def __init__(self, spark: SparkSession, config: AppConfig, base_dir: str,
+                 payload_schemas: dict[str, object], dispatcher: ActionDispatcher | None = None):
+        self.spark = spark
+        self.config = config
+        self.base_dir = base_dir
+        self.payload_schemas = payload_schemas
+        self.registry = ComponentRegistry()
+        self.dispatcher = dispatcher or ActionDispatcher()
+        self.pipelines: list[SyncPipeline] = []
+        self._http: ThreadingHTTPServer | None = None
+
+    # -- bootstrap ----------------------------------------------------------
+    def bootstrap(self) -> None:
+        os.makedirs(self.base_dir, exist_ok=True)
+        for rule in self.config.syncs:
+            key = f"{rule.source_db}.{rule.source_schema}.{rule.source_table}"
+            tgt_key = f"{rule.target_db}.{'.'.join(rule.resolved_target())}"
+            pipe = SyncPipeline(
+                self.spark, rule, self.payload_schemas[key],
+                log_path=os.path.join(self.base_dir, "log", rule.source_db),
+                target_path=os.path.join(self.base_dir, "targets", tgt_key),
+                status_path=os.path.join(self.base_dir, "status", rule.source_db),
+                checkpoint_path=os.path.join(self.base_dir, "ckpt", f"{key}->{tgt_key}"),
+            )
+            os.makedirs(pipe.log_path, exist_ok=True)
+            self.pipelines.append(pipe)
+            self.registry.register(f"pipeline:{key}->{tgt_key}",
+                                   interval_ms=self.config.sys.maxPollWait or 60000)
+
+    def run_all_available(self) -> None:
+        """Drain all pending log data through every pipeline (batch mode)."""
+        for pipe in self.pipelines:
+            pipe.run_to_completion()
+            self.registry.heartbeat(
+                f"pipeline:{pipe.rule.source_db}.{pipe.rule.source_schema}."
+                f"{pipe.rule.source_table}->{pipe.rule.target_db}."
+                f"{'.'.join(pipe.rule.resolved_target())}")
+
+    # -- control loops -------------------------------------------------------
+    def _status_df(self, source_db: str):
+        path = os.path.join(self.base_dir, "status", source_db)
+        try:
+            return self.spark.read.schema(SYNC_STATUS_SCHEMA).parquet(path)
+        except Exception:  # noqa: BLE001 - empty dir on first run
+            return self.spark.createDataFrame([], SYNC_STATUS_SCHEMA)
+
+    def sync_state(self) -> SyncState:
+        """Global pending/blocked/error/success fold across databases (A1)."""
+        total = SyncState()
+        for db in {r.source_db for r in self.config.syncs}:
+            log_path = os.path.join(self.base_dir, "log", db)
+            try:
+                log = self.spark.read.schema(SYNC_DATA_SCHEMA).parquet(log_path)
+            except Exception:  # noqa: BLE001
+                continue
+            rows = status_counts(log, self._status_df(db)).collect()
+            part = SyncState.from_status_counts(
+                [{"status": r["status"], "cnt": r["cnt"]} for r in rows])
+            for f_ in ("pending", "blocked", "error", "success", "others"):
+                setattr(total, f_, getattr(total, f_) + getattr(part, f_))
+        return total
+
+    def monitor_pass(self) -> list[tuple]:
+        """One M2 evaluation tick: rules over counts + heartbeats -> actions."""
+        tripped = evaluate_rules(self.config.monitors, self.sync_state(),
+                                 self.registry.statuses())
+        for rule, reason in tripped:
+            self.dispatcher.dispatch(rule, reason)
+        return tripped
+
+    def retention_pass(self, now=None) -> None:
+        """O8 sweep of each database's change log."""
+        cutoff_expr = F.lit(now) if now is not None else F.current_timestamp()
+        cutoff = cutoff_expr - F.expr(
+            f"INTERVAL {self.config.sys.dataKeepHours} HOURS")
+        for db in {r.source_db for r in self.config.syncs}:
+            log_path = os.path.join(self.base_dir, "log", db)
+            try:
+                log = self.spark.read.schema(SYNC_DATA_SCHEMA).parquet(log_path)
+            except Exception:  # noqa: BLE001
+                continue
+            kept = sweep(log, self._status_df(db), cutoff)
+            tmp = log_path + ".sweeping"
+            kept.write.mode("overwrite").parquet(tmp)
+            final = self.spark.read.parquet(tmp)
+            final.write.mode("overwrite").parquet(log_path)
+
+    # -- endpoints (M4) -------------------------------------------------------
+    def endpoint_payloads(self) -> dict[str, dict]:
+        return status_endpoints(self.sync_state(), self.registry,
+                                queries=self.pipelines)
+
+    def serve_endpoints(self, port: int = 0) -> int:
+        """Start the /status HTTP server; returns the bound port."""
+        app = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802
+                payloads = app.endpoint_payloads()
+                if self.path in payloads:
+                    body = json.dumps(payloads[self.path]).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+
+            def log_message(self, *a):  # silence
+                pass
+
+        self._http = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        threading.Thread(target=self._http.serve_forever, daemon=True).start()
+        return self._http.server_address[1]
+
+    def stop(self) -> None:
+        if self._http:
+            self._http.shutdown()
+            self._http = None

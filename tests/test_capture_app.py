@@ -1,0 +1,128 @@
+from __future__ import annotations
+
+import json
+import os
+import urllib.request
+
+from dbsync_spark.app import DbSyncApp, poll_backoff_ms
+from dbsync_spark.config import parse_config
+from dbsync_spark.operators.route import SyncRule
+from dbsync_spark.sources.capture import (
+    mysql_trigger_ddl,
+    pg_trigger_ddl,
+    reconcile_triggers,
+    sys_table_ddl,
+    trigger_version,
+    unique_index_ddl,
+    unique_index_name,
+)
+
+RULE = SyncRule("db1", "test", "test01", ("f1", "f2"),
+                insert_condition="NEW.f3 > 'x'")
+
+
+def test_pg_trigger_ddl_shape():
+    ddl = pg_trigger_ddl(RULE, "dbsync", ["db2", "db3"], "insert")
+    assert "AFTER INSERT ON test.test01" in ddl
+    assert ddl.count("INSERT INTO dbsync.sync_data") == 2  # fan-out per target
+    assert "row_to_json(NEW)" in ddl
+    assert "IF NEW.f3 > 'x' THEN" in ddl
+    ddl_d = pg_trigger_ddl(RULE, "dbsync", ["db2"], "delete")
+    assert "row_to_json(OLD)" in ddl_d and "'D'" in ddl_d
+
+
+def test_mysql_trigger_uses_own_conditions():
+    rule = SyncRule("db1", "test", "t", ("k",),
+                    insert_condition="NEW.v > 0", update_condition="NEW.v > 1")
+    ddl_u = mysql_trigger_ddl(rule, "dbsync", ["db2"], "update", ["k", "v"])
+    # intended semantics: update trigger gates on updateCondition (the
+    # reference's MySQL dialect reuses insertCondition — a bug we don't keep)
+    assert "NEW.v > 1" in ddl_u and "NEW.v > 0" not in ddl_u
+    assert "JSON_OBJECT('k', NEW.`k`, 'v', NEW.`v`)" in ddl_u
+
+
+def test_trigger_version_and_reconcile():
+    ddl = pg_trigger_ddl(RULE, "dbsync", ["db2"], "insert")
+    v1 = trigger_version(ddl)
+    assert len(v1) == 8 and v1 == trigger_version(ddl)  # deterministic
+    ddl2 = pg_trigger_ddl(RULE, "dbsync", ["db2", "db3"], "insert")
+    assert trigger_version(ddl2) != v1  # config drift -> new version
+    plan = reconcile_triggers(
+        desired={"a": "v1", "b": "v2", "c": "v3"},
+        installed={"b": "OLD", "c": "v3", "zombie": "vX"})
+    assert plan == {"create": ["a"], "rebuild": ["b"], "drop": ["zombie"]}
+
+
+def test_unique_index_deterministic():
+    assert unique_index_name(RULE) == unique_index_name(RULE)
+    ddl = unique_index_ddl(RULE)
+    assert "CREATE UNIQUE INDEX IF NOT EXISTS" in ddl and "(f1, f2)" in ddl
+
+
+def test_sys_table_ddl_both_dialects():
+    pg = sys_table_ddl("dbsync")
+    my = sys_table_ddl("dbsync", "mysql")
+    assert any("BIGSERIAL" in s for s in pg)
+    assert any("AUTO_INCREMENT" in s for s in my)
+    assert len(pg) == len(my) == 5
+
+
+def test_poll_backoff_law():
+    assert poll_backoff_ms(10000, 10000, 60000) == 0       # saturated -> no sleep
+    assert poll_backoff_ms(0, 10000, 60000) == 60000       # empty -> full wait
+    assert poll_backoff_ms(7500, 10000, 60000) == 15000    # proportional
+
+
+APP_YAML = """
+sys: {maxPollWait: 5000, dataKeepHours: 24}
+db:
+  - {name: db1, type: parquet}
+  - {name: t1, type: parquet}
+sync:
+  - sourceDb: db1
+    targetDb: t1
+    sourceSchema: public
+    sourceTable: orders
+    sourceKeys: o_orderkey
+monitor:
+  - {syncPendingOver: 0, action: webhook}
+"""
+
+
+def test_app_end_to_end(spark, sf_dir, tmp_path):
+    """Bootstrap from YAML, feed a change log, drain pipelines, check state,
+    monitor rules, retention, and the HTTP endpoints."""
+    from dbsync_spark.changelog import ORDERS_PAYLOAD_SCHEMA, build_log_orders
+
+    cfg = parse_config(APP_YAML)
+    app = DbSyncApp(spark, cfg, str(tmp_path / "app"),
+                    {"db1.public.orders": ORDERS_PAYLOAD_SCHEMA})
+    app.bootstrap()
+    log = build_log_orders(spark, sf_dir)
+    log.write.mode("append").parquet(app.pipelines[0].log_path)
+
+    app.run_all_available()
+    state = app.sync_state()
+    assert state.success == log.count()  # everything acked OK
+    assert state.pending == 0
+
+    from dbsync_spark.operators.apply import last_writer_wins, parse_changes
+    from dbsync_spark.operators.apply import live_rows
+    expected = last_writer_wins(
+        parse_changes(log, ORDERS_PAYLOAD_SCHEMA), ["o_orderkey"]).count()
+    assert live_rows(app.pipelines[0].target.read(spark)).count() == expected
+
+    # monitor: pending==0 means the rule (pending > 0) must NOT trip
+    assert app.monitor_pass() == []
+
+    # retention with a future "now": all OK rows swept
+    import datetime as dt
+    app.retention_pass(now=dt.datetime(2030, 1, 1))
+    remaining = spark.read.parquet(app.pipelines[0].log_path)
+    assert remaining.count() == 0
+
+    port = app.serve_endpoints()
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/status/sync") as r:
+        payload = json.loads(r.read())
+    assert payload["success"] == 0  # post-retention recount
+    app.stop()
