@@ -139,6 +139,55 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text",
     return scored.where(F.col("jaccard") >= threshold)
 
 
+def ngram_jaccard_vs_query(df: DataFrame, query_doc_id: int,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           k: int = 3) -> DataFrame:
+    """Exact k-gram Jaccard of every document against one query document —
+    the linear-scan building block (the pairwise form runs over LSH
+    candidates, see minhash_near_dups)."""
+    shingled = doc_shingles(df, text_col, id_col, k)
+    q = shingled.where(F.col(id_col) == query_doc_id).select("shingle")
+    n_q = q.count()
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n"))
+    inter = (
+        shingled.join(F.broadcast(q), on="shingle")
+        .groupBy(id_col).agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        sizes.join(inter, on=id_col, how="left")
+        .na.fill({"n_inter": 0})
+        .where(F.col(id_col) != query_doc_id)
+        .select(
+            id_col,
+            (F.col("n_inter").cast("double")
+             / (F.col("n") + F.lit(n_q) - F.col("n_inter"))).alias("jaccard"),
+        )
+    )
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.999,
+                        bucket_scale: int = 50, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    Blocking: bucket on floor(first_component * scale) — exact/near copies
+    share the bucket, and the self-join is linear in bucket sizes instead
+    of O(n^2). floor (not round) keeps the bucketing bit-identical across
+    engines. Within-bucket pairs get the exact cosine test."""
+    from dbsync_spark.functions.similarity import as_double, dot, norm
+
+    e = emb.select(F.col(id_col),
+                   as_double(F.col(vec_col)).alias("e"))
+    b = e.withColumn("bucket",
+                     F.floor(F.col("e")[0] * bucket_scale).cast("long"))
+    left = b.select(F.col(id_col).alias("id_a"), F.col("e").alias("ea"), "bucket")
+    right = b.select(F.col(id_col).alias("id_b"), F.col("e").alias("eb"), "bucket")
+    pairs = left.join(right, on="bucket").where(F.col("id_a") < F.col("id_b"))
+    cos = (dot(F.col("ea"), F.col("eb"))
+           / (norm(F.col("ea")) * norm(F.col("eb")))).alias("cosine_sim")
+    return pairs.select("id_a", "id_b", cos).where(F.col("cosine_sim") >= threshold)
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """SimHash signature: for each bit, vote +1/-1 per distinct token by

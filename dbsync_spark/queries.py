@@ -516,3 +516,66 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.to_media(read_table(spark, sf_dir, "documents"))
     return mm.extract_features(media).select(
         "doc_id", "n_bytes", "digest", "width", "height")
+
+
+@_register(
+    "q_ngram_jaccard",
+    f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+q AS (SELECT shingle FROM sh WHERE doc_id = 0),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT s.doc_id, count(*) AS n_inter
+  FROM sh s JOIN q ON q.shingle = s.shingle
+  GROUP BY s.doc_id
+)
+SELECT z.doc_id,
+       CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+         / (z.n + (SELECT count(*) FROM q) - coalesce(i.n_inter, 0)) AS jaccard
+FROM sizes z LEFT JOIN inter i ON i.doc_id = z.doc_id
+WHERE z.doc_id <> 0
+""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard of every document against doc_id=0 (the linear
+    scan primitive; the pairwise form runs over LSH candidates)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_vs_query(docs, query_doc_id=0)
+
+
+_EMBED_DUP_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings), embedding::DOUBLE[]
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+b AS (SELECT vec_id, e, CAST(floor(e[1] * 50) AS BIGINT) AS bucket FROM corpus),
+pairs AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         list_dot_product(a.e, b2.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e)))
+           AS cosine_sim
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.999
+"""
+
+
+@_register("q_embed_dedup", _EMBED_DUP_ORACLE)
+def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over a corpus with planted exact
+    copies (every 25th vector duplicated at an id offset); candidate pairs
+    come from first-component bucketing, never the O(n^2) cross join."""
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    off = emb.agg(F.max("vec_id")).first()[0] + 1
+    copies = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + off).alias("vec_id"), "embedding")
+    corpus = emb.unionByName(copies)
+    return dd.embedding_dup_pairs(corpus, threshold=0.999)
