@@ -61,16 +61,26 @@ def doc_shingles(df: DataFrame, text_col: str = "text",
     )
 
 
+MERSENNE31 = 2147483647  # 2^31 - 1, prime
+
+# deterministic affine coefficients for universal hashing: one base md5
+# per shingle, K cheap (a*h + b) mod p transforms instead of K md5 calls
+UH_A = [2 * i + 1 for i in range(1, 33)]          # odd multipliers
+UH_B = [104729 * (i + 1) % MERSENNE31 for i in range(33)]
+
+
 def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id",
                        num_hashes: int = NUM_MINHASHES) -> DataFrame:
-    """K minhash values per doc: min over shingles of h15(seed:shingle),
-    computed as K aggregate expressions over one pass (map-side combine;
-    no row multiplication by K)."""
+    """K minhash values per doc via universal hashing over ONE md5 per
+    shingle: mh_k = min((a_k * (h15(shingle) % p) + b_k) % p). K aggregate
+    expressions in one pass (map-side combine; no row multiplication by K,
+    no K-times hashing)."""
+    base = shingled.withColumn("_h", h15(F.col("shingle")) % MERSENNE31)
     aggs = [
-        F.min(h15(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        F.min((F.lit(UH_A[i]) * F.col("_h") + F.lit(UH_B[i])) % MERSENNE31).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return shingled.groupBy(id_col).agg(*aggs)
+    return base.groupBy(id_col).agg(*aggs)
 
 
 def lsh_bands(signatures: DataFrame, id_col: str = "doc_id",
@@ -194,7 +204,8 @@ def simhash(df: DataFrame, text_col: str = "text",
     that bit of h8(token); bit set iff the vote sum is positive."""
     toked = df.select(
         id_col, F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
-    h = h8(F.col("tok"))
+    toked = toked.withColumn("_h", h8(F.col("tok")))  # hash once per token
+    h = F.col("_h")
     votes = [
         F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
         .alias(f"v{b}")

@@ -361,8 +361,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    p = dd.MERSENNE31
     mh_exprs = ",\n         ".join(
-        f"min({_H15.format(s=chr(39) + str(i) + ':' + chr(39) + ' || shingle')}) AS mh{i}"
+        f"min(({dd.UH_A[i]} * _h + {dd.UH_B[i]}) % {p}) AS mh{i}"
         for i in range(dd.NUM_MINHASHES)
     )
     n_bands = dd.NUM_MINHASHES // dd.BAND_SIZE
@@ -387,9 +388,14 @@ sh AS (
                 i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingle
   FROM toks WHERE len(t) >= 3
 ),
+shh AS (
+  SELECT doc_id, shingle,
+         ({_H15.format(s='shingle')}) % {dd.MERSENNE31} AS _h
+  FROM sh
+),
 sig AS (
   SELECT doc_id, {mh_exprs}
-  FROM sh GROUP BY doc_id
+  FROM shh GROUP BY doc_id
 ),
 bands AS (
 {band_rows}
@@ -435,9 +441,8 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle(bits: int = 32) -> str:
-    h = _H8.format(s="tok")
     votes = ",\n         ".join(
-        f"sum(CASE WHEN (({h}) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        f"sum(CASE WHEN (_h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
         for b in range(bits)
     )
     sig = " + ".join(
@@ -449,9 +454,12 @@ WITH toked AS (
   SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
   FROM documents
 ),
+hashed AS (
+  SELECT doc_id, {_H8.format(s="tok")} AS _h FROM toked
+),
 voted AS (
   SELECT doc_id, {votes}
-  FROM toked GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 )
 SELECT doc_id, {sig} AS simhash FROM voted
 """
