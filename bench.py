@@ -123,11 +123,24 @@ def main() -> None:
         minhash_near_dups(docs, threshold=0.5).count()
 
     # -- cosine top-k ---------------------------------------------------------
-    from dbsync_spark.functions.similarity import cosine_topk
+    from dbsync_spark.functions.similarity import cosine_topk, srp_ann_topk
 
     emb = read_table(spark, SF_DIR, "embeddings")
     with timed("cosine_topk"):
         cosine_topk(emb, emb.where(F.col("vec_id") < 5), k=10).collect()
+
+    with timed("ann_srp"):
+        srp_ann_topk(emb, emb.where(F.col("vec_id") < 5), dim=64, k=10,
+                     n_planes=6).collect()
+
+    # -- simhash + text quality over documents --------------------------------
+    from dbsync_spark.functions.dedup import simhash
+    from dbsync_spark.functions.text import quality_score
+
+    with timed("simhash"):
+        simhash(docs).count()
+    with timed("text_quality"):
+        quality_score(read_table(spark, SF_DIR, "documents")).count()
 
     shutil.rmtree(workdir, ignore_errors=True)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

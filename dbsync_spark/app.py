@@ -160,3 +160,69 @@ class DbSyncApp:
         if self._http:
             self._http.shutdown()
             self._http = None
+
+    # -- M5 hot restart / config reload ---------------------------------------
+    def reload(self, new_config: AppConfig) -> None:
+        """The reference's reload-is-restart (DbSyncLauncher.scala:21-42,
+        Endpoints.scala:75-95): tear down pipelines, swap config, rebuild.
+        Checkpoints make this lossless — rebuilt pipelines resume from
+        their offsets."""
+        self.config = new_config
+        self.pipelines = []
+        self.registry = ComponentRegistry()
+        self.bootstrap()
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI: `python -m dbsync_spark.app config.yaml [--drain]`.
+
+    --drain applies all pending log data once and exits (availableNow);
+    without it, pipelines run on a processing-time trigger until Ctrl-C.
+    """
+    import argparse
+
+    from dbsync_spark.config import parse_config
+    from dbsync_spark.schemas import SYNC_DATA_SCHEMA  # noqa: F401
+    from dbsync_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description="dbsync-spark sync engine")
+    ap.add_argument("config")
+    ap.add_argument("--base-dir", default="./dbsync_state")
+    ap.add_argument("--drain", action="store_true")
+    ap.add_argument("--schemas", default=None,
+                    help="path to a JSON file of {db.schema.table: DDL string}")
+    args = ap.parse_args(argv)
+
+    with open(args.config) as f:
+        cfg = parse_config(f.read())
+    spark = get_spark("dbsync-app")
+    schemas: dict[str, object] = {}
+    if args.schemas:
+        # fromDDL needs the active session's parser
+        from pyspark.sql.types import StructType
+
+        with open(args.schemas) as f:
+            schemas = {k: StructType.fromDDL(v) for k, v in json.load(f).items()}
+    app = DbSyncApp(spark, cfg, args.base_dir, schemas)
+    app.bootstrap()
+    port = app.serve_endpoints(cfg.sys.endpointPort)
+    print(f"status endpoints on http://127.0.0.1:{port}/status/sync")
+    if args.drain:
+        app.run_all_available()
+        app.monitor_pass()
+        app.stop()
+        return 0
+    queries = [p.start(available_now=False, processing_time="5 seconds")
+               for p in app.pipelines]
+    try:
+        for q in queries:
+            q.awaitTermination()
+    except KeyboardInterrupt:
+        for q in queries:
+            q.stop()
+        app.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -126,3 +126,36 @@ def test_app_end_to_end(spark, sf_dir, tmp_path):
         payload = json.loads(r.read())
     assert payload["success"] == 0  # post-retention recount
     app.stop()
+
+
+def test_app_reload_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    """M5 reload-is-restart: after reload, pipelines rebuild and resume
+    from checkpoints (no reprocessing, increments still apply)."""
+    from pyspark.sql import functions as F
+
+    from dbsync_spark.changelog import ORDERS_PAYLOAD_SCHEMA, build_log_orders
+    from dbsync_spark.operators.apply import live_rows
+
+    cfg = parse_config(APP_YAML)
+    schemas = {"db1.public.orders": ORDERS_PAYLOAD_SCHEMA}
+    app = DbSyncApp(spark, cfg, str(tmp_path / "app2"), schemas)
+    app.bootstrap()
+    log = build_log_orders(spark, sf_dir).cache()
+    log.where(F.col("operation") == "I").write.mode("append").parquet(
+        app.pipelines[0].log_path)
+    app.run_all_available()
+    v_before = app.pipelines[0].target.current_version()
+
+    app.reload(parse_config(APP_YAML))
+    # no new data: drain must be a no-op (checkpoint preserved)
+    app.run_all_available()
+    assert app.pipelines[0].target.current_version() == v_before
+
+    # increment applies after reload
+    log.where(F.col("operation") != "I").write.mode("append").parquet(
+        app.pipelines[0].log_path)
+    app.run_all_available()
+    from dbsync_spark.operators.apply import last_writer_wins, parse_changes
+    expected = last_writer_wins(
+        parse_changes(log, ORDERS_PAYLOAD_SCHEMA), ["o_orderkey"]).count()
+    assert live_rows(app.pipelines[0].target.read(spark)).count() == expected
