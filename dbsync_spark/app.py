@@ -110,6 +110,11 @@ class DbSyncApp:
             self.dispatcher.dispatch(rule, reason)
         return tripped
 
+    def retry_pass(self) -> bool:
+        """One ErrorResolver tick across all pipelines (cadence =
+        sys.retryInterval in the reference)."""
+        return any([p.retry_pass() for p in self.pipelines])
+
     def retention_pass(self, now=None) -> None:
         """O8 sweep of each database's change log."""
         cutoff_expr = F.lit(now) if now is not None else F.current_timestamp()

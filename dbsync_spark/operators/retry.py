@@ -67,20 +67,25 @@ def _run_pass(pending: DataFrame) -> DataFrame:
 
 
 def apply_with_retry(changes: DataFrame, key: Column, fail_until: Column,
-                     max_passes: int = 100) -> tuple[DataFrame, int]:
+                     max_passes: int = 100,
+                     initial_tries: Column | None = None) -> tuple[DataFrame, int]:
     """Drive the ERR/BLK/retry state machine to convergence.
 
     `changes` must carry unique ids; `fail_until` is the injected-failure
     spec (a change fails while tries < fail_until — deterministic stand-in
-    for a flaky target). Returns (state, passes): state has one row per
-    change id with final status (all OK on convergence) and the retry
-    count, mirroring sync_data_status.retry.
+    for a flaky target). `initial_tries` seeds the attempt counter from a
+    persisted status table, so retries resume across micro-batches /
+    driver passes instead of restarting from zero. Returns (state, passes):
+    state has one row per change id with final status (all OK on
+    convergence) and the retry count, mirroring sync_data_status.retry.
     """
+    if initial_tries is None:
+        initial_tries = F.lit(0)
     state = changes.select(
         F.col("id"),
         key_hash(key).alias("key_hash"),
         fail_until.cast("int").alias("fail_until"),
-        F.lit(0).cast("int").alias("tries"),
+        initial_tries.cast("int").alias("tries"),
         F.lit(STATUS_PENDING).alias("status"),
     ).localCheckpoint()
     done = state.where(F.col("status") == STATUS_OK)  # empty at start

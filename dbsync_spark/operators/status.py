@@ -38,6 +38,17 @@ def ack(existing: DataFrame | None, acks: DataFrame) -> DataFrame:
         "dataId", "_w.status", "_w.message", "retry", "_w.createTime")
 
 
+def current_status(acks: DataFrame) -> DataFrame:
+    """Latest status per dataId from an append-only ack log (newest
+    createTime wins, retry count as tiebreak)."""
+    return (
+        acks.groupBy("dataId")
+        .agg(F.max_by(F.struct("status", "message", "retry", "createTime"),
+                      F.struct("createTime", "retry")).alias("_w"))
+        .select("dataId", "_w.status", "_w.message", "_w.retry", "_w.createTime")
+    )
+
+
 def status_counts(log: DataFrame, status: DataFrame,
                   id_col: str = "id", status_id_col: str = "dataId") -> DataFrame:
     """Pending/OK/ERR/BLK counts in one pass over the log."""

@@ -34,7 +34,8 @@ class SyncPipeline:
     def __init__(self, spark: SparkSession, rule: SyncRule,
                  payload_schema: StructType, log_path: str, target_path: str,
                  status_path: str, checkpoint_path: str,
-                 max_files_per_trigger: int | None = None):
+                 max_files_per_trigger: int | None = None,
+                 failure_policy=None, in_batch_retries: int = 1):
         self.spark = spark
         self.rule = rule
         self.payload_schema = payload_schema
@@ -43,24 +44,93 @@ class SyncPipeline:
         self.status_path = status_path
         self.checkpoint_path = checkpoint_path
         self.max_files_per_trigger = max_files_per_trigger
+        # failure_policy(changes) -> fail_until Column: injected-failure
+        # spec standing in for a flaky target (None = everything lands)
+        self.failure_policy = failure_policy
+        self.in_batch_retries = in_batch_retries
 
-    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        relevant = batch_df.where(
+    def _key(self):
+        return F.concat_ws(":", *[F.col(k).cast("string")
+                                  for k in self.rule.source_keys])
+
+    def _write_acks(self, acks: DataFrame) -> None:
+        acks.write.mode("append").parquet(self.status_path)
+
+    def _relevant(self, batch_df: DataFrame) -> DataFrame:
+        return batch_df.where(
             (F.col("schema") == self.rule.source_schema)
             & (F.col("table") == self.rule.source_table)
             & (F.col("sourceDb") == self.rule.source_db)
         )
-        changes = apply_conditions(
-            parse_changes(relevant, self.payload_schema), self.rule)
-        changes = changes.localCheckpoint()  # batch is transient; pin it
+
+    def apply_changes(self, changes: DataFrame) -> None:
+        """Apply decoded changes with the ERR/BLK state machine: rows that
+        reach the target MERGE in; failures ack ERR and hold back (BLK)
+        same-key followers — strict per-key order under failure (O4-O6).
+        An optional `_tries0` column seeds per-row retry counters (set by
+        retry_pass from the persisted status)."""
+        changes = changes.localCheckpoint()
+        has_tries = "_tries0" in changes.columns
+        payload = changes.drop("_tries0") if has_tries else changes
+        if self.failure_policy is None:
+            snapshot = self.target.read(self.spark)
+            merged = merge_snapshot(snapshot, payload,
+                                    list(self.rule.source_keys))
+            self.target.overwrite_with(merged)
+            self._write_acks(payload.select(
+                F.col("id").alias("dataId"), F.lit("OK").alias("status"),
+                F.lit("").alias("message"), F.lit(0).alias("retry"),
+                F.current_timestamp().alias("createTime")))
+            return
+
+        from dbsync_spark.operators.retry import apply_with_retry
+
+        state, _ = apply_with_retry(
+            changes, key=self._key(),
+            fail_until=self.failure_policy(changes),
+            max_passes=self.in_batch_retries,
+            initial_tries=F.col("_tries0") if has_tries else None)
+        ok_ids = state.where(F.col("status") == "OK").select("id")
+        applied = payload.join(ok_ids, on="id", how="left_semi")
         snapshot = self.target.read(self.spark)
-        merged = merge_snapshot(snapshot, changes, list(self.rule.source_keys))
+        merged = merge_snapshot(snapshot, applied, list(self.rule.source_keys))
         self.target.overwrite_with(merged)
-        acks = relevant.select(
-            F.col("id").alias("dataId"), F.lit("OK").alias("status"),
-            F.lit("").alias("message"), F.lit(0).alias("retry"),
-            F.current_timestamp().alias("createTime"))
-        acks.write.mode("append").parquet(self.status_path)
+        self._write_acks(state.select(
+            F.col("id").alias("dataId"), F.col("status"),
+            F.when(F.col("status") == "OK", "").otherwise("apply failed").alias("message"),
+            F.col("tries").alias("retry"),
+            F.current_timestamp().alias("createTime")))
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        changes = apply_conditions(
+            parse_changes(self._relevant(batch_df), self.payload_schema),
+            self.rule)
+        self.apply_changes(changes)
+
+    def retry_pass(self) -> bool:
+        """The ErrorResolver/BlockedHandler loop (O5/O6): re-read ERR/BLK
+        rows from the status table, re-apply them from the log in id order
+        with their persisted retry counters; newly-converged rows MERGE in
+        and ack OK. Returns True if anything was retried."""
+        from dbsync_spark.operators.status import current_status
+
+        try:
+            acks = self.spark.read.parquet(self.status_path)
+        except Exception:  # noqa: BLE001 - nothing acked yet
+            return False
+        bad = current_status(acks).where(F.col("status").isin("ERR", "BLK"))
+        if bad.isEmpty():
+            return False
+        log = self.spark.read.schema(SYNC_DATA_SCHEMA).parquet(self.log_path)
+        rows = self._relevant(log).join(
+            bad.select(F.col("dataId").alias("id"),
+                       F.col("retry").alias("_tries0")),
+            on="id")
+        changes = apply_conditions(
+            parse_changes(rows.drop("_tries0"), self.payload_schema),
+            self.rule).join(rows.select("id", "_tries0"), on="id")
+        self.apply_changes(changes)
+        return True
 
     def start(self, available_now: bool = True, processing_time: str | None = None):
         reader = self.spark.readStream.schema(SYNC_DATA_SCHEMA)
