@@ -1,0 +1,44 @@
+"""Physical layout helpers: bucketing and date partitioning.
+
+At 100 TB the two cheapest optimizations are paid at WRITE time:
+- `write_bucketed` / co-located joins: two tables bucketed by the same key
+  into the same bucket count join with NO shuffle on either side (the
+  exchange disappears from the plan — asserted in tests).
+- `write_date_partitioned`: the change log partitioned by createTime date
+  turns the retention cutoff (O8) and time-windowed scans into partition
+  PRUNING — the sweep reads only expired partitions instead of the full
+  log (PartitionFilters in the scan, asserted in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(df: DataFrame, table_name: str, bucket_cols: list[str],
+                   num_buckets: int = 32, sort_cols: list[str] | None = None) -> None:
+    """Persist as a Spark-native bucketed table (hash(bucket_cols) %
+    num_buckets per file); sorted buckets additionally enable shuffle-free
+    sort-merge joins."""
+    writer = (df.write.mode("overwrite")
+              .bucketBy(num_buckets, *bucket_cols))
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def read_table(spark: SparkSession, table_name: str) -> DataFrame:
+    return spark.table(table_name)
+
+
+def write_date_partitioned(log: DataFrame, path: str,
+                           ts_col: str = "createTime") -> None:
+    """Change log partitioned by event date: retention and windowed reads
+    prune whole directories."""
+    (log.withColumn("_date", F.to_date(F.col(ts_col)))
+     .write.mode("overwrite").partitionBy("_date").parquet(path))
+
+
+def read_date_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).drop("_date")

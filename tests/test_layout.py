@@ -1,0 +1,67 @@
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from dbsync_spark.sinks.layout import (
+    read_date_partitioned,
+    write_bucketed,
+    write_date_partitioned,
+)
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Co-located join: both sides bucketed on the key -> no Exchange in
+    the join plan (the 100 TB co-location story, SURVEY §2.5 O1).
+    Auto-broadcast is disabled so the tiny fixture takes the sort-merge
+    path a 100 TB table would."""
+    import shutil
+
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        write_bucketed(orders, "b_orders", ["o_orderkey"], 8,
+                       sort_cols=["o_orderkey"])
+        write_bucketed(lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+                       "b_lineitem", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"),
+                                              on="o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:2000]}"
+        # sanity: same result as the plain join
+        plain = orders.join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            on="o_orderkey")
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for t in ("b_orders", "b_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_date_partitioned_retention_prunes(spark, sf_dir):
+    """Retention cutoff on a date-partitioned log shows up as a partition
+    filter — the sweep never reads live partitions."""
+    from dbsync_spark.changelog import build_log_orders
+
+    workdir = tempfile.mkdtemp(prefix="dbsync_layout_")
+    log = build_log_orders(spark, sf_dir)
+    write_date_partitioned(log, f"{workdir}/log")
+
+    raw = spark.read.parquet(f"{workdir}/log")
+    expired = raw.where(F.col("_date") < F.lit("1998-01-01"))
+    plan = expired._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(_date" in plan or \
+           "PartitionFilters: [(_date" in plan, plan[:1500]
+
+    # round-trip fidelity
+    back = read_date_partitioned(spark, f"{workdir}/log")
+    assert back.count() == log.count()
+    assert sorted(back.columns) == sorted(log.columns)
