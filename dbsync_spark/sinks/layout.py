@@ -42,3 +42,22 @@ def write_date_partitioned(log: DataFrame, path: str,
 
 def read_date_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("_date")
+
+
+def compact(spark: SparkSession, path: str, target_files: int = 4,
+            schema=None) -> int:
+    """OPTIMIZE/VACUUM equivalent for append-only parquet dirs (the
+    reference runs VACUUM ANALYZE / OPTIMIZE TABLE after its retention
+    sweep, PgOperation.scala:378-385): rewrite the accumulated small files
+    into `target_files` and swap. Returns the new file count."""
+    import glob
+    import os
+    import shutil
+
+    reader = spark.read.schema(schema) if schema else spark.read
+    df = reader.parquet(path)
+    tmp = path.rstrip("/") + ".compacting"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    return len(glob.glob(os.path.join(path, "*.parquet")))

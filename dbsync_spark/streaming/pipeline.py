@@ -57,11 +57,17 @@ class SyncPipeline:
         acks.write.mode("append").parquet(self.status_path)
 
     def _relevant(self, batch_df: DataFrame) -> DataFrame:
-        return batch_df.where(
+        """This pipeline's slice of the shared change log. Fan-out happens
+        at capture (one row per target, S11); a pipeline serving target T
+        consumes only rows addressed to T."""
+        pred = (
             (F.col("schema") == self.rule.source_schema)
             & (F.col("table") == self.rule.source_table)
             & (F.col("sourceDb") == self.rule.source_db)
         )
+        if self.rule.target_db:
+            pred = pred & (F.col("targetDb") == self.rule.target_db)
+        return batch_df.where(pred)
 
     def apply_changes(self, changes: DataFrame) -> None:
         """Apply decoded changes with the ERR/BLK state machine: rows that

@@ -159,3 +159,54 @@ def test_app_reload_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     expected = last_writer_wins(
         parse_changes(log, ORDERS_PAYLOAD_SCHEMA), ["o_orderkey"]).count()
     assert live_rows(app.pipelines[0].target.read(spark)).count() == expected
+
+
+MULTI_YAML = """
+sys: {maxPollWait: 5000}
+db:
+  - {name: db1, type: parquet}
+  - {name: t1, type: parquet}
+  - {name: t2, type: parquet}
+sync:
+  - sourceDb: db1
+    targetDb: t1,t2
+    sourceSchema: public
+    sourceTable: events
+    sourceKeys: event_id
+"""
+
+
+def test_app_multi_target_fanout(spark, sf_dir, tmp_path):
+    """S11 end-to-end: one sync entry with targetDb 't1,t2' becomes two
+    pipelines; capture-side fan-out (one log row per target) routes all
+    events to t1 but only purchase events to t2."""
+    from pyspark.sql import functions as F
+
+    from dbsync_spark.changelog import EVENTS_PAYLOAD_SCHEMA, build_log_events
+    from dbsync_spark.operators.apply import live_rows
+    from dbsync_spark.operators.route import fanout_targets
+
+    cfg = parse_config(MULTI_YAML)
+    assert [r.target_db for r in cfg.syncs] == ["t1", "t2"]
+
+    schemas = {"db1.public.events": EVENTS_PAYLOAD_SCHEMA}
+    app = DbSyncApp(spark, cfg, str(tmp_path / "multi"), schemas)
+    app.bootstrap()
+    assert len(app.pipelines) == 2
+    # both pipelines share one source log (same sourceDb)
+    assert app.pipelines[0].log_path == app.pipelines[1].log_path
+
+    # capture-side fan-out: one row per target with a fresh unique id
+    log = build_log_events(spark, sf_dir)
+    fanned = fanout_targets(log).withColumn(
+        "id", F.col("id") * 4 + F.when(F.col("targetDb") == "t2", 1).otherwise(0))
+    fanned.write.mode("append").parquet(app.pipelines[0].log_path)
+
+    app.run_all_available()
+    t1_rows = live_rows(app.pipelines[0].target.read(spark))
+    t2_rows = live_rows(app.pipelines[1].target.read(spark))
+    events = log.count()
+    purchases = log.where(F.col("targetDb") == "t1,t2").count()
+    assert t1_rows.count() == events
+    assert t2_rows.count() == purchases
+    assert t2_rows.where(F.col("event_type") != "purchase").count() == 0
