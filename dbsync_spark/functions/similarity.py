@@ -91,6 +91,89 @@ def srp_bucket_ids(df: DataFrame, dim: int, n_planes: int = 8,
         bucketize, schema=f"{id_col} LONG, bucket LONG")
 
 
+def kmeans_centroids(corpus: DataFrame, dim: int, n_clusters: int = 16,
+                     iters: int = 2, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> np.ndarray:
+    """Deterministic Lloyd iterations for IVF: seeds are the n_clusters
+    lowest-id vectors; each assign step is a vectorized numpy matmul over
+    Arrow batches, each update collects only (cluster, sum, count) — C x dim
+    floats to the driver, never the data."""
+    seeds = (corpus.orderBy(id_col).limit(n_clusters)
+             .select(vec_col).collect())
+    centroids = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in seeds])
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    for _ in range(iters):
+        assigned = _assign_clusters(corpus, centroids, id_col, vec_col)
+        stats = (
+            corpus.join(assigned, on=id_col)
+            .select("cluster", as_double(F.col(vec_col)).alias("e"))
+            .groupBy("cluster")
+            .agg(F.array(*[F.sum(F.col("e")[i]) for i in range(dim)]).alias("vsum"),
+                 F.count("*").alias("n"))
+            .collect()
+        )
+        new = centroids.copy()
+        for r in stats:
+            mean = np.asarray(r["vsum"], dtype=np.float64) / r["n"]
+            nrm = np.linalg.norm(mean)
+            if nrm > 0:
+                new[r["cluster"]] = mean / nrm
+        centroids = new
+    return centroids
+
+
+def _assign_clusters(df: DataFrame, centroids: np.ndarray,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     nprobe: int = 1) -> DataFrame:
+    """(id, cluster) for the nprobe nearest centroids (cosine, vectors
+    scored as-is against unit centroids)."""
+    cent = centroids
+
+    def assign(batches):
+        for pdf in batches:
+            mat = np.vstack(pdf[vec_col].apply(np.asarray, args=(np.float64,)))
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ cent.T
+            top = np.argsort(-sims, axis=1)[:, :nprobe]
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy().repeat(nprobe),
+                "cluster": top.reshape(-1).astype("int64"),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} LONG, cluster LONG")
+
+
+def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+                 n_clusters: int = 16, nprobe: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their nearest-centroid
+    inverted list; a query scores only its nprobe nearest lists. At scale
+    the cluster column doubles as the physical partition key, so a probe
+    reads ~nprobe/n_clusters of the data."""
+    centroids = kmeans_centroids(corpus, dim, n_clusters, iters=2,
+                                 id_col=id_col, vec_col=vec_col)
+    cb = _assign_clusters(corpus, centroids, id_col, vec_col, nprobe=1)
+    qb = _assign_clusters(queries, centroids, id_col, vec_col, nprobe=nprobe)
+
+    c = corpus.join(cb, on=id_col).select(
+        F.col(id_col).alias("vec_id"), F.col("cluster"),
+        as_double(F.col(vec_col)).alias("e"))
+    q = queries.join(qb, on=id_col).select(
+        F.col(id_col).alias("query_id"), F.col("cluster"),
+        as_double(F.col(vec_col)).alias("qe"))
+    pairs = c.join(F.broadcast(q), on="cluster").where(
+        F.col("vec_id") != F.col("query_id"))
+    sim = (dot(F.col("e"), F.col("qe"))
+           / (norm(F.col("e")) * norm(F.col("qe")))).alias("cosine_sim")
+    scored = pairs.select("query_id", "vec_id", sim).dropDuplicates(
+        ["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def srp_ann_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
                  n_planes: int = 8, probe_hamming: int = 1,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -587,3 +587,12 @@ def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + off).alias("vec_id"), "embedding")
     corpus = emb.unionByName(copies)
     return dd.embedding_dup_pairs(corpus, threshold=0.999)
+
+
+@_register("q_ann_ivf")  # rows-only: clusters are engine-side; recall tested in pytest
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: deterministic k-means inverted lists,
+    nprobe=2 — the partition-pruned ANN path at scale."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return sim.ivf_ann_topk(emb, queries, dim=64, k=10, n_clusters=8, nprobe=2)

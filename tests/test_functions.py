@@ -93,3 +93,22 @@ def test_multimodal_real_decode_is_stubbed(spark):
         raise AssertionError("expected NotImplementedError")
     except NotImplementedError:
         pass
+
+
+def test_ivf_ann_recall(spark, sf_dir):
+    """IVF with nprobe=2/8 clusters must beat single-bucket SRP recall and
+    agree with exact scoring on overlapping results."""
+    from dbsync_spark.functions.similarity import ivf_ann_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=10)
+    approx = ivf_ann_topk(emb, queries, dim=64, k=10, n_clusters=8, nprobe=2)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]): r["cosine_sim"] for r in approx.collect()}
+    recall = len(e & set(a)) / len(e)
+    assert recall >= 0.3, f"IVF recall {recall}"
+    exact_sims = {(r["query_id"], r["vec_id"]): r["cosine_sim"] for r in exact.collect()}
+    for key, sim_v in a.items():
+        if key in exact_sims:
+            assert abs(sim_v - exact_sims[key]) < 1e-12
