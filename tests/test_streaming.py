@@ -67,3 +67,40 @@ def test_merge_snapshot_out_of_order_and_replay(spark):
     assert live == {1: "new"}  # k=1 keeps newer value, k=2 stays deleted
     s3 = merge_snapshot(s2, b0, ["k"])  # replay
     assert sorted(live_rows(s3).collect()) == sorted(live_rows(s2).collect())
+
+
+def test_streaming_hourly_counts_with_watermark(spark, sf_dir):
+    """A2 streaming form: watermarked tumbling-window counts over a file
+    stream equal the batch aggregation once the stream drains."""
+    import tempfile
+
+    from dbsync_spark.operators.window_agg import (
+        hourly_counts,
+        hourly_counts_streaming,
+    )
+    from dbsync_spark.sources.tables import read_table
+
+    workdir = tempfile.mkdtemp(prefix="dbsync_wm_")
+    events = read_table(spark, sf_dir, "events")
+    events.repartition(3).write.parquet(f"{workdir}/events")
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{workdir}/events")
+    )
+    agg = hourly_counts_streaming(stream, "ts", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory").queryName("wm_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {(r["bucket_start"], r["cnt"])
+           for r in spark.sql("SELECT * FROM wm_counts").collect()}
+    expected = {(r["bucket_start"], r["cnt"])
+                for r in hourly_counts(events, "ts").collect()}
+    assert got == expected
