@@ -12,7 +12,7 @@ from tests.compare import assert_matches
 ORACLE_BACKED = [
     "q_token_count", "q_lang_id", "q_quality", "q_fingerprint",
     "q_dedup_exact", "q_minhash_dedup", "q_simhash", "q_cosine_topk",
-    "q_multimodal",
+    "q_multimodal", "q_ngram_jaccard", "q_embed_dedup",
 ]
 
 

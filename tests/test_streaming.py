@@ -104,3 +104,46 @@ def test_streaming_hourly_counts_with_watermark(spark, sf_dir):
     expected = {(r["bucket_start"], r["cnt"])
                 for r in hourly_counts(events, "ts").collect()}
     assert got == expected
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ops=st.lists(
+        st.tuples(st.integers(0, 3), st.sampled_from(["I", "U", "D"]),
+                  st.integers(0, 99)),
+        min_size=1, max_size=20),
+    cuts=st.sets(st.integers(1, 19), max_size=3),
+)
+def test_property_merge_snapshot_any_batching(spark, ops, cuts):
+    """Invariant: applying a change log through merge_snapshot in ANY
+    batch partitioning (including replays of the final batch) equals the
+    one-shot LWW reduction."""
+    from dbsync_spark.operators.apply import (
+        last_writer_wins,
+        live_rows,
+        merge_snapshot,
+    )
+
+    rows = [(i + 1, op, k, v) for i, (k, op, v) in enumerate(ops)]
+    df = spark.createDataFrame(rows, ["id", "operation", "k", "v"])
+    expected = {(r["k"], r["v"]) for r in last_writer_wins(df, ["k"]).collect()}
+
+    bounds = sorted(b for b in cuts if b < len(rows))
+    slices, start = [], 0
+    for b in [*bounds, len(rows)]:
+        if b > start:
+            slices.append(rows[start:b])
+            start = b
+    snap = None
+    for chunk in slices:
+        cdf = spark.createDataFrame(chunk, ["id", "operation", "k", "v"])
+        snap = merge_snapshot(snap, cdf, ["k"])
+    # replay the last chunk (at-least-once delivery)
+    cdf = spark.createDataFrame(slices[-1], ["id", "operation", "k", "v"])
+    snap = merge_snapshot(snap, cdf, ["k"])
+    got = {(r["k"], r["v"]) for r in live_rows(snap).collect()}
+    assert got == expected
