@@ -84,8 +84,12 @@ def main() -> None:
     li_schema = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").schema
 
     # -- headline: end-to-end change-log apply ------------------------------
-    log = build_bench_log(spark, SF_DIR)
-    log_rows = None
+    # setup (untimed): materialize the change log the way it would arrive —
+    # as parquet on storage. The timed path is the engine's real work:
+    # scan -> JSON decode -> LWW reduce -> target + status writes.
+    build_bench_log(spark, SF_DIR).write.mode("overwrite").parquet(f"{workdir}/log")
+    log = spark.read.parquet(f"{workdir}/log")
+    log_rows = log.count()
     with timed("apply_e2e"):
         changes = parse_changes(log, li_schema)
         final = last_writer_wins(changes, ["l_orderkey", "l_linenumber"])
@@ -95,7 +99,6 @@ def main() -> None:
             F.lit("").alias("message"), F.lit(0).alias("retry"),
             F.col("createTime"))
         acks.write.mode("overwrite").parquet(f"{workdir}/status")
-        log_rows = log.count()
 
     # -- status aggregation over the full log -------------------------------
     # cache the fixture so timings measure the operator, not log construction
