@@ -68,3 +68,20 @@ def test_ack_retry_increments(spark):
     out = {r["dataId"]: (r["status"], r["retry"]) for r in ack(existing, acks).collect()}
     assert out[1] == ("OK", 1)   # re-acked -> retry incremented, latest wins
     assert out[2] == ("OK", 0)   # first ack
+
+
+def test_retention_expired_complement(spark, sf_dir):
+    """expired() and sweep() partition the log exactly."""
+    from pyspark.sql import functions as F
+
+    from dbsync_spark.changelog import build_log_orders
+    from dbsync_spark.operators.retention import expired, sweep
+    from dbsync_spark.operators.status import derive_status_fixture
+
+    log = build_log_orders(spark, sf_dir).cache()
+    st = derive_status_fixture(log)
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    n_exp = expired(log, st, cutoff).count()
+    n_kept = sweep(log, st, cutoff).count()
+    assert n_exp + n_kept == log.count()
+    assert n_exp > 0
