@@ -1,0 +1,81 @@
+"""Plan-contract tests: lock in the physical-plan properties that make the
+engine scale (SURVEY.md §4). If a refactor reintroduces a global sort, an
+extra shuffle, or kills pushdown, these fail before any benchmark does."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbsync_spark.operators.apply import last_writer_wins, parse_changes
+from dbsync_spark.operators.route import SyncRule, route, rules_df
+from dbsync_spark.sources.tables import read_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _bench_like_log(spark, sf_dir):
+    """Change log with key-derived ids (the scale path — no fixture
+    row_number sorts)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long").alias("id"),
+        F.lit("I").alias("operation"),
+        F.to_json(F.struct(*li.columns)).alias("data"),
+    )
+
+
+def test_lww_plan_single_exchange_with_partial_agg(spark, sf_dir):
+    """The apply path must be: scan -> partial max_by (map-side combine) ->
+    ONE hash exchange on the key -> final agg. No SinglePartition
+    exchanges, no window operators."""
+    log = _bench_like_log(spark, sf_dir)
+    schema = spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
+    final = last_writer_wins(parse_changes(log, schema),
+                             ["l_orderkey", "l_linenumber"])
+    plan = _plan(final)
+    assert "partial_max_by" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan
+
+
+def test_filter_and_pruning_reach_scan(spark, sf_dir):
+    """Predicates and column pruning must reach the parquet scan."""
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("event_type") == "purchase")
+          .select("event_id", "value"))
+    plan = _plan(ev)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]" in plan
+    assert "ReadSchema: struct<event_id:bigint,event_type:string,value:double>" in plan
+
+
+def test_route_join_is_broadcast(spark, sf_dir, tmp_path):
+    """Routing joins the log to the (tiny) rule table via broadcast —
+    the log must never shuffle for it. The log is materialized first so
+    the join keys are real columns (in-memory literals would constant-fold
+    into a nested-loop join, which a stored log never hits)."""
+    (_bench_like_log(spark, sf_dir)
+     .withColumn("sourceDb", F.lit("db1"))
+     .withColumn("schema", F.lit("public"))
+     .withColumn("table", F.lit("lineitem"))
+     .write.parquet(str(tmp_path / "log")))
+    log = spark.read.parquet(str(tmp_path / "log"))
+    rules = rules_df(spark, [
+        SyncRule("db1", "public", "lineitem", ("id",))])
+    routed = route(log, rules)
+    plan = _plan(routed)
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_status_counts_partial_aggregation(spark, sf_dir):
+    """One-pass status aggregation keeps map-side partial counts."""
+    from dbsync_spark.changelog import build_log_orders
+    from dbsync_spark.operators.status import derive_status_fixture, status_counts
+
+    log = build_log_orders(spark, sf_dir)
+    counts = status_counts(log, derive_status_fixture(log))
+    plan = _plan(counts)
+    assert "partial_count" in plan
