@@ -141,8 +141,10 @@ def exact_jaccard(candidates: DataFrame, shingled: DataFrame,
 def minhash_near_dups(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", threshold: float = 0.5,
                       k: int = 3) -> DataFrame:
-    """End-to-end MinHash LSH near-dup pairs with exact-Jaccard verify."""
-    shingled = doc_shingles(df, text_col, id_col, k)
+    """End-to-end MinHash LSH near-dup pairs with exact-Jaccard verify.
+    The shingle set feeds both the signatures and the verify join — cache
+    it so shingling (explode + distinct) runs once, not twice."""
+    shingled = doc_shingles(df, text_col, id_col, k).cache()
     sigs = minhash_signatures(shingled, id_col)
     cands = lsh_candidates(lsh_bands(sigs, id_col), id_col)
     scored = exact_jaccard(cands, shingled, id_col)

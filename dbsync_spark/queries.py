@@ -21,7 +21,7 @@ from dbsync_spark.changelog import (
 )
 from dbsync_spark.operators import retention, status
 from dbsync_spark.operators.apply import last_writer_wins, parse_changes
-from dbsync_spark.operators.partition import assign_partitions, key_string
+from dbsync_spark.operators.partition import assign_partitions
 from dbsync_spark.operators.poll import poll_batch
 from dbsync_spark.operators.route import SyncRule, apply_conditions, fanout_targets, route, rules_df
 from dbsync_spark.operators.window_agg import hourly_counts
