@@ -282,6 +282,7 @@ _H8 = "('0x' || substr(md5({s}), 1, 8))::BIGINT"
     "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents",
 )
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting per document (training-data text op)."""
     return tx.token_count(read_table(spark, sf_dir, "documents"))
 
 
@@ -298,6 +299,7 @@ FROM documents
 """,
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language-ID heuristic per document."""
     return tx.lang_id(read_table(spark, sf_dir, "documents"))
 
 
@@ -314,6 +316,7 @@ FROM documents
 """,
 )
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features: token count, type-token ratio, avg token length."""
     return tx.quality_score(read_table(spark, sf_dir, "documents"))
 
 
@@ -331,6 +334,7 @@ FROM ex GROUP BY doc_id
 """,
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional rolling-hash document fingerprint (order-sensitive)."""
     return tx.fingerprint(read_table(spark, sf_dir, "documents"))
 
 
