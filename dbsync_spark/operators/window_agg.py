@@ -35,3 +35,23 @@ def hourly_counts_streaming(df: DataFrame, ts_col: str = "ts",
         .agg(F.count("*").alias("cnt"))
         .select(F.col("w.start").alias("bucket_start"), "cnt")
     )
+
+
+def daily_counts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    return (
+        df.groupBy(F.window(F.col(ts_col), "1 day").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("bucket_start"), "cnt")
+    )
+
+
+def retain_recent_buckets(counts: DataFrame, n_buckets: int,
+                          bucket_col: str = "bucket_start") -> DataFrame:
+    """The reference's bounded counter retention (hour keeps 7x24, day
+    keeps 7 — sync/ComponentManager.scala:93-106): keep only the newest
+    n buckets. Top-k by bucket, no full sort."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col(bucket_col).desc())
+    return (counts.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= n_buckets).drop("_rk"))

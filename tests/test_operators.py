@@ -85,3 +85,23 @@ def test_retention_expired_complement(spark, sf_dir):
     n_kept = sweep(log, st, cutoff).count()
     assert n_exp + n_kept == log.count()
     assert n_exp > 0
+
+
+def test_counter_bucket_retention(spark, sf_dir):
+    """A2 bounded retention: keep only the newest N buckets
+    (sync/ComponentManager.scala:93-106 semantics)."""
+    from dbsync_spark.operators.window_agg import (
+        daily_counts,
+        hourly_counts,
+        retain_recent_buckets,
+    )
+    from dbsync_spark.sources.tables import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    hourly = hourly_counts(events, "ts")
+    kept = retain_recent_buckets(hourly, 24)
+    assert kept.count() == 24
+    newest_all = hourly.agg(F.max("bucket_start")).first()[0]
+    assert kept.agg(F.max("bucket_start")).first()[0] == newest_all
+    daily = daily_counts(events, "ts")
+    assert retain_recent_buckets(daily, 7).count() == 7

@@ -75,6 +75,23 @@ def main() -> int:
                 ok_vals = ok_cols and ok_rows and canon(spdf) == canon(dpdf)
                 status = "MATCH" if ok_vals else "MISMATCH"
                 detail = f"rows={len(spdf)}/{len(dpdf)} cols_ok={ok_cols}"
+            elif name == "q_partition":
+                # stronger-than-driver check: recompute the distribution
+                # with the pure-Python Murmur3_x86_32 parity spec
+                from dbsync_spark.operators.partition import partition_id_py
+
+                okeys = con.execute(
+                    f"SELECT o_orderkey FROM '{sf_dir}/orders.parquet'").fetchall()
+                from collections import Counter
+
+                exp = Counter()
+                for (k,) in okeys:
+                    weight = 1 + (k % 5 == 0) + (k % 17 == 0)
+                    exp[partition_id_py(f"public:orders:{k}", 32)] += weight
+                got = {r.partition: r.cnt for r in spdf.itertuples(index=False)}
+                ok = got == dict(exp)
+                status = "PY-MATCH" if ok else "MISMATCH"
+                detail = f"rows={len(spdf)} python_hash_ok={ok}"
             else:
                 status, detail = "ROWS-ONLY", f"rows={len(spdf)}"
             print(f"  {name:28s} {status:9s} {detail}  {time.time()-t0:.1f}s")
