@@ -600,3 +600,76 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     return sim.ivf_ann_topk(emb, queries, dim=64, k=10, n_clusters=8, nprobe=2)
+
+
+@_register(
+    "q_window_count_daily",
+    """
+SELECT date_trunc('day', ts) AS bucket_start, count(*) AS cnt
+FROM events GROUP BY 1
+""",
+)
+def q_window_count_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 daily variant of the tumbling-window throughput counters."""
+    from dbsync_spark.operators.window_agg import daily_counts
+
+    return daily_counts(read_table(spark, sf_dir, "events"), "ts")
+
+
+@_register(
+    "q_ack_retry",
+    f"""
+WITH {oracles.LOG_ORDERS_CTE}
+SELECT id AS dataId, 'OK' AS status,
+       CASE WHEN id % 10 = 8 THEN 1 ELSE 0 END AS retry
+FROM log_orders
+""",
+)
+def q_ack_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 ack-upsert semantics: ids with id%10==8 fail first (ERR) and
+    are re-acked OK — the merged status table must show the latest status
+    with the retry counter bumped (PgOperation.scala:98-107)."""
+    log = build_log_orders(spark, sf_dir)
+    base_t = F.col("createTime")
+    first = log.select(
+        F.col("id").alias("dataId"),
+        F.when(F.col("id") % 10 == 8, "ERR").otherwise("OK").alias("status"),
+        F.lit("").alias("message"),
+        F.lit(0).alias("retry"),
+        base_t.alias("createTime"))
+    reacks = log.where(F.col("id") % 10 == 8).select(
+        F.col("id").alias("dataId"), F.lit("OK").alias("status"),
+        F.lit("").alias("message"),
+        (base_t + F.expr("INTERVAL 1 HOUR")).alias("createTime"))
+    merged = status.ack(first, reacks)
+    return merged.select("dataId", "status", "retry")
+
+
+@_register("q_salted_lww", oracles.LWW_ORDERS_SQL)
+def q_salted_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew path: the salted two-phase LWW must be exactly equal to the
+    plain reduction (max_by associativity) — same oracle as
+    q_apply_upsert."""
+    from dbsync_spark.operators.skew import salted_last_writer_wins
+
+    log = build_log_orders(spark, sf_dir)
+    changes = parse_changes(log, ORDERS_PAYLOAD_SCHEMA)
+    return salted_last_writer_wins(changes, ["o_orderkey"], buckets=8)
+
+
+@_register(
+    "q_bootstrap_reset",
+    f"""
+WITH {oracles.LOG_ORDERS_CTE},
+{STATUS_FIXTURE_CTE}
+SELECT dataId, status FROM status_fx WHERE status = 'OK'
+""",
+)
+def q_bootstrap_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 bootstrap recovery: BLK and retryable ERR statuses are dropped so
+    unfinished work re-polls (StateManger.scala:85-90)."""
+    from dbsync_spark.operators.retry import bootstrap_reset
+
+    log = build_log_orders(spark, sf_dir)
+    st = status.derive_status_fixture(log)
+    return bootstrap_reset(st).select("dataId", "status")
