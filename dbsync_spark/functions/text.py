@@ -31,6 +31,24 @@ def token_count(df: DataFrame, text_col: str = "text",
     return df.select(id_col, F.size(tokens(F.col(text_col))).alias("n_tokens"))
 
 
+# BPE-style pre-tokenizer classes: letter runs, digit runs, single
+# non-alnum marks. Kept RE2-compatible so the DuckDB oracle can mirror it.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish subword-boundary token counting: counts pre-tokenizer
+    pieces (letter runs / digit runs / punctuation marks) — the unit a BPE
+    tokenizer would split further. Same plumbing as whitespace counting,
+    different boundary regex."""
+    return df.select(
+        id_col,
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0))
+        .alias("n_pieces"),
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", threshold: float = 0.05) -> DataFrame:
     """N-gram/stopword-ratio language heuristic: fraction of tokens in an

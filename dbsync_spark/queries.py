@@ -673,3 +673,19 @@ def q_bootstrap_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = build_log_orders(spark, sf_dir)
     st = status.derive_status_fixture(log)
     return bootstrap_reset(st).select("dataId", "status")
+
+
+@_register(
+    "q_token_count_bpe",
+    r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_pieces
+FROM documents
+""",
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer piece counting (letter runs / digit runs /
+    punctuation marks) over documents."""
+    from dbsync_spark.functions.text import token_count_bpe
+
+    return token_count_bpe(read_table(spark, sf_dir, "documents"))
