@@ -17,7 +17,7 @@ from dbsync_spark import queries as Q
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: last-writer-wins change-log apply (Q-apply-upsert)."""
-    return Q.q_apply_upsert(spark, "/root/testdata/sf0.001")
+    return Q.QUERIES["q_apply_upsert"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
