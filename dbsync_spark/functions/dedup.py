@@ -200,6 +200,46 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.999,
     return pairs.select("id_a", "id_b", cos).where(F.col("cosine_sim") >= threshold)
 
 
+def dedup_clusters(ids: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id", max_iters: int = 20) -> DataFrame:
+    """Connected components over the near-dup pair graph: every document
+    gets the min doc id of its duplicate cluster as `canonical_id`
+    (singletons map to themselves). A dedup keep-list is then simply
+    `WHERE doc_id = canonical_id`.
+
+    Min-label propagation: each round, every node adopts the smallest
+    label among itself and its neighbors; rounds needed = graph diameter
+    (near-dup clusters are tiny, so a handful). Each round is one join +
+    one aggregate — the standard large-scale CC pattern, no driver-side
+    graph."""
+    nodes = ids.select(F.col(id_col).alias("node")).distinct()
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("lab")).localCheckpoint()
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src").agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select("node", F.least(F.col("lab"),
+                                    F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"))
+            .localCheckpoint()
+        )
+        converged = (
+            new_labels.alias("n").join(labels.alias("o"), on="node")
+            .where(F.col("n.lab") != F.col("o.lab")).isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            break
+    return labels.select(F.col("node").alias(id_col),
+                         F.col("lab").alias("canonical_id"))
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """SimHash signature: for each bit, vote +1/-1 per distinct token by

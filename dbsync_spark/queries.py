@@ -440,6 +440,15 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
 """
 
 
+def _minhash_cte_body() -> str:
+    """The WITH-body of the minhash oracle (through `scored`), reusable by
+    downstream oracles (cluster dedup)."""
+    full = _minhash_oracle()
+    body = full.strip()
+    assert body.startswith("WITH ")
+    return body[len("WITH "):body.rindex(")") + 1]
+
+
 @_register("q_minhash_dedup", _minhash_oracle())
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (shingle -> 16 minhashes -> 4 bands ->
@@ -699,3 +708,38 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbsync_spark.functions.text import token_count_bpe
 
     return token_count_bpe(read_table(spark, sf_dir, "documents"))
+
+
+_CLUSTER_ORACLE_TEMPLATE = """
+WITH RECURSIVE {body},
+good AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+nodes(node) AS (SELECT doc_id FROM near_corpus),
+edges(src, dst) AS (
+  SELECT doc_a, doc_b FROM good UNION ALL SELECT doc_b, doc_a FROM good
+),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(lab) AS canonical_id FROM reach GROUP BY node
+"""
+
+
+@_register("q_dedup_cluster")
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the MinHash-LSH pair
+    graph; every doc maps to its cluster's min id (canonical_id) — the
+    keep-list is doc_id == canonical_id. Oracle: DuckDB recursive-CTE
+    transitive closure over the identical pair graph."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    off = docs.agg(F.max("doc_id")).first()[0] + 1
+    variants = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + off).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" spark")).alias("text"))
+    corpus = docs.unionByName(variants)
+    pairs = dd.minhash_near_dups(corpus, threshold=0.5)
+    return dd.dedup_clusters(corpus.select("doc_id"), pairs)
+
+
+ORACLES["q_dedup_cluster"] = _CLUSTER_ORACLE_TEMPLATE.format(body=_minhash_cte_body())

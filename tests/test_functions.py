@@ -112,3 +112,15 @@ def test_ivf_ann_recall(spark, sf_dir):
     for key, sim_v in a.items():
         if key in exact_sims:
             assert abs(sim_v - exact_sims[key]) < 1e-12
+
+
+def test_dedup_clusters_transitive(spark):
+    """Cluster labels must close transitively: a-b and b-c pairs put all
+    three under min(a) even though (a,c) was never a candidate pair."""
+    from dbsync_spark.functions.dedup import dedup_clusters
+
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 9]], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in dedup_clusters(ids, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 9: 9}
