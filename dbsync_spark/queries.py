@@ -743,3 +743,58 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q_dedup_cluster"] = _CLUSTER_ORACLE_TEMPLATE.format(body=_minhash_cte_body())
+
+
+@_register(
+    "q_asof_join",
+    """
+WITH ro AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate
+FROM events e
+ASOF LEFT JOIN ro o
+  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks natively): each event picks the
+    latest preceding order of the same customer. Union-and-fill
+    implementation — one shuffle, no cross product. Oracle: DuckDB's
+    native ASOF JOIN."""
+    from dbsync_spark.operators.asof import asof_join
+
+    events = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (read_table(spark, sf_dir, "orders")
+              .groupBy("o_custkey", "o_orderdate")
+              .agg(F.max("o_orderkey").alias("o_orderkey"))
+              .withColumnRenamed("o_custkey", "user_id"))
+    joined = asof_join(events, orders, on=["user_id"],
+                       left_ts="ts", right_ts="o_orderdate",
+                       right_cols=["o_orderkey", "o_orderdate"])
+    return joined.select("event_id", "user_id", "o_orderkey", "o_orderdate")
+
+
+@_register(
+    "q_range_join",
+    """
+WITH tiers(tier, lo, hi) AS (
+  SELECT * FROM (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 200.0),
+                        ('high', 200.0, 1e9)) t(tier, lo, hi)
+)
+SELECT t.tier, count(*) AS cnt
+FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY t.tier
+""",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (point-in-interval) join against a broadcast tier table."""
+    from dbsync_spark.operators.asof import range_join
+
+    events = read_table(spark, sf_dir, "events").select("value")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1e9)],
+        ["tier", "lo", "hi"])
+    return (range_join(events, tiers, "value", "lo", "hi")
+            .groupBy("tier").agg(F.count("*").alias("cnt")))
