@@ -798,3 +798,25 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["tier", "lo", "hi"])
     return (range_join(events, tiers, "value", "lo", "hi")
             .groupBy("tier").agg(F.count("*").alias("cnt")))
+
+
+@_register(
+    "q_rollup",
+    """
+SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
+       count(*) AS cnt
+FROM events GROUP BY ROLLUP (day, hour)
+""",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hourly counts plus daily
+    subtotals plus the grand total in one pass (GROUP BY ROLLUP). At scale
+    this materializes the continuous-aggregate cascade in one shuffle."""
+    events = read_table(spark, sf_dir, "events")
+    return (
+        events
+        .withColumn("day", F.date_trunc("day", F.col("ts")))
+        .withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .rollup("day", "hour")
+        .agg(F.count("*").alias("cnt"))
+    )
