@@ -820,3 +820,36 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("day", "hour")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+@_register(
+    "q_sessionize",
+    """
+WITH e AS (
+  SELECT user_id, date_trunc('microseconds', ts) AS ts FROM events
+),
+d AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   THEN 1
+              WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE THEN 1
+              ELSE 0 END AS new_s
+  FROM e
+)
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+FROM d GROUP BY user_id
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user session count with a 30-minute inactivity
+    gap, via the native session_window aggregation (works identically as a
+    watermarked streaming agg). Oracle: lag-based gap detection truncated
+    to microseconds (Spark timestamp precision)."""
+    events = read_table(spark, sf_dir, "events")
+    sessions = (
+        events.groupBy(F.session_window(F.col("ts"), "30 minutes"),
+                       F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return sessions.groupBy("user_id").agg(F.count("*").alias("n_sessions"))
