@@ -147,3 +147,73 @@ def test_property_merge_snapshot_any_batching(spark, ops, cuts):
     snap = merge_snapshot(snap, cdf, ["k"])
     got = {(r["k"], r["v"]) for r in live_rows(snap).collect()}
     assert got == expected
+
+
+def test_heartbeat_listener_tracks_progress(spark, sf_dir):
+    """M1 via StreamingQueryListener: progress events heartbeat the
+    registry; the query reports GREEN right after processing."""
+    import tempfile
+
+    from dbsync_spark.monitor.health import GREEN, ComponentRegistry
+    from dbsync_spark.monitor.listener import HeartbeatListener
+
+    workdir = tempfile.mkdtemp(prefix="dbsync_hb_")
+    registry = ComponentRegistry()
+    listener = HeartbeatListener(registry, interval_ms=60000)
+    spark.streams.addListener(listener)
+    try:
+        events = spark.read.parquet(f"{sf_dir}/region.parquet")
+        events.write.parquet(f"{workdir}/src")
+        q = (
+            spark.readStream.schema(events.schema).parquet(f"{workdir}/src")
+            .writeStream.format("noop").queryName("hb_test")
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        import time
+        deadline = time.time() + 10
+        while time.time() < deadline and not any(
+                "hb_test" in k for k in registry.last_beats):
+            time.sleep(0.2)  # listener events are async
+        statuses = {k: v for k, v in registry.statuses().items() if "hb_test" in k}
+        assert statuses, f"no heartbeat recorded: {registry.last_beats}"
+        assert all(s == GREEN for s in statuses.values())
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_streaming_sessionization_matches_batch(spark, sf_dir):
+    """session_window as a watermarked streaming agg equals the batch
+    session counts once drained."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dbsync_spark.sources.tables import read_table
+
+    workdir = tempfile.mkdtemp(prefix="dbsync_sess_")
+    events = read_table(spark, sf_dir, "events")
+    events.repartition(2).write.parquet(f"{workdir}/events")
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{workdir}/events"))
+    sess = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window(F.col("ts"), "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (sess.writeStream.format("memory").queryName("sess_stream")
+         .outputMode("complete")
+         .option("checkpointLocation", f"{workdir}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = (spark.sql("SELECT user_id, count(*) AS n FROM sess_stream GROUP BY user_id")
+           .collect())
+    batch = (events.groupBy(F.session_window(F.col("ts"), "30 minutes"), "user_id")
+             .agg(F.count("*").alias("n_events"))
+             .groupBy("user_id").agg(F.count("*").alias("n")).collect())
+    assert {(r["user_id"], r["n"]) for r in got} == \
+           {(r["user_id"], r["n"]) for r in batch}
