@@ -49,10 +49,17 @@ class DbSyncApp:
         self.dispatcher = dispatcher or ActionDispatcher()
         self.pipelines: list[SyncPipeline] = []
         self._http: ThreadingHTTPServer | None = None
+        self._listener = None
 
     # -- bootstrap ----------------------------------------------------------
     def bootstrap(self) -> None:
         os.makedirs(self.base_dir, exist_ok=True)
+        if self._listener is None:
+            from dbsync_spark.monitor.listener import HeartbeatListener
+
+            self._listener = HeartbeatListener(
+                self.registry, interval_ms=self.config.sys.maxPollWait or 60000)
+            self.spark.streams.addListener(self._listener)
         for rule in self.config.syncs:
             key = f"{rule.source_db}.{rule.source_schema}.{rule.source_table}"
             tgt_key = f"{rule.target_db}.{'.'.join(rule.resolved_target())}"
@@ -164,6 +171,9 @@ class DbSyncApp:
         if self._http:
             self._http.shutdown()
             self._http = None
+        if self._listener is not None:
+            self.spark.streams.removeListener(self._listener)
+            self._listener = None
 
     # -- M5 hot restart / config reload ---------------------------------------
     def reload(self, new_config: AppConfig) -> None:
@@ -174,6 +184,8 @@ class DbSyncApp:
         self.config = new_config
         self.pipelines = []
         self.registry = ComponentRegistry()
+        if self._listener is not None:
+            self._listener.registry = self.registry
         self.bootstrap()
 
 

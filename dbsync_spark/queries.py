@@ -853,3 +853,20 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
     )
     return sessions.groupBy("user_id").agg(F.count("*").alias("n_sessions"))
+
+
+@_register(
+    "q_distinct_users",
+    """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS cnt
+FROM events GROUP BY event_type
+""",
+)
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count aggregation (the companion to the HLL sketch
+    path benchmarked in tests — approx_count_distinct swaps in at scale
+    with a bounded error, no second shuffle)."""
+    events = read_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("cnt"))

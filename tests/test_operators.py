@@ -105,3 +105,15 @@ def test_counter_bucket_retention(spark, sf_dir):
     assert kept.agg(F.max("bucket_start")).first()[0] == newest_all
     daily = daily_counts(events, "ts")
     assert retain_recent_buckets(daily, 7).count() == 7
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    """HLL sketch path: approx_count_distinct within its advertised rsd of
+    the exact count (the scale swap-in for countDistinct)."""
+    from dbsync_spark.sources.tables import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    exact = events.agg(F.countDistinct("user_id")).first()[0]
+    approx = events.agg(
+        F.approx_count_distinct("user_id", rsd=0.02)).first()[0]
+    assert abs(approx - exact) / exact < 0.06  # 3x rsd
