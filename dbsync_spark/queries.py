@@ -870,3 +870,41 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"),
         F.count("*").alias("cnt"))
+
+
+@_register(
+    "q_state_enriched",
+    f"""
+WITH {oracles.LOG_ORDERS_CTE},
+_last AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY id DESC) AS _rn
+  FROM log_orders
+),
+state AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM _last
+  WHERE _rn = 1 AND operation <> 'D'
+)
+SELECT c.c_mktsegment, count(*) AS n_orders,
+       CAST(sum(CAST(round(s.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+FROM state s JOIN customer c ON s.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def q_state_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composability: the applied (LWW) state feeds analytics directly —
+    join to the customer dimension (broadcast) and aggregate per market
+    segment. Money sums use integer cents (round(x*100) as BIGINT):
+    float sums are partial-sum-tree dependent and would differ across
+    engines, integer sums are exact and associative."""
+    log = build_log_orders(spark, sf_dir)
+    state = last_writer_wins(parse_changes(log, ORDERS_PAYLOAD_SCHEMA),
+                             ["o_orderkey"])
+    customer = read_table(spark, sf_dir, "customer")
+    return (
+        state.join(F.broadcast(customer),
+                   state.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+             .cast("long").alias("total_cents"))
+    )
