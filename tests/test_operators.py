@@ -117,3 +117,17 @@ def test_approx_count_distinct_error_bound(spark, sf_dir):
     approx = events.agg(
         F.approx_count_distinct("user_id", rsd=0.02)).first()[0]
     assert abs(approx - exact) / exact < 0.06  # 3x rsd
+
+
+def test_analytic_queries_match_oracle(spark, sf_dir, duck):
+    """Sweep the lighter analytic/declared queries not covered by the
+    dedicated suites (heavier ones run via tools/drive_contract.py)."""
+    import __spark_entry__ as entrymod
+    from tests.compare import assert_matches
+
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    for name in ["q_asof_join", "q_range_join", "q_rollup", "q_sessionize",
+                 "q_distinct_users", "q_state_enriched", "q_ack_retry",
+                 "q_bootstrap_reset", "q_salted_lww", "q_window_count_daily",
+                 "q_token_count_bpe"]:
+        assert_matches(qs[name](spark, sf_dir), duck, os_[name])
