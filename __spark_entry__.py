@@ -8,11 +8,15 @@ implemented operator from SURVEY.md §2 as (spark, sf_dir) -> DataFrame;
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dbsync_spark import queries as Q
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dbsync_spark import queries as Q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
