@@ -35,7 +35,8 @@ class SyncPipeline:
                  payload_schema: StructType, log_path: str, target_path: str,
                  status_path: str, checkpoint_path: str,
                  max_files_per_trigger: int | None = None,
-                 failure_policy=None, in_batch_retries: int = 1):
+                 failure_policy=None, in_batch_retries: int = 1,
+                 log_format: str = "parquet"):
         self.spark = spark
         self.rule = rule
         self.payload_schema = payload_schema
@@ -48,6 +49,7 @@ class SyncPipeline:
         # spec standing in for a flaky target (None = everything lands)
         self.failure_policy = failure_policy
         self.in_batch_retries = in_batch_retries
+        self.log_format = log_format
 
     def _key(self):
         return F.concat_ws(":", *[F.col(k).cast("string")
@@ -127,7 +129,9 @@ class SyncPipeline:
         bad = current_status(acks).where(F.col("status").isin("ERR", "BLK"))
         if bad.isEmpty():
             return False
-        log = self.spark.read.schema(SYNC_DATA_SCHEMA).parquet(self.log_path)
+        from dbsync_spark.sources.log_source import read_log
+
+        log = read_log(self.spark, self.log_path, self.log_format)
         rows = self._relevant(log).join(
             bad.select(F.col("dataId").alias("id"),
                        F.col("retry").alias("_tries0")),
@@ -139,10 +143,10 @@ class SyncPipeline:
         return True
 
     def start(self, available_now: bool = True, processing_time: str | None = None):
-        reader = self.spark.readStream.schema(SYNC_DATA_SCHEMA)
-        if self.max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
-        stream = reader.parquet(self.log_path)
+        from dbsync_spark.sources.log_source import read_log_stream
+
+        stream = read_log_stream(self.spark, self.log_path, self.log_format,
+                                 self.max_files_per_trigger)
         writer = (
             stream.writeStream
             .foreachBatch(self.process_batch)

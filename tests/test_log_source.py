@@ -53,3 +53,26 @@ def test_log_stream_json(spark, sf_dir, tmp_path):
 def test_unknown_format_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="unsupported log format"):
         read_log(spark, str(tmp_path), "avro")
+
+
+def test_pipeline_over_json_log(spark, sf_dir, tmp_path):
+    """Full SyncPipeline drains a JSON-lines change log to the same state
+    as the parquet path."""
+    from dbsync_spark.operators.apply import last_writer_wins, live_rows
+    from dbsync_spark.operators.route import SyncRule
+    from dbsync_spark.streaming.pipeline import SyncPipeline
+
+    log = build_log_orders(spark, sf_dir).cache()
+    write_log(log, str(tmp_path / "log"), "json")
+    rule = SyncRule("db1", "public", "orders", ("o_orderkey",))
+    pipe = SyncPipeline(
+        spark, rule, ORDERS_PAYLOAD_SCHEMA,
+        log_path=str(tmp_path / "log"), target_path=str(tmp_path / "target"),
+        status_path=str(tmp_path / "status"),
+        checkpoint_path=str(tmp_path / "ckpt"), log_format="json")
+    pipe.run_to_completion()
+    final = live_rows(pipe.target.read(spark))
+    want = last_writer_wins(parse_changes(log, ORDERS_PAYLOAD_SCHEMA),
+                            ["o_orderkey"])
+    assert final.count() == want.count()
+    assert final.exceptAll(want).count() == 0
