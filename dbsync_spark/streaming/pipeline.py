@@ -24,7 +24,6 @@ from pyspark.sql.types import StructType
 
 from dbsync_spark.operators.apply import merge_snapshot, parse_changes
 from dbsync_spark.operators.route import SyncRule, apply_conditions
-from dbsync_spark.schemas import SYNC_DATA_SCHEMA
 from dbsync_spark.sinks.table import ParquetTable
 
 
