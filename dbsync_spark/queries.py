@@ -908,3 +908,54 @@ def q_state_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
              .cast("long").alias("total_cents"))
     )
+
+
+@_register(
+    "q_topk_orders",
+    f"""
+WITH {oracles.LOG_ORDERS_CTE},
+_last AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY id DESC) AS _rn
+  FROM log_orders
+)
+SELECT o_orderkey, o_totalprice
+FROM _last WHERE _rn = 1 AND operation <> 'D'
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+""",
+)
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9 generalized: top-k over the applied state. Spark plans this as
+    TakeOrderedAndProject — per-partition heaps + a k-row merge, never a
+    global sort."""
+    log = build_log_orders(spark, sf_dir)
+    state = last_writer_wins(parse_changes(log, ORDERS_PAYLOAD_SCHEMA),
+                             ["o_orderkey"])
+    return (state.select("o_orderkey", "o_totalprice")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(25))
+
+
+@_register(
+    "q_change_history",
+    f"""
+WITH {oracles.LOG_ORDERS_CTE}
+SELECT o_orderkey, id, operation,
+       row_number() OVER (PARTITION BY o_orderkey ORDER BY id) AS version_seq,
+       lead(id) OVER (PARTITION BY o_orderkey ORDER BY id) IS NULL AS is_current
+FROM log_orders
+""",
+)
+def q_change_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2-style change history: every version of every key with its
+    sequence number and a current-version flag — the audit/time-travel
+    view of the change log."""
+    from pyspark.sql.window import Window
+
+    log = build_log_orders(spark, sf_dir).withColumn(
+        "o_orderkey", F.get_json_object("data", "$.o_orderkey").cast("long"))
+    w = Window.partitionBy("o_orderkey").orderBy("id")
+    return log.select(
+        "o_orderkey", "id", "operation",
+        F.row_number().over(w).alias("version_seq"),
+        F.lead("id").over(w).isNull().alias("is_current"),
+    )
