@@ -959,3 +959,42 @@ def q_change_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("version_seq"),
         F.lead("id").over(w).isNull().alias("is_current"),
     )
+
+
+@_register(
+    "q_cube",
+    """
+SELECT event_type, date_trunc('day', ts) AS day, count(*) AS cnt
+FROM events GROUP BY CUBE (event_type, day)
+""",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation: counts at every combination of (event_type, day)
+    including both marginals and the grand total, one pass."""
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts")))
+    return events.cube("event_type", "day").agg(F.count("*").alias("cnt"))
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@_register(
+    "q_pivot",
+    f"""
+SELECT date_trunc('day', ts) AS day,
+       {", ".join(f"CAST(coalesce(sum(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS BIGINT) AS {t}"
+                  for t in _EVENT_TYPES)}
+FROM events GROUP BY 1
+""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-day event counts fanned into one column per event type
+    (explicit value list — never let pivot scan for distinct values at
+    scale)."""
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts")))
+    pivoted = (events.groupBy("day")
+               .pivot("event_type", _EVENT_TYPES).count())
+    return pivoted.na.fill(0, _EVENT_TYPES).select(
+        "day", *[F.col(t).cast("long").alias(t) for t in _EVENT_TYPES])
