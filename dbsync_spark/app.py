@@ -138,6 +138,29 @@ class DbSyncApp:
             final = self.spark.read.parquet(tmp)
             final.write.mode("overwrite").parquet(log_path)
 
+    # -- SQL surface over the synced state ------------------------------------
+    def register_views(self) -> list[str]:
+        """Expose every target table's live rows as a temp view named
+        `<targetDb>_<schema>_<table>` — ad-hoc Spark SQL over the applied
+        state (the analytics-engine face of the sync engine)."""
+        from dbsync_spark.operators.apply import live_rows
+
+        names = []
+        for pipe in self.pipelines:
+            snap = pipe.target.read(self.spark)
+            if snap is None:
+                continue
+            ts, tt = pipe.rule.resolved_target()
+            name = f"{pipe.rule.target_db or 'target'}_{ts}_{tt}"
+            live_rows(snap).createOrReplaceTempView(name)
+            names.append(name)
+        return names
+
+    def sql(self, query: str):
+        """Run SQL over the registered target views."""
+        self.register_views()
+        return self.spark.sql(query)
+
     # -- endpoints (M4) -------------------------------------------------------
     def endpoint_payloads(self) -> dict[str, dict]:
         return status_endpoints(self.sync_state(), self.registry,

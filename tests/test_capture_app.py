@@ -210,3 +210,27 @@ def test_app_multi_target_fanout(spark, sf_dir, tmp_path):
     assert t1_rows.count() == events
     assert t2_rows.count() == purchases
     assert t2_rows.where(F.col("event_type") != "purchase").count() == 0
+
+
+def test_app_sql_surface(spark, sf_dir, tmp_path):
+    """Ad-hoc SQL over the applied state via registered target views."""
+    from dbsync_spark.changelog import ORDERS_PAYLOAD_SCHEMA, build_log_orders
+
+    cfg = parse_config(APP_YAML)
+    app = DbSyncApp(spark, cfg, str(tmp_path / "sqlapp"),
+                    {"db1.public.orders": ORDERS_PAYLOAD_SCHEMA})
+    app.bootstrap()
+    log = build_log_orders(spark, sf_dir)
+    log.write.mode("append").parquet(app.pipelines[0].log_path)
+    app.run_all_available()
+
+    views = app.register_views()
+    assert views == ["t1_public_orders"]
+    row = app.sql(
+        "SELECT count(*) AS n, count(DISTINCT o_custkey) AS c "
+        "FROM t1_public_orders").first()
+    from dbsync_spark.operators.apply import last_writer_wins, parse_changes
+    expected = last_writer_wins(
+        parse_changes(log, ORDERS_PAYLOAD_SCHEMA), ["o_orderkey"]).count()
+    assert row["n"] == expected
+    app.stop()
