@@ -26,36 +26,63 @@ def _output_schema(key_field: str) -> str:
     return f"{key_field} LONG, last_id LONG, operation STRING, payload STRING"
 
 
-def _lww_fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
-    if state.exists:
-        last_id, op, payload = state.get
-    else:
-        last_id, op, payload = -1, None, None
-    changed = False
-    for pdf in pdfs:
-        pdf = pdf.sort_values("id")
-        for _, row in pdf.iterrows():
-            if row["id"] > last_id:
-                last_id, op, payload = int(row["id"]), row["operation"], row["data"]
-                changed = True
-    if changed:
-        state.update((last_id, op, payload))
-        yield pd.DataFrame({
-            "key": [key[0]], "last_id": [last_id],
-            "operation": [op], "payload": [payload],
-        })
+EVICTED = "_EVICTED"
 
 
-def lww_updates(stream: DataFrame, key_col: str) -> DataFrame:
+def _make_lww_fn(ttl_ms: int | None):
+    def _lww_fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if ttl_ms is not None and state.hasTimedOut:
+            # idle key: emit an eviction marker and drop the state — the
+            # reference's retention of per-key bookkeeping (O8) applied to
+            # streaming state
+            last_id, op, payload = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "key": [key[0]], "last_id": [last_id],
+                "operation": [EVICTED], "payload": [payload],
+            })
+            return
+        if state.exists:
+            last_id, op, payload = state.get
+        else:
+            last_id, op, payload = -1, None, None
+        changed = False
+        for pdf in pdfs:
+            pdf = pdf.sort_values("id")
+            for _, row in pdf.iterrows():
+                if row["id"] > last_id:
+                    last_id, op, payload = (int(row["id"]), row["operation"],
+                                            row["data"])
+                    changed = True
+        if changed:
+            state.update((last_id, op, payload))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            yield pd.DataFrame({
+                "key": [key[0]], "last_id": [last_id],
+                "operation": [op], "payload": [payload],
+            })
+        elif ttl_ms is not None and state.exists:
+            state.setTimeoutDuration(ttl_ms)
+
+    return _lww_fn
+
+
+def lww_updates(stream: DataFrame, key_col: str,
+                ttl_ms: int | None = None) -> DataFrame:
     """Change feed of per-key current versions over a sync_data-shaped
     stream. Output: (key, last_id, operation, payload) — operation 'D'
-    rows are live tombstones."""
+    rows are live tombstones. With `ttl_ms`, keys idle past the TTL emit a
+    final '_EVICTED' row and their state is dropped (bounded state at
+    scale)."""
     keyed = stream.selectExpr(f"CAST({key_col} AS LONG) AS key",
                               "id", "operation", "data")
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms is not None
+               else GroupStateTimeout.NoTimeout)
     return keyed.groupBy("key").applyInPandasWithState(
-        _lww_fn,
+        _make_lww_fn(ttl_ms),
         outputStructType=_output_schema("key"),
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
