@@ -998,3 +998,9 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                .pivot("event_type", _EVENT_TYPES).count())
     return pivoted.na.fill(0, _EVENT_TYPES).select(
         "day", *[F.col(t).cast("long").alias(t) for t in _EVENT_TYPES])
+
+
+# Analytic surface beyond the reference (window functions, semi/anti joins,
+# grouping sets, TPC-H shapes, scalar function suites) — registers into
+# QUERIES/ORACLES on import.
+from dbsync_spark import queries_analytics  # noqa: E402,F401

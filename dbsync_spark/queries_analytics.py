@@ -1,0 +1,480 @@
+"""Analytic query surface beyond the reference's operator set.
+
+The reference exposes no window functions, user-facing joins, set ops,
+grouping sets, or scalar-function library (SURVEY.md §2.8) — everything
+here comes from Spark natively and is declared so the DuckDB oracle keeps
+us honest. Each query is written for 100 TB shape: broadcast the small
+side, pre-aggregate before wide joins, integer-cents money math (float
+aggregate trees are not associative across engines — NOTES.md), top-k via
+TakeOrderedAndProject, never a driver-side collect in the data path.
+
+Registration reuses queries._register, so the driver contract picks these
+up automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbsync_spark.queries import _register
+from dbsync_spark.sources.tables import read_table
+
+# Money in integer cents: exact, associative, engine-portable.
+def _cents(col):
+    return F.round(col * 100, 0).cast("long")
+
+
+_CENTS = "CAST(round({x} * 100, 0) AS BIGINT)"
+
+# Discounted revenue per TPC-H: price * (1 - discount). Left-assoc in both
+# engines so the IEEE result is bit-identical before the round.
+_REV_CENTS = _CENTS.format(x="l_extendedprice * (1 - l_discount)")
+
+
+# ---------------------------------------------------------------------------
+# Window functions (analytic frames over partitions)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_event_gaps",
+    """
+SELECT user_id, event_id,
+       epoch_us(ts) - lag(epoch_us(ts))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+FROM events
+""",
+)
+def q_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): microsecond gap to the previous event of the same user.
+    One shuffle on user_id, per-partition sort — the canonical WindowExec
+    shape; at scale the partition key carries the whole frame locally."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "user_id", "event_id",
+        (us - F.lag(us).over(w)).alias("gap_us"))
+
+
+@_register(
+    "q_moving_agg",
+    f"""
+SELECT user_id, event_id,
+       CAST(sum({_CENTS.format(x='value')}) OVER w AS BIGINT) AS mov_sum_cents,
+       count(*) OVER w AS n_in_frame,
+       CAST(sum({_CENTS.format(x='value')}) OVER w AS DOUBLE)
+         / count(*) OVER w AS mov_avg_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving 3-row sum/avg per user. Sum runs over integer cents (exact);
+    the avg is a single float division of two exact integers — portable."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-2, 0))
+    mov_sum = F.sum(_cents(F.col("value"))).over(w)
+    n = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "user_id", "event_id",
+        mov_sum.alias("mov_sum_cents"),
+        n.alias("n_in_frame"),
+        (mov_sum.cast("double") / n).alias("mov_avg_cents"))
+
+
+@_register(
+    "q_running_total",
+    f"""
+SELECT o_custkey, o_orderkey,
+       CAST(sum({_CENTS.format(x='o_totalprice')})
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS running_cents
+FROM orders
+""",
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer in order-date order (integer cents)."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.sum(_cents(F.col("o_totalprice"))).over(w).alias("running_cents"))
+
+
+@_register(
+    "q_rank_orders",
+    """
+SELECT o_orderpriority, o_orderkey,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       percent_rank() OVER w AS prnk
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate)
+""",
+)
+def q_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / percent_rank with genuine peer groups (ordering
+    by o_orderdate leaves ties, so the three differ)."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    return orders.select(
+        "o_orderpriority", "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"))
+
+
+@_register(
+    "q_ntile_customers",
+    """
+SELECT c_custkey,
+       ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS balance_quartile
+FROM customer
+""",
+)
+def q_ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) balance quartiles. NOTE: a global ORDER BY window is a
+    single-partition sort — fine for a dimension table, never for a fact
+    table (there, bucket by a partition key first)."""
+    customer = read_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return customer.select(
+        "c_custkey", F.ntile(4).over(w).alias("balance_quartile"))
+
+
+# ---------------------------------------------------------------------------
+# User-facing joins the reference lacks (semi / anti) + TPC-H-shape analytics
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_exists_semi",
+    """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+  AND o_orderdate < TIMESTAMP '1995-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def q_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS == LEFT SEMI join. The lineitem side is
+    filtered and projected to the join key before the shuffle."""
+    orders = read_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp")))
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = orders.join(
+        li, (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate), "left_semi")
+    return hit.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@_register(
+    "q_not_exists_anti",
+    """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def q_not_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS == LEFT ANTI join: customers who never ordered."""
+    customer = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey")
+    return (customer
+            .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+            .select("c_custkey", "c_mktsegment"))
+
+
+@_register(
+    "q_grouping_sets",
+    """
+SELECT event_type, date_trunc('day', ts) AS day, count(*) AS cnt
+FROM events GROUP BY GROUPING SETS ((event_type), (day))
+""",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with only the marginals — the shape CUBE can't give
+    without computing the full cross grid."""
+    events = read_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts")))
+    return (events
+            .groupingSets([["event_type"], ["day"]], "event_type", "day")
+            .agg(F.count("*").alias("cnt")))
+
+
+@_register(
+    "q_pricing_summary",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum({_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS sum_base_cents,
+       CAST(sum({_REV_CENTS}) AS BIGINT) AS sum_disc_cents,
+       CAST(sum({_CENTS.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')})
+         AS BIGINT) AS sum_charge_cents,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) / count(*) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (pricing summary report). All sums are exact integer
+    arithmetic after per-row IEEE expressions; averages are one division of
+    exact integers. Plans as scan -> partial agg -> 4-group exchange ->
+    final agg: the partial side does nearly all the work."""
+    li = read_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    qty = F.col("l_quantity").cast("long")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("long").alias("sum_qty"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+        F.sum(_cents(disc)).alias("sum_disc_cents"),
+        F.sum(_cents(charge)).alias("sum_charge_cents"),
+        (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+        F.count("*").alias("count_order")))
+
+
+@_register(
+    "q_top_revenue_orders",
+    f"""
+SELECT l_orderkey,
+       CAST(sum({_REV_CENTS}) AS BIGINT) AS revenue_cents,
+       o_orderdate, o_shippriority
+FROM (SELECT *, 0 AS o_shippriority FROM orders) o
+JOIN customer ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_shippriority
+ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): filtered dimension broadcast
+    into the fact join, partial-agg before the exchange, top-10 via
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    cust = (read_table(spark, sf_dir, "customer")
+            .where(F.col("c_mktsegment") == "BUILDING").select("c_custkey"))
+    orders = (read_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp"))
+              .withColumn("o_shippriority", F.lit(0)))
+    li = (read_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (orders
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_shippriority")
+            .agg(F.sum(rev).alias("revenue_cents"))
+            .select("l_orderkey", "revenue_cents", "o_orderdate", "o_shippriority")
+            .orderBy(F.col("revenue_cents").desc(), "o_orderdate", "l_orderkey")
+            .limit(10))
+
+
+@_register(
+    "q_top_supplier",
+    f"""
+WITH rev AS (
+  SELECT l_suppkey, CAST(sum({_REV_CENTS}) AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_cents
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_cents = (SELECT max(total_cents) FROM rev)
+""",
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the scalar max is a 1-row broadcast
+    join, not a driver collect — the pattern survives any scale."""
+    li = read_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                .alias("total_cents")))
+    mx = rev.agg(F.max("total_cents").alias("_mx"))
+    supplier = read_table(spark, sf_dir, "supplier")
+    return (rev.join(F.broadcast(mx), rev.total_cents == mx._mx)
+            .join(supplier, rev.l_suppkey == supplier.s_suppkey)
+            .select("s_suppkey", "s_name", "total_cents"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar function suites (string / date / array) — §2.8 gaps, Spark-native
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_string_funcs",
+    """
+SELECT p_partkey,
+       upper(p_name) AS uname,
+       length(p_name) AS name_len,
+       substr(p_name, 1, 5) AS prefix,
+       regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
+       concat(p_brand, '#', p_type) AS brand_type,
+       contains(p_name, 'green') AS has_green
+FROM part
+""",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function suite over part: case, length, substring, regex
+    replace, concat, containment — all JVM-side, codegen'd."""
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("prefix"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("novowel"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.col("p_name").contains("green").alias("has_green"))
+
+
+@_register(
+    "q_date_funcs",
+    """
+SELECT o_orderkey,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mo,
+       day(o_orderdate) AS dom,
+       CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT)
+         AS days_to_eoy
+FROM orders
+""",
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date function suite over orders: extract parts, date arithmetic,
+    month boundaries, day diffs."""
+    orders = read_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_add(d, 30).cast("timestamp").alias("due_date"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).alias("days_to_eoy"))
+
+
+@_register(
+    "q_array_funcs",
+    """
+SELECT vec_id,
+       len(embedding) AS n_dims,
+       CAST(embedding[1] AS DOUBLE) AS first_val,
+       sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2_norm,
+       list_sum(list_transform(list_slice(embedding::DOUBLE[], 1, 4), x -> x))
+         AS head4_sum
+FROM embeddings
+""",
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function suite over embeddings: size, element access, L2 norm
+    via a left-fold (bit-identical to DuckDB's list_dot_product — verified
+    float parity, NOTES.md), slice+sum. Scalars out, arrays stay inside."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    fold = F.aggregate(e, F.lit(0.0), lambda a, x: a + x * x)
+    head4 = F.aggregate(F.slice(e, 1, 4), F.lit(0.0), lambda a, x: a + x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.element_at(e, 1).alias("first_val"),
+        F.sqrt(fold).alias("l2_norm"),
+        head4.alias("head4_sum"))
+
+
+# ---------------------------------------------------------------------------
+# Percentiles / histograms / set ops
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_percentiles",
+    f"""
+WITH c AS (SELECT l_returnflag, {_CENTS.format(x='l_extendedprice')} AS cents
+           FROM lineitem)
+SELECT l_returnflag,
+       quantile_cont(cents, 0.25) AS p25_cents,
+       quantile_cont(cents, 0.50) AS p50_cents,
+       quantile_cont(cents, 0.75) AS p75_cents
+FROM c GROUP BY l_returnflag
+""",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles of price cents per return flag. Interpolation over
+    integer inputs is exact in double, so quantile_cont parity holds. At
+    100 TB swap in approx_percentile (t-digest, one pass, bounded error)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = _cents(F.col("l_extendedprice"))
+    return (li.select("l_returnflag", cents.alias("cents"))
+            .groupBy("l_returnflag")
+            .agg(F.percentile("cents", 0.25).alias("p25_cents"),
+                 F.percentile("cents", 0.50).alias("p50_cents"),
+                 F.percentile("cents", 0.75).alias("p75_cents")))
+
+
+@_register(
+    "q_histogram",
+    """
+SELECT CAST(floor(value / 50.0) AS BIGINT) * 50 AS bucket_lo, count(*) AS cnt
+FROM events GROUP BY 1
+""",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (floor-division binning —
+    a pure map-side expression, aggregates to ~10 groups)."""
+    ev = read_table(spark, sf_dir, "events")
+    bucket = (F.floor(F.col("value") / 50.0).cast("long") * 50)
+    return (ev.groupBy(bucket.alias("bucket_lo"))
+            .agg(F.count("*").alias("cnt")))
+
+
+@_register(
+    "q_set_ops",
+    """
+SELECT 'click_no_purchase' AS tag, user_id FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+)
+UNION ALL
+SELECT 'click_and_view' AS tag, user_id FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+)
+""",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: EXCEPT (clickers who never purchased) and INTERSECT
+    (clickers who also viewed), tagged and unioned."""
+    ev = read_table(spark, sf_dir, "events")
+
+    def users(et: str) -> DataFrame:
+        return ev.where(F.col("event_type") == et).select("user_id").distinct()
+
+    exc = users("click").subtract(users("purchase")).select(
+        F.lit("click_no_purchase").alias("tag"), "user_id")
+    inter = users("click").intersect(users("view")).select(
+        F.lit("click_and_view").alias("tag"), "user_id")
+    return exc.unionByName(inter)

@@ -1,0 +1,77 @@
+"""Analytic query surface (queries_analytics.py): oracle sweep + the
+physical-plan properties that make these shapes survive 100 TB."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from tests.compare import assert_matches
+
+ANALYTIC_ORACLE_BACKED = [
+    "q_event_gaps",
+    "q_moving_agg",
+    "q_running_total",
+    "q_rank_orders",
+    "q_ntile_customers",
+    "q_exists_semi",
+    "q_not_exists_anti",
+    "q_grouping_sets",
+    "q_pricing_summary",
+    "q_top_revenue_orders",
+    "q_top_supplier",
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_array_funcs",
+    "q_percentiles",
+    "q_histogram",
+    "q_set_ops",
+]
+
+
+def test_analytic_surface_matches_oracle(spark, sf_dir, duck):
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    for name in ANALYTIC_ORACLE_BACKED:
+        assert_matches(qs[name](spark, sf_dir), duck, os_[name])
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_top_revenue_plan_broadcasts_and_heaps(spark, sf_dir):
+    """Q3 shape: the filtered customer dim must broadcast (no shuffle of
+    the fact table for that join) and the top-10 must be
+    TakeOrderedAndProject (per-partition heaps), not a global Sort."""
+    df = entrymod.queries()["q_top_revenue_orders"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pricing_summary_plan_partial_agg_and_pushdown(spark, sf_dir):
+    """Q1 shape: partial (map-side) aggregation before the exchange, and
+    the shipdate filter pushed to the parquet scan."""
+    df = entrymod.queries()["q_pricing_summary"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan
+    # column pruning: only the 6 needed columns reach the scan
+    assert "l_partkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_semi_anti_join_plans(spark, sf_dir):
+    """EXISTS/NOT EXISTS compile to semi/anti joins, not cross products."""
+    qs = entrymod.queries()
+    assert "LeftSemi" in _plan(qs["q_exists_semi"](spark, sf_dir))
+    assert "LeftAnti" in _plan(qs["q_not_exists_anti"](spark, sf_dir))
+
+
+def test_window_single_exchange(spark, sf_dir):
+    """The per-user window needs exactly one hash exchange on user_id."""
+    import re
+
+    df = entrymod.queries()["q_event_gaps"](spark, sf_dir)
+    plan = _plan(df)
+    # count Exchange *nodes* (numbered detail entries), not string mentions
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(user_id" in plan
