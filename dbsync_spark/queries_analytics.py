@@ -157,8 +157,8 @@ def q_ntile_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT o_orderpriority, count(*) AS n_orders
 FROM orders
-WHERE o_orderdate >= TIMESTAMP '1994-01-01'
-  AND o_orderdate < TIMESTAMP '1995-01-01'
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
   AND EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
 GROUP BY o_orderpriority
@@ -168,8 +168,8 @@ def q_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS == LEFT SEMI join. The lineitem side is
     filtered and projected to the join key before the shuffle."""
     orders = read_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp")))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     hit = orders.join(
         li, (orders.o_orderkey == li.l_orderkey)
@@ -181,13 +181,18 @@ def q_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_not_exists_anti",
     """
 SELECT c_custkey, c_mktsegment FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 """,
 )
 def q_not_exists_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS == LEFT ANTI join: customers who never ordered."""
+    """NOT EXISTS == LEFT ANTI join: customers with no urgent order. The
+    anti side is filtered+projected to the key before the shuffle."""
     customer = read_table(spark, sf_dir, "customer")
-    orders = read_table(spark, sf_dir, "orders").select("o_custkey")
+    orders = (read_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey"))
     return (customer
             .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
             .select("c_custkey", "c_mktsegment"))
@@ -478,3 +483,153 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = users("click").intersect(users("view")).select(
         F.lit("click_and_view").alias("tag"), "user_id")
     return exc.unionByName(inter)
+
+
+# ---------------------------------------------------------------------------
+# JSON functions / top-N per group / term stats / multi-way joins
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_json_funcs",
+    """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+       json_extract_string(props, '$.k') IS NOT NULL AS has_k,
+       CAST(len(json_keys(props)) AS INT) AS n_keys
+FROM events
+""",
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions over the events.props payload column: typed
+    extraction, existence, key enumeration — the schema-on-read path for
+    semi-structured columns (all JVM-side, no Python)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
+        F.size(F.json_object_keys("props")).cast("int").alias("n_keys"))
+
+
+@_register(
+    "q_top_per_group",
+    """
+SELECT o_custkey, o_orderkey, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def q_top_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group (each customer's 3 largest orders): row_number over
+    a keyed window then filter. Spark plans the rn<=3 filter as a
+    WindowGroupLimit push-down — per-group heaps before the full sort."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey")
+    return (orders
+            .select("o_custkey", "o_orderkey",
+                    F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") <= 3))
+
+
+@_register(
+    "q_term_stats",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT term,
+       count(*) AS tf,
+       count(DISTINCT doc_id) AS df,
+       CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id) AS tf_per_doc
+FROM toks GROUP BY term
+""",
+)
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term statistics (the counting core of TF-IDF): global term
+    frequency, document frequency, density. explode -> one partial-agg
+    shuffle keyed by term; no log() in the declared output because libm
+    rounding differs across engines (apply idf = ln(N/df) downstream)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term"))
+    return toks.groupBy("term").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+        (F.count("*").cast("double") / F.countDistinct("doc_id"))
+        .alias("tf_per_doc"))
+
+
+@_register(
+    "q_regional_volume",
+    f"""
+SELECT n_name,
+       CAST(sum({_REV_CENTS}) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+)
+def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): a 6-table join where every
+    dimension (supplier, nation, region, filtered) broadcasts — the fact
+    tables shuffle once on the join key, the dimension chain costs no
+    exchange."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (read_table(spark, sf_dir, "orders")
+              .where((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                     & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+              .select("o_orderkey", "o_custkey"))
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (orders
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(li, orders.o_orderkey == li.l_orderkey)
+            .join(F.broadcast(supp),
+                  (li.l_suppkey == supp.s_suppkey)
+                  & (cust.c_nationkey == supp.s_nationkey))
+            .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name").agg(F.sum(rev).alias("revenue_cents")))
+
+
+@_register(
+    "q_above_avg_customers",
+    f"""
+WITH seg AS (
+  SELECT c_mktsegment,
+         CAST(sum({_CENTS.format(x='c_acctbal')}) AS BIGINT) AS sum_cents,
+         count(*) AS n
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_custkey, c.c_mktsegment
+FROM customer c JOIN seg s ON c.c_mktsegment = s.c_mktsegment
+WHERE {_CENTS.format(x='c_acctbal')} * s.n > s.sum_cents
+""",
+)
+def q_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-scalar pattern (balance above segment average) without a
+    float average: compare cents*n > sum_cents in exact integers. The
+    per-segment aggregate is a broadcast back-join, not a subquery per
+    row."""
+    cust = read_table(spark, sf_dir, "customer")
+    seg = cust.groupBy(F.col("c_mktsegment").alias("_seg")).agg(
+        F.sum(_cents(F.col("c_acctbal"))).alias("sum_cents"),
+        F.count("*").alias("n"))
+    return (cust.join(F.broadcast(seg), cust.c_mktsegment == seg._seg)
+            .where(_cents(F.col("c_acctbal")) * F.col("n") > F.col("sum_cents"))
+            .select("c_custkey", "c_mktsegment"))

@@ -24,6 +24,11 @@ ANALYTIC_ORACLE_BACKED = [
     "q_percentiles",
     "q_histogram",
     "q_set_ops",
+    "q_json_funcs",
+    "q_top_per_group",
+    "q_term_stats",
+    "q_regional_volume",
+    "q_above_avg_customers",
 ]
 
 
@@ -64,6 +69,16 @@ def test_semi_anti_join_plans(spark, sf_dir):
     qs = entrymod.queries()
     assert "LeftSemi" in _plan(qs["q_exists_semi"](spark, sf_dir))
     assert "LeftAnti" in _plan(qs["q_not_exists_anti"](spark, sf_dir))
+
+
+def test_regional_volume_broadcasts_dimension_chain(spark, sf_dir):
+    """Q5 shape: supplier/nation/region all broadcast — at least three
+    BroadcastHashJoins, and no shuffle keyed on a dimension key."""
+    df = entrymod.queries()["q_regional_volume"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "hashpartitioning(n_nationkey" not in plan
+    assert "hashpartitioning(r_regionkey" not in plan
 
 
 def test_window_single_exchange(spark, sf_dir):
