@@ -145,6 +145,16 @@ def main() -> None:
     with timed("text_quality"):
         quality_score(read_table(spark, SF_DIR, "documents")).count()
 
+    # -- analytic shapes over the fact tables ---------------------------------
+    from dbsync_spark.queries import QUERIES
+
+    with timed("pricing_summary"):
+        QUERIES["q_pricing_summary"](spark, SF_DIR).collect()
+    with timed("top_revenue_orders"):
+        QUERIES["q_top_revenue_orders"](spark, SF_DIR).collect()
+    with timed("event_gaps_window"):
+        QUERIES["q_event_gaps"](spark, SF_DIR).count()
+
     shutil.rmtree(workdir, ignore_errors=True)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
