@@ -633,3 +633,135 @@ def q_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cust.join(F.broadcast(seg), cust.c_mktsegment == seg._seg)
             .where(_cents(F.col("c_acctbal")) * F.col("n") > F.col("sum_cents"))
             .select("c_custkey", "c_mktsegment"))
+
+
+@_register(
+    "q_forecast_revenue",
+    f"""
+SELECT CAST(sum({_CENTS.format(x='l_extendedprice * l_discount')}) AS BIGINT)
+         AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): pure filter + global agg.
+    Everything folds into the scan — three pushed predicates, two read
+    columns, one partial-agg exchange of a single row per partition."""
+    li = read_table(spark, sf_dir, "lineitem")
+    filtered = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    return filtered.agg(
+        F.sum(_cents(F.col("l_extendedprice") * F.col("l_discount")))
+        .cast("long").alias("revenue_cents"),
+        F.count("*").alias("n_items"))
+
+
+@_register(
+    "q_returned_items",
+    f"""
+SELECT c_custkey, c_name,
+       CAST(sum({_REV_CENTS}) AS BIGINT) AS lost_cents,
+       n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY lost_cents DESC, c_custkey
+LIMIT 20
+""",
+)
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): fact-fact join on the
+    order key, nation broadcast, top-20 via TakeOrderedAndProject."""
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey")
+    orders = (read_table(spark, sf_dir, "orders")
+              .where((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                     & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")))
+              .select("o_orderkey", "o_custkey"))
+    li = (read_table(spark, sf_dir, "lineitem")
+          .where(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    nation = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (orders
+            .join(li, orders.o_orderkey == li.l_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.sum(rev).alias("lost_cents"))
+            .select("c_custkey", "c_name", "lost_cents", "n_name")
+            .orderBy(F.col("lost_cents").desc(), "c_custkey")
+            .limit(20))
+
+
+@_register(
+    "q_order_count_dist",
+    """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT n_orders, count(*) AS n_customers
+FROM per_cust GROUP BY n_orders
+""",
+)
+def q_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): two stacked
+    aggregations — per-customer counts (left join keeps zero-order
+    customers), then the histogram of those counts. The second agg's input
+    is already tiny; AQE coalesces its exchange."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (read_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderpriority") != "1-URGENT")
+              .select("o_orderkey", "o_custkey"))
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("n_orders")))
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@_register(
+    "q_pandas_udf_score",
+    f"""
+SELECT o_orderkey,
+       ({_CENTS.format(x='o_totalprice')} % 97) * 31
+         + length(o_orderpriority) AS score
+FROM orders
+""",
+)
+def q_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python-UDF escape hatch, done the right way: a vectorized
+    @pandas_udf (Arrow batches, no per-row pickling) computing a custom
+    score. Declared with a SQL oracle to prove the Arrow path is
+    value-exact. Row-at-a-time Python UDFs are banned from hot paths;
+    this is the pattern any custom decode/feature-extract op follows
+    (functions/multimodal.py does the same over mapInPandas)."""
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which the pandas_udf signature inspector rejects
+    def _score(cents, prio):
+        return (cents % 97) * 31 + prio.str.len()
+
+    score = pandas_udf(_score, "long")
+
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        score(_cents(F.col("o_totalprice")),
+              F.col("o_orderpriority")).alias("score"))

@@ -29,6 +29,10 @@ ANALYTIC_ORACLE_BACKED = [
     "q_term_stats",
     "q_regional_volume",
     "q_above_avg_customers",
+    "q_forecast_revenue",
+    "q_returned_items",
+    "q_order_count_dist",
+    "q_pandas_udf_score",
 ]
 
 
