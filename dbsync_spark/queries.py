@@ -1004,3 +1004,4 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # grouping sets, TPC-H shapes, scalar function suites) — registers into
 # QUERIES/ORACLES on import.
 from dbsync_spark import queries_analytics  # noqa: E402,F401
+from dbsync_spark import queries_training  # noqa: E402,F401

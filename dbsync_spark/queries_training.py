@@ -1,0 +1,99 @@
+"""Declared queries for the training-data sampling / packing / mixture
+operators (functions/sampling.py). Everything is hash-deterministic, so
+every query here is fully oracle-checked — no rand() anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbsync_spark.functions import sampling as smp
+from dbsync_spark.queries import _register
+from dbsync_spark.sources.tables import read_table
+
+_H15 = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
+_BUCKET = _H15.format(s="CAST(doc_id AS VARCHAR)") + f" % {smp.SAMPLE_MOD}"
+
+
+@_register(
+    "q_hash_sample",
+    f"SELECT doc_id, lang FROM documents WHERE {_BUCKET} < 1000",
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample by key hash: reproducible across
+    runs/engines/cluster sizes, monotone in the rate (10% ⊂ 20%), no RNG
+    state — the only sampling that scales to a re-runnable 100 TB
+    pipeline. The predicate evaluates at the scan: no shuffle at all."""
+    docs = read_table(spark, sf_dir, "documents")
+    return smp.hash_sample(docs, "doc_id", rate_bp=1000).select("doc_id", "lang")
+
+
+@_register(
+    "q_stratified_sample",
+    f"""
+SELECT doc_id, lang FROM documents
+WHERE {_BUCKET} < CASE WHEN lang = 'en' THEN 8000 ELSE 2000 END
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified hash sampling: keep 80% of English, 20% of everything
+    else. The per-stratum rate is a CASE expression folded into the scan
+    filter — no join, no shuffle."""
+    docs = read_table(spark, sf_dir, "documents")
+    return smp.stratified_sample(
+        docs, "doc_id", "lang", {"en": 8000}, default_bp=2000,
+    ).select("doc_id", "lang")
+
+
+_MIX_BP = {"en": 5000, "de": 2000, "fr": 1500, "es": 1000, "zh": 500}
+_MIX_CASE = ("CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {v}" for k, v in _MIX_BP.items()) + " ELSE 0 END")
+
+
+@_register(
+    "q_mixture_weights",
+    f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_rows, {_MIX_CASE} AS target_bp
+  FROM documents GROUP BY lang
+),
+scale AS (
+  SELECT min(CAST(n_rows AS DOUBLE) / target_bp) AS _rows_per_bp
+  FROM counts WHERE target_bp > 0
+)
+SELECT lang, n_rows, target_bp, target_bp * _rows_per_bp AS target_rows
+FROM counts, scale
+""",
+)
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture planning: given target proportions (basis points),
+    compute per-language row budgets, bound by the scarcest stratum.
+    The scalar scale factor is a 1-row broadcast, not a collect."""
+    docs = read_table(spark, sf_dir, "documents")
+    return smp.mixture_weights(docs, "lang", _MIX_BP)
+
+
+@_register(
+    "q_pack_sequences",
+    """
+WITH t AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS end_off
+  FROM documents
+)
+SELECT lang, doc_id, n_chars,
+       end_off - n_chars AS start_offset,
+       CAST(floor((end_off - n_chars) / 2048) AS BIGINT) AS pack_id
+FROM t
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to 2048-char context windows per
+    language stream via an offset cumsum (one window per stream, fully
+    parallel across streams — no greedy driver loop)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return smp.pack_sequences(docs, "doc_id", "n_chars", budget=2048,
+                              stream_col="lang")

@@ -1,0 +1,92 @@
+"""Sampling/packing operator properties (beyond the oracle sweep)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from dbsync_spark.functions import sampling as smp
+from dbsync_spark.sources.tables import read_table
+from tests.compare import assert_matches
+
+TRAINING_ORACLE_BACKED = [
+    "q_hash_sample",
+    "q_stratified_sample",
+    "q_mixture_weights",
+    "q_pack_sequences",
+]
+
+
+def test_training_surface_matches_oracle(spark, sf_dir, duck):
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    for name in TRAINING_ORACLE_BACKED:
+        assert_matches(qs[name](spark, sf_dir), duck, os_[name])
+
+
+def test_hash_sample_monotone_and_stable(spark, sf_dir):
+    """Same key -> same fate: the 10% sample is a subset of the 20%
+    sample, and resampling returns identical rows (no RNG state)."""
+    docs = read_table(spark, sf_dir, "documents")
+    s10 = smp.hash_sample(docs, "doc_id", 1000).select("doc_id")
+    s20 = smp.hash_sample(docs, "doc_id", 2000).select("doc_id")
+    assert s10.exceptAll(s20).count() == 0  # monotone
+    assert s10.count() > 0
+    again = smp.hash_sample(docs, "doc_id", 1000).select("doc_id")
+    assert s10.exceptAll(again).count() == 0  # reproducible
+
+    # rate is roughly honored (hash uniformity; generous tolerance)
+    n, n10 = docs.count(), s10.count()
+    assert 0.03 < n10 / n < 0.25
+
+
+def test_stratified_rates_differ_by_stratum(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    out = smp.stratified_sample(docs, "doc_id", "lang", {"en": 8000},
+                                default_bp=2000)
+    kept = {r["lang"]: r["cnt"] for r in
+            out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    totals = {r["lang"]: r["cnt"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert kept["en"] / totals["en"] > 0.6
+    for lang in kept:
+        if lang != "en":
+            assert kept[lang] / totals[lang] < 0.45
+
+
+def test_pack_sequences_budget_property(spark, sf_dir):
+    """Within a pack, every doc's start offset lies in the pack's window;
+    packs per stream are contiguous from 0; per-pack totals stay below
+    budget + one max doc (offset packing's bound)."""
+    docs = read_table(spark, sf_dir, "documents")
+    budget = 2048
+    packed = smp.pack_sequences(docs, "doc_id", "n_chars", budget,
+                                stream_col="lang").cache()
+    bad = packed.where(
+        (F.col("start_offset") < F.col("pack_id") * budget)
+        | (F.col("start_offset") >= (F.col("pack_id") + 1) * budget))
+    assert bad.count() == 0
+
+    per_pack = (packed.groupBy("lang", "pack_id")
+                .agg(F.sum("n_chars").alias("total")))
+    max_doc = docs.agg(F.max("n_chars")).first()[0]
+    assert per_pack.where(F.col("total") > budget + max_doc).count() == 0
+
+    # pack ids are dense from 0 per stream
+    ids = (packed.groupBy("lang")
+           .agg(F.min("pack_id").alias("lo"),
+                F.countDistinct("pack_id").alias("n"),
+                F.max("pack_id").alias("hi")))
+    assert ids.where((F.col("lo") != 0)
+                     | (F.col("hi") != F.col("n") - 1)).count() == 0
+
+
+def test_mixture_weights_binding_stratum(spark, sf_dir):
+    """No stratum's target exceeds its available rows, and at least one
+    stratum is exactly binding (target_rows == n_rows)."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = smp.mixture_weights(
+        docs, "lang", {"en": 5000, "de": 2000, "fr": 1500, "es": 1000,
+                       "zh": 500}).collect()
+    eps = 1e-9
+    assert all(r["target_rows"] <= r["n_rows"] + eps for r in out)
+    assert any(abs(r["target_rows"] - r["n_rows"]) < eps for r in out)
