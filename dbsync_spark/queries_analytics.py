@@ -111,8 +111,8 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rank_orders",
     """
 SELECT o_orderpriority, o_orderkey,
-       rank() OVER w AS rnk,
-       dense_rank() OVER w AS drnk,
+       CAST(rank() OVER w AS INT) AS rnk,
+       CAST(dense_rank() OVER w AS INT) AS drnk,
        percent_rank() OVER w AS prnk
 FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate)
@@ -134,7 +134,8 @@ def q_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_ntile_customers",
     """
 SELECT c_custkey,
-       ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS balance_quartile
+       CAST(ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS INT)
+         AS balance_quartile
 FROM customer
 """,
 )
@@ -330,7 +331,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT p_partkey,
        upper(p_name) AS uname,
-       length(p_name) AS name_len,
+       CAST(length(p_name) AS INT) AS name_len,
        substr(p_name, 1, 5) AS prefix,
        regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
        concat(p_brand, '#', p_type) AS brand_type,
@@ -356,9 +357,9 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_date_funcs",
     """
 SELECT o_orderkey,
-       year(o_orderdate) AS yr,
-       month(o_orderdate) AS mo,
-       day(o_orderdate) AS dom,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       CAST(day(o_orderdate) AS INT) AS dom,
        CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date,
        CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
        CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT)
@@ -385,7 +386,7 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_array_funcs",
     """
 SELECT vec_id,
-       len(embedding) AS n_dims,
+       CAST(len(embedding) AS INT) AS n_dims,
        CAST(embedding[1] AS DOUBLE) AS first_val,
        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2_norm,
        list_sum(list_transform(list_slice(embedding::DOUBLE[], 1, 4), x -> x))
@@ -514,7 +515,7 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q_top_per_group",
     """
-SELECT o_custkey, o_orderkey, rn FROM (
+SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn FROM (
   SELECT o_custkey, o_orderkey,
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
