@@ -97,3 +97,63 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return smp.pack_sequences(docs, "doc_id", "n_chars", budget=2048,
                               stream_col="lang")
+
+
+@_register(
+    "q_udtf_tokenize",
+    """
+SELECT doc_id,
+       CAST(generate_subscripts(string_split(text, ' '), 1) AS INT) AS pos,
+       unnest(string_split(text, ' ')) AS tok
+FROM documents WHERE doc_id < 50
+""",
+)
+def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) surface: LATERAL-expand each document
+    into (position, token) rows. UDTFs are the escape hatch for custom
+    one-to-many ops (chunkers, parsers) when built-in explode/transform
+    can't express them; here the output is oracle-checked against the
+    relational equivalent. Row-at-a-time Python — demo-scale input only
+    (the production tokenize path is functions/text.py, JVM-side)."""
+    from pyspark.sql.functions import udtf
+
+    class _Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield i + 1, tok
+
+    tok_udtf = udtf(_Tokenize, returnType="pos INT, tok STRING")
+    spark.udtf.register("dbsync_tok_udtf", tok_udtf)
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("_docs_for_udtf")
+    return spark.sql(
+        "SELECT doc_id, t.pos, t.tok "
+        "FROM _docs_for_udtf, LATERAL dbsync_tok_udtf(text) t")
+
+
+@_register(
+    "q_higher_order",
+    """
+SELECT vec_id,
+       CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS INT) AS n_pos,
+       len(list_filter(embedding::DOUBLE[], x -> x > 0.9)) > 0 AS has_big,
+       list_dot_product(embedding::DOUBLE[],
+                        list_reverse(embedding::DOUBLE[])) AS rev_dot
+FROM embeddings
+""",
+)
+def q_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (filter / exists / zip_with+aggregate)
+    — all JVM-side lambda expressions inside codegen, the idiomatic way to
+    process array columns without exploding them. rev_dot's left fold is
+    bit-identical to DuckDB's list_dot_product (verified float parity)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    rev_dot = F.aggregate(
+        F.zip_with(e, F.reverse(e), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
+        F.exists(e, lambda x: x > 0.9).alias("has_big"),
+        rev_dot.alias("rev_dot"))

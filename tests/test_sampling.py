@@ -14,6 +14,8 @@ TRAINING_ORACLE_BACKED = [
     "q_stratified_sample",
     "q_mixture_weights",
     "q_pack_sequences",
+    "q_udtf_tokenize",
+    "q_higher_order",
 ]
 
 
