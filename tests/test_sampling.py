@@ -82,6 +82,47 @@ def test_pack_sequences_budget_property(spark, sf_dir):
                      | (F.col("hi") != F.col("n") - 1)).count() == 0
 
 
+def test_pack_sequences_property_random_lengths(spark):
+    """Hypothesis: for arbitrary positive lengths, offset packing keeps
+    every start_offset inside its pack window and never skips a pack."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=500),
+                    min_size=1, max_size=60),
+           st.integers(min_value=100, max_value=1000))
+    def check(lengths, budget):
+        df = spark.createDataFrame(
+            [(i, n) for i, n in enumerate(lengths)], "doc_id INT, n INT")
+        rows = smp.pack_sequences(df, "doc_id", "n", budget).collect()
+        # relational result == sequential reference loop
+        offset = 0
+        expected = {}
+        for i, n in enumerate(lengths):
+            expected[i] = (offset, offset // budget)
+            offset += n
+        for r in rows:
+            exp_off, exp_pack = expected[r["doc_id"]]
+            assert r["start_offset"] == exp_off
+            assert r["pack_id"] == exp_pack
+
+    check()
+
+
+def test_stratified_equals_union_of_hash_samples(spark, sf_dir):
+    """Stratified sampling is definitionally the union of per-stratum hash
+    samples — no interaction between strata."""
+    docs = read_table(spark, sf_dir, "documents")
+    combined = smp.stratified_sample(docs, "doc_id", "lang", {"en": 8000},
+                                     default_bp=2000).select("doc_id")
+    en = smp.hash_sample(docs.where(F.col("lang") == "en"), "doc_id", 8000)
+    rest = smp.hash_sample(docs.where(F.col("lang") != "en"), "doc_id", 2000)
+    manual = en.select("doc_id").unionByName(rest.select("doc_id"))
+    assert combined.exceptAll(manual).count() == 0
+    assert manual.exceptAll(combined).count() == 0
+
+
 def test_mixture_weights_binding_stratum(spark, sf_dir):
     """No stratum's target exceeds its available rows, and at least one
     stratum is exactly binding (target_rows == n_rows)."""
