@@ -1,0 +1,113 @@
+"""Fleet-wide physical-plan audit: every declared query's plan is checked
+for scale-hostile operators. This is the 100 TB readiness gate — a query
+can be value-correct at sf0.01 and still be a cross join or a
+single-partition sort that dies at scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+# queries whose *driver-side setup* runs streaming/multi-job work; their
+# final DataFrame is a read of materialized output, not the operator plan
+SETUP_HEAVY = {"q_streaming_apply", "q_retry_replay"}
+
+# intentional 1-row / tiny-side broadcast nested loops (scalar joins)
+BNLJ_ALLOWED = {
+    "q_top_supplier",      # 1-row max join (scalar subquery shape)
+    "q_mixture_weights",   # 1-row scale-factor broadcast
+    "q_ngram_jaccard",     # broadcast query-doc shingle set
+    "q_range_join",        # broadcast tier table (non-equi by design)
+    "q_asof_join",         # union-and-fill uses a broadcast bound set
+    "q_ann_srp",           # broadcast hyperplanes/query buckets
+    "q_ann_ivf",           # broadcast centroids
+    "q_cosine_topk",       # broadcast query vectors (tiny by contract)
+    "q_embed_dedup",       # broadcast bucket bounds
+}
+
+# global-sort windows over dimension-sized inputs (documented exceptions)
+GLOBAL_WINDOW_ALLOWED = {"q_ntile_customers"}
+
+# queries consuming the FIXTURES.md §C change-log builders: those build
+# global ids with a row_number over the fixture table (fixture-only
+# construction — the bench path uses key-derived ids with no global sort,
+# see bench.build_bench_log). The engine-side plan beyond the builder has
+# no global window.
+LOG_FIXTURE_CONSUMERS = {
+    "q_apply_upsert", "q_apply_delete", "q_poll_antijoin", "q_cond_filter",
+    "q_fanout", "q_route", "q_status_agg", "q_retention", "q_ack_retry",
+    "q_bootstrap_reset", "q_salted_lww", "q_state_enriched", "q_topk_orders",
+    "q_change_history", "q_partition",
+}
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name, fn in entrymod.queries().items():
+        if name in SETUP_HEAVY:
+            continue
+        out[name] = _plan(fn(spark, sf_dir))
+    return out
+
+
+def test_no_cartesian_products(plans):
+    bad = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not bad, f"cartesian products in: {bad}"
+
+
+def test_broadcast_nested_loop_only_where_intended(plans):
+    bad = [n for n, p in plans.items()
+           if "BroadcastNestedLoopJoin" in p and n not in BNLJ_ALLOWED]
+    assert not bad, f"unexpected BroadcastNestedLoopJoin in: {bad}"
+
+
+def test_no_global_window_on_fact_tables(plans):
+    """A window spec with an empty PARTITION BY forces every row through
+    one task. Only allowed for declared dimension-table queries."""
+    bad = []
+    for name, plan in plans.items():
+        if name in GLOBAL_WINDOW_ALLOWED | LOG_FIXTURE_CONSUMERS:
+            continue
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            spec = m.group(1)
+            # a partitioned window spec mentions partition columns before
+            # the ordering entries ("col ASC NULLS FIRST"); a global spec
+            # starts straight at the ordering/frame
+            first = spec.split(",")[0].strip()
+            if first.endswith("ASC NULLS FIRST") or first.startswith(
+                    "specifiedwindowframe"):
+                bad.append(name)
+                break
+    assert not bad, f"global (unpartitioned) window in: {bad}"
+
+
+def test_parquet_scans_are_pruned(plans):
+    """No query may read every column of lineitem (widest fact table)
+    unless it genuinely projects the full row (apply-path queries do —
+    their payload is the full row image)."""
+    full_row_ok = {"q_apply_upsert", "q_apply_delete", "q_salted_lww",
+                   "q_poll_antijoin", "q_partition", "q_cond_filter",
+                   "q_fanout", "q_route", "q_status_agg", "q_retention",
+                   "q_ack_retry", "q_bootstrap_reset", "q_state_enriched",
+                   "q_topk_orders", "q_change_history"}
+    bad = []
+    for name, plan in plans.items():
+        if name in full_row_ok:
+            continue
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+            cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+            if "l_comment" in cols or len(
+                    [c for c in cols if c.startswith("l_")]) >= 11:
+                bad.append(name)
+                break
+    assert not bad, f"unpruned lineitem scan in: {bad}"
