@@ -45,6 +45,22 @@ def daily_counts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
+def merge_counts(snapshot: DataFrame, increment: DataFrame,
+                 bucket_col: str = "bucket_start",
+                 cnt_col: str = "cnt") -> DataFrame:
+    """Incremental aggregate maintenance: fold an increment's bucket
+    counts into an existing aggregate snapshot (continuous-aggregate
+    refresh). The merge is a grouped sum over the two frames' union —
+    cost proportional to |snapshot buckets| + |increment|, never a
+    recompute of the raw history. Counts are associative, so
+    merge(agg(old), agg(inc)) == agg(old ∪ inc) exactly."""
+    return (
+        snapshot.unionByName(increment)
+        .groupBy(bucket_col)
+        .agg(F.sum(cnt_col).cast("long").alias(cnt_col))
+    )
+
+
 def retain_recent_buckets(counts: DataFrame, n_buckets: int,
                           bucket_col: str = "bucket_start") -> DataFrame:
     """The reference's bounded counter retention (hour keeps 7x24, day

@@ -1000,6 +1000,79 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", *[F.col(t).cast("long").alias(t) for t in _EVENT_TYPES])
 
 
+_DIFF_STATE_COLS = ("o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+                    "o_orderdate, o_orderpriority")
+
+
+@_register(
+    "q_snapshot_diff",
+    f"""
+WITH {oracles.LOG_ORDERS_CTE},
+cutoff AS (SELECT max(id) * 3 // 5 AS c FROM log_orders),
+_old_last AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY id DESC) AS _rn
+  FROM log_orders WHERE id <= (SELECT c FROM cutoff)
+),
+old_state AS (
+  SELECT {_DIFF_STATE_COLS} FROM _old_last WHERE _rn = 1 AND operation <> 'D'
+),
+_new_last AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY id DESC) AS _rn
+  FROM log_orders
+),
+new_state AS (
+  SELECT {_DIFF_STATE_COLS} FROM _new_last WHERE _rn = 1 AND operation <> 'D'
+)
+SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'I'
+            WHEN n.o_orderkey IS NULL THEN 'D'
+            WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+                  AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                  AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                  AND o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate
+                  AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+            THEN 'U' END AS change_type
+FROM old_state o FULL OUTER JOIN new_state n ON o.o_orderkey = n.o_orderkey
+WHERE CASE WHEN o.o_orderkey IS NULL THEN 'I'
+           WHEN n.o_orderkey IS NULL THEN 'D'
+           WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+                 AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                 AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                 AND o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate
+                 AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+           THEN 'U' END IS NOT NULL
+""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC net-change feed): the minimal I/U/D set between
+    the state applied at 60% of the log and the final state — what a
+    cascade consumer (reference's multi-level topology, Readme.md:8)
+    would replay downstream. One full-outer join on the key."""
+    from dbsync_spark.operators.diff import snapshot_diff
+
+    log = build_log_orders(spark, sf_dir)
+    changes = parse_changes(log, ORDERS_PAYLOAD_SCHEMA)
+    cutoff = log.agg(F.max("id")).first()[0] * 3 // 5
+    old = last_writer_wins(changes.where(F.col("id") <= cutoff), ["o_orderkey"])
+    new = last_writer_wins(changes, ["o_orderkey"])
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+@_register("q_incremental_rollup", ORACLES["q_window_count"])
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: hourly counts computed as
+    merge(agg(earlier events), agg(increment)) — the continuous-aggregate
+    refresh path; associativity makes it EXACTLY equal the full recompute
+    (same oracle as q_window_count), while touching only the increment and
+    the existing buckets."""
+    from dbsync_spark.operators.window_agg import hourly_counts, merge_counts
+
+    events = read_table(spark, sf_dir, "events")
+    snapshot = hourly_counts(events.where(F.col("event_id") % 4 != 0), "ts")
+    increment = hourly_counts(events.where(F.col("event_id") % 4 == 0), "ts")
+    return merge_counts(snapshot, increment)
+
+
 # Analytic surface beyond the reference (window functions, semi/anti joins,
 # grouping sets, TPC-H shapes, scalar function suites) — registers into
 # QUERIES/ORACLES on import.

@@ -33,6 +33,8 @@ ANALYTIC_ORACLE_BACKED = [
     "q_returned_items",
     "q_order_count_dist",
     "q_pandas_udf_score",
+    "q_snapshot_diff",
+    "q_incremental_rollup",
 ]
 
 
@@ -73,6 +75,21 @@ def test_semi_anti_join_plans(spark, sf_dir):
     qs = entrymod.queries()
     assert "LeftSemi" in _plan(qs["q_exists_semi"](spark, sf_dir))
     assert "LeftAnti" in _plan(qs["q_not_exists_anti"](spark, sf_dir))
+
+
+def test_snapshot_diff_unit(spark):
+    """I/U/D classification, identical rows dropped, null-safe compare."""
+    from dbsync_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0)],
+        "k LONG, v STRING, w DOUBLE")
+    new = spark.createDataFrame(
+        [(2, "b", None), (3, "CHANGED", 3.0), (4, "d", 4.0)],
+        "k LONG, v STRING, w DOUBLE")
+    got = {r["k"]: r["change_type"]
+           for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "D", 3: "U", 4: "I"}  # 2 identical (null==null) -> absent
 
 
 def test_regional_volume_broadcasts_dimension_chain(spark, sf_dir):
