@@ -16,6 +16,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def log_window_diff(changes: DataFrame, key_cols: list[str],
+                    cutoff: int, id_col: str = "id",
+                    op_col: str = "operation") -> DataFrame:
+    """Net change set between the state at log position `cutoff` and the
+    final state, computed from the change log in ONE pass / ONE shuffle:
+    per key, aggregate both winners at once — max_by over all ids (new
+    state) and max_by over ids <= cutoff (old state; max_by skips rows
+    where the ordering key is NULL, so the filter is an expression, not a
+    second scan). No state join at all — this is the shape that survives
+    100 TB, vs. materializing two snapshots and full-outer-joining them
+    (snapshot_diff below, kept for states of independent provenance)."""
+    payload_cols = [c for c in changes.columns
+                    if c not in (id_col, op_col, *key_cols)]
+    row = F.struct(op_col, *payload_cols)
+    agg = changes.groupBy(*key_cols).agg(
+        F.max_by(row, F.col(id_col)).alias("_new"),
+        F.max_by(row, F.when(F.col(id_col) <= cutoff, F.col(id_col)))
+        .alias("_old"),
+    )
+    old_live = F.col("_old").isNotNull() & (F.col(f"_old.{op_col}") != "D")
+    new_live = F.col("_new").isNotNull() & (F.col(f"_new.{op_col}") != "D")
+    payload_same = reduce(
+        lambda a, b: a & b,
+        [F.col(f"_old.{c}").eqNullSafe(F.col(f"_new.{c}"))
+         for c in payload_cols],
+        F.lit(True))
+    change_type = (
+        F.when(~old_live & new_live, F.lit("I"))
+        .when(old_live & ~new_live, F.lit("D"))
+        .when(old_live & new_live & ~payload_same, F.lit("U")))
+    return (agg.withColumn("change_type", change_type)
+            .where(F.col("change_type").isNotNull())
+            .select(*key_cols, "change_type"))
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame,
                   key_cols: list[str]) -> DataFrame:
     """Rows keyed by `key_cols` that differ between `old` and `new`:

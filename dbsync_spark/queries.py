@@ -1047,15 +1047,16 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff (CDC net-change feed): the minimal I/U/D set between
     the state applied at 60% of the log and the final state — what a
     cascade consumer (reference's multi-level topology, Readme.md:8)
-    would replay downstream. One full-outer join on the key."""
-    from dbsync_spark.operators.diff import snapshot_diff
+    would replay downstream. Computed in ONE pass over the log (both
+    states aggregated per key in the same shuffle, no state join) —
+    operators/diff.log_window_diff; the general two-snapshot form
+    (snapshot_diff, full-outer join) is unit-tested separately."""
+    from dbsync_spark.operators.diff import log_window_diff
 
     log = build_log_orders(spark, sf_dir)
     changes = parse_changes(log, ORDERS_PAYLOAD_SCHEMA)
     cutoff = log.agg(F.max("id")).first()[0] * 3 // 5
-    old = last_writer_wins(changes.where(F.col("id") <= cutoff), ["o_orderkey"])
-    new = last_writer_wins(changes, ["o_orderkey"])
-    return snapshot_diff(old, new, ["o_orderkey"])
+    return log_window_diff(changes, ["o_orderkey"], cutoff)
 
 
 @_register("q_incremental_rollup", ORACLES["q_window_count"])

@@ -2,7 +2,8 @@
 
 The engine's input contract is the sync_data shape (schemas.py); the
 physical format is pluggable: parquet (columnar at-rest), JSON lines (what
-a Kafka topic dump or webhook spool looks like), CSV (legacy exports).
+a Kafka topic dump or webhook spool looks like), CSV (legacy exports), ORC
+(the other columnar at-rest format Spark ships natively).
 Batch and streaming readers share the format handling, so a pipeline can
 switch formats with one config value. Explicit schema everywhere — never
 inferSchema (a schema inference pass over 100 TB is a full extra scan).
@@ -16,7 +17,7 @@ from dbsync_spark.schemas import SYNC_DATA_SCHEMA
 
 _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
-FORMATS = ("parquet", "json", "csv")
+FORMATS = ("parquet", "json", "csv", "orc")
 
 
 def _options(fmt: str) -> dict[str, str]:
@@ -51,4 +52,11 @@ def write_log(log: DataFrame, path: str, fmt: str = "parquet",
               mode: str = "append") -> None:
     if fmt not in FORMATS:
         raise ValueError(f"unsupported log format {fmt!r}; one of {FORMATS}")
-    log.write.format(fmt).options(**_options(fmt)).mode(mode).save(path)
+    # conform to the wire schema at the writer boundary: readers declare
+    # SYNC_DATA_SCHEMA, and not every format coerces on read (ORC refuses
+    # NTZ->LTZ timestamps that parquet accepts)
+    from pyspark.sql import functions as F
+
+    conformed = log.select(
+        [F.col(f.name).cast(f.dataType) for f in SYNC_DATA_SCHEMA.fields])
+    conformed.write.format(fmt).options(**_options(fmt)).mode(mode).save(path)

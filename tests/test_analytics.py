@@ -92,6 +92,26 @@ def test_snapshot_diff_unit(spark):
     assert got == {1: "D", 3: "U", 4: "I"}  # 2 identical (null==null) -> absent
 
 
+def test_log_window_diff_equals_snapshot_diff(spark, sf_dir):
+    """The one-shuffle log diff must equal materialize-both-states +
+    full-outer-join (the definitional form)."""
+    from pyspark.sql import functions as F
+
+    from dbsync_spark.changelog import ORDERS_PAYLOAD_SCHEMA, build_log_orders
+    from dbsync_spark.operators.apply import last_writer_wins, parse_changes
+    from dbsync_spark.operators.diff import log_window_diff, snapshot_diff
+
+    log = build_log_orders(spark, sf_dir)
+    changes = parse_changes(log, ORDERS_PAYLOAD_SCHEMA).cache()
+    cutoff = log.agg(F.max("id")).first()[0] // 2
+    fast = log_window_diff(changes, ["o_orderkey"], cutoff)
+    old = last_writer_wins(changes.where(F.col("id") <= cutoff), ["o_orderkey"])
+    new = last_writer_wins(changes, ["o_orderkey"])
+    slow = snapshot_diff(old, new, ["o_orderkey"])
+    assert fast.count() == slow.count()
+    assert fast.exceptAll(slow).count() == 0
+
+
 def test_regional_volume_broadcasts_dimension_chain(spark, sf_dir):
     """Q5 shape: supplier/nation/region all broadcast — at least three
     BroadcastHashJoins, and no shuffle keyed on a dimension key."""

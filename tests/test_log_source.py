@@ -7,7 +7,7 @@ from dbsync_spark.operators.apply import last_writer_wins, parse_changes
 from dbsync_spark.sources.log_source import read_log, read_log_stream, write_log
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+@pytest.mark.parametrize("fmt", ["parquet", "json", "csv", "orc"])
 def test_log_roundtrip_all_formats(spark, sf_dir, tmp_path, fmt):
     """The same change log applied from any wire format yields the same
     final state (JSON payloads survive CSV quoting, timestamps survive the
