@@ -27,6 +27,9 @@ def get_spark(app_name: str = "dbsync-spark", shuffle_partitions: int | None = N
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # INT96 (legacy default) writes NO min/max stats -> no row-group
+        # skipping on timestamp filters; micros is the modern type
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -44,6 +44,23 @@ def read_date_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("_date")
 
 
+def write_range_clustered(df: DataFrame, path: str, order_col: str,
+                          num_files: int = 8) -> None:
+    """Range-cluster by `order_col` at write time: repartitionByRange
+    gives each output file a DISJOINT value range, and the within-file
+    sort tightens parquet row-group min/max stats. A later filter on
+    `order_col` then skips whole files/row-groups at the scan (time-travel
+    reads, as-of scans, incremental consumers) — the poor man's Z-order,
+    costing one range exchange at write."""
+    # INT96 timestamps carry no parquet stats; force the stats-bearing
+    # micros encoding regardless of the ambient session's conf
+    df.sparkSession.conf.set("spark.sql.parquet.outputTimestampType",
+                             "TIMESTAMP_MICROS")
+    (df.repartitionByRange(num_files, F.col(order_col))
+     .sortWithinPartitions(order_col)
+     .write.mode("overwrite").parquet(path))
+
+
 def compact(spark: SparkSession, path: str, target_files: int = 4,
             schema=None) -> int:
     """OPTIMIZE/VACUUM equivalent for append-only parquet dirs (the

@@ -83,3 +83,40 @@ def test_compact_small_files(spark, sf_dir, tmp_path):
     after_files = compact(spark, path, target_files=2)
     assert after_files <= 2 < before_files
     assert spark.read.parquet(path).count() == before_rows
+
+
+def test_range_clustered_files_are_disjoint(spark, sf_dir, tmp_path):
+    """write_range_clustered: every output file covers a disjoint ts
+    range (verified from parquet row-group statistics), so a ts filter
+    can skip whole files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dbsync_spark.sinks.layout import write_range_clustered
+    from dbsync_spark.sources.tables import read_table
+
+    events = read_table(spark, sf_dir, "events")
+    path = str(tmp_path / "range_clustered")
+    write_range_clustered(events, path, "ts", num_files=6)
+
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(md.row_group(rg).column(i)
+                       for i in range(md.num_columns)
+                       if md.row_group(rg).column(i).path_in_schema == "ts")
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file ranges overlap - no skipping possible"
+
+    # row count preserved
+    back = spark.read.parquet(path)
+    assert back.count() == events.count()
