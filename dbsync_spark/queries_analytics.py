@@ -491,6 +491,87 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @_register(
+    "q_funnel",
+    """
+WITH stages AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CASE
+         WHEN t_view IS NOT NULL AND t_click > t_view
+              AND t_purchase > t_click THEN 'purchased'
+         WHEN t_view IS NOT NULL AND t_click > t_view THEN 'clicked'
+         WHEN t_view IS NOT NULL THEN 'viewed'
+         ELSE 'none' END AS funnel_stage,
+       count(*) AS n_users
+FROM stages GROUP BY 1
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (view -> click -> purchase in time order): one
+    conditional-min aggregation per user, then a stage classification —
+    a single shuffle regardless of funnel depth (never N self-joins,
+    the naive funnel join is quadratic in stages)."""
+    ev = read_table(spark, sf_dir, "events")
+
+    def first_ts(et: str):
+        return F.min(F.when(F.col("event_type") == et, F.col("ts")))
+
+    stages = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"))
+    stage = (
+        F.when(F.col("t_view").isNotNull()
+               & (F.col("t_click") > F.col("t_view"))
+               & (F.col("t_purchase") > F.col("t_click")), "purchased")
+        .when(F.col("t_view").isNotNull()
+              & (F.col("t_click") > F.col("t_view")), "clicked")
+        .when(F.col("t_view").isNotNull(), "viewed")
+        .otherwise("none"))
+    return (stages.select(stage.alias("funnel_stage"))
+            .groupBy("funnel_stage").agg(F.count("*").alias("n_users")))
+
+
+@_register(
+    "q_cohort",
+    """
+WITH firsts AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_day, CAST(day_offset AS INT) AS day_offset,
+       count(*) AS n_active_users
+FROM activity GROUP BY cohort_day, day_offset
+""",
+)
+def q_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted on each
+    subsequent active day. The firsts table re-joins the events keyed by
+    user — both sides shuffle once on user_id and the join is co-located
+    (one exchange each, reused by the groupBys)."""
+    ev = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select("user_id", "cohort_day",
+                F.datediff(F.date_trunc("day", F.col("ts")),
+                           F.col("cohort_day")).alias("day_offset"))
+        .distinct())
+    return (activity.groupBy("cohort_day", "day_offset")
+            .agg(F.count("*").alias("n_active_users")))
+
+
+@_register(
     "q_json_funcs",
     """
 SELECT event_id,

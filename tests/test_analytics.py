@@ -35,6 +35,8 @@ ANALYTIC_ORACLE_BACKED = [
     "q_pandas_udf_score",
     "q_snapshot_diff",
     "q_incremental_rollup",
+    "q_funnel",
+    "q_cohort",
 ]
 
 
