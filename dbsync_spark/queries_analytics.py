@@ -491,6 +491,119 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @_register(
+    "q_nation_volume",
+    f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum({_REV_CENTS}) AS BIGINT) AS revenue_cents
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year,
+         l_extendedprice, l_discount
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def q_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): the two
+    nation legs broadcast, supplier broadcasts, and the orders-lineitem
+    fact join carries the only real shuffle."""
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    pair = ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")) | \
+           ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (li
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+            .where(pair)
+            .withColumn("l_year", F.year("l_shipdate").cast("int"))
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(F.sum(rev).alias("revenue_cents")))
+
+
+@_register(
+    "q_shipmode_priority",
+    """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+""",
+)
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (priority counts per line status): conditional
+    integer sums after the fact-fact key join."""
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    li = (read_table(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+          .select("l_orderkey", "l_linestatus"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).cast("long")
+                 .alias("low_line_count")))
+
+
+@_register(
+    "q_promo_share",
+    f"""
+SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV_CENTS}
+                     ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(sum({_REV_CENTS}) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV_CENTS}
+                     ELSE 0 END) AS DOUBLE)
+         / sum({_REV_CENTS}) AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+""",
+)
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion revenue share): part broadcasts into the
+    filtered lineitem scan; the share is one division of two exact
+    integer sums."""
+    li = (read_table(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+          .select("l_partkey", "l_extendedprice", "l_discount"))
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0)
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.sum(promo).cast("long").alias("promo_cents"),
+        F.sum(rev).cast("long").alias("total_cents"),
+        (F.sum(promo).cast("double") / F.sum(rev)).alias("promo_share"))
+
+
+@_register(
     "q_funnel",
     """
 WITH stages AS (

@@ -37,6 +37,9 @@ ANALYTIC_ORACLE_BACKED = [
     "q_incremental_rollup",
     "q_funnel",
     "q_cohort",
+    "q_nation_volume",
+    "q_shipmode_priority",
+    "q_promo_share",
 ]
 
 
