@@ -79,8 +79,6 @@ def main() -> None:
 
         return _T()
 
-    from pyspark.sql import types as T
-
     li_schema = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").schema
 
     # -- headline: end-to-end change-log apply ------------------------------
@@ -154,6 +152,15 @@ def main() -> None:
         QUERIES["q_top_revenue_orders"](spark, SF_DIR).collect()
     with timed("event_gaps_window"):
         QUERIES["q_event_gaps"](spark, SF_DIR).count()
+
+    # -- one-pass snapshot diff over the bench change log ---------------------
+    from dbsync_spark.operators.diff import log_window_diff
+
+    bench_changes = parse_changes(log, li_schema)
+    mid = log.agg(F.max("id")).first()[0] // 2
+    with timed("snapshot_diff"):
+        log_window_diff(bench_changes, ["l_orderkey", "l_linenumber"],
+                        mid).count()
 
     shutil.rmtree(workdir, ignore_errors=True)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

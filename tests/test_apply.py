@@ -1,8 +1,5 @@
 from __future__ import annotations
 
-import datetime as dt
-
-from pyspark.sql import functions as F
 
 import __spark_entry__ as entrymod
 from dbsync_spark.changelog import ORDERS_PAYLOAD_SCHEMA, build_log_orders

@@ -1,7 +1,6 @@
 from __future__ import annotations
 
 import json
-import os
 import urllib.request
 
 from dbsync_spark.app import DbSyncApp, poll_backoff_ms
