@@ -745,6 +745,67 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q_dedup_cluster"] = _CLUSTER_ORACLE_TEMPLATE.format(body=_minhash_cte_body())
 
 
+_KEEP_BEST_ORACLE_TEMPLATE = """
+WITH RECURSIVE {body},
+good AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+nodes(node) AS (SELECT doc_id FROM near_corpus),
+edges(src, dst) AS (
+  SELECT doc_a, doc_b FROM good UNION ALL SELECT doc_b, doc_a FROM good
+),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+),
+clusters AS (SELECT node AS doc_id, min(lab) AS canonical_id
+             FROM reach GROUP BY node),
+scored_docs AS (
+  SELECT c.canonical_id, c.doc_id,
+         CAST(len(string_split(n.text, ' ')) AS BIGINT) AS n_tokens
+  FROM clusters c JOIN near_corpus n ON n.doc_id = c.doc_id
+)
+SELECT canonical_id, doc_id AS kept_doc_id, n_tokens FROM (
+  SELECT *, row_number() OVER (PARTITION BY canonical_id
+                               ORDER BY n_tokens DESC, doc_id) AS _rn
+  FROM scored_docs
+) WHERE _rn = 1
+"""
+
+
+@_register("q_dedup_keep_best")
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonicalization: per near-dup cluster keep the
+    HIGHEST-QUALITY member (here: most tokens, ties to lowest id), not
+    blindly the lowest id — how a corpus pipeline picks survivors. The
+    per-cluster winner is a max_by aggregation (one shuffle over the
+    cluster map), never a sort of the corpus."""
+    from dbsync_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    off = docs.agg(F.max("doc_id")).first()[0] + 1
+    variants = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + off).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" spark")).alias("text"))
+    corpus = docs.unionByName(variants).cache()
+    pairs = dd.minhash_near_dups(corpus, threshold=0.5)
+    clusters = dd.dedup_clusters(corpus.select("doc_id"), pairs)
+    quality = corpus.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"))
+    ranked = clusters.join(quality, "doc_id")
+    # arg-max by (n_tokens, -doc_id): struct ordering gives the tiebreak
+    return (ranked.groupBy("canonical_id")
+            .agg(F.max_by(F.struct("doc_id", "n_tokens"),
+                          F.struct(F.col("n_tokens"), -F.col("doc_id")))
+                 .alias("_w"))
+            .select("canonical_id",
+                    F.col("_w.doc_id").alias("kept_doc_id"),
+                    F.col("_w.n_tokens").alias("n_tokens")))
+
+
+ORACLES["q_dedup_keep_best"] = _KEEP_BEST_ORACLE_TEMPLATE.format(
+    body=_minhash_cte_body())
+
+
 @_register(
     "q_asof_join",
     """

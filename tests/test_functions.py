@@ -13,6 +13,7 @@ ORACLE_BACKED = [
     "q_token_count", "q_lang_id", "q_quality", "q_fingerprint",
     "q_dedup_exact", "q_minhash_dedup", "q_simhash", "q_cosine_topk",
     "q_multimodal", "q_ngram_jaccard", "q_embed_dedup",
+    "q_dedup_keep_best",
 ]
 
 
