@@ -172,3 +172,24 @@ def test_write_upserts_end_to_end_sqlite(spark):
     con.close()
     os.remove(_SQLITE_PATH)
     assert rows == {1: "new", 3: "ins"}
+
+
+def test_demo_config_file_parses():
+    """examples/app-demo.yaml is a working user-facing config: parses,
+    applies defaulting rules, and yields runnable sync rules."""
+    import pathlib
+
+    from dbsync_spark.config import parse_config
+
+    text = (pathlib.Path(__file__).parent.parent / "examples"
+            / "app-demo.yaml").read_text()
+    cfg = parse_config(text)
+    assert [d.name for d in cfg.dbs] == ["db1", "db2", "pgprod"]
+    assert cfg.sys.partition == 20
+    assert cfg.sys.maxPollWait == 5000
+    rules = {r.source_table: r for r in cfg.syncs}
+    assert rules["orders"].resolved_target()[1] == "orders"       # defaulted lazily
+    assert rules["events"].resolved_target() == ("analytics", "events_synced")
+    assert rules["orders"].update_condition == "o_totalprice > 0"
+    assert rules["events"].insert_condition == "1=1"     # defaulted
+    assert cfg.monitors[0].action == "webhook"
