@@ -61,3 +61,70 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             })
 
     return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = ("doc_id LONG, width INT, height INT, "
+                  "payload BINARY, n_bytes LONG")
+
+
+def resize(media: DataFrame, width: int, height: int,
+           fake: bool = True) -> DataFrame:
+    """Resize stage (image thumbnailing for a vision pipeline). fake=True
+    'resizes' by deterministic byte truncation/padding to width*height
+    bytes — exercising the real Spark concerns (binary column through an
+    Arrow batch, new metadata, per-batch vectorization) without a codec.
+    fake=False is the PIL/opencv integration point."""
+    if not fake:
+        raise NotImplementedError(
+            "real resize requires PIL/opencv — not available in this "
+            "environment; pass fake=True for deterministic byte resizing")
+    target = width * height
+
+    def do_resize(batches):
+        for pdf in batches:
+            resized = pdf["payload"].apply(
+                lambda b: bytes(b)[:target].ljust(target, b"\0"))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "width": pd.Series([width] * len(pdf), dtype="int32"),
+                "height": pd.Series([height] * len(pdf), dtype="int32"),
+                "payload": resized,
+                "n_bytes": resized.apply(len).astype("int64"),
+            })
+
+    return media.mapInPandas(do_resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id LONG, frame_idx INT, frame_digest STRING"
+
+
+def frame_sample(media: DataFrame, every_n: int = 2,
+                 fake: bool = True) -> DataFrame:
+    """Frame sampling (video -> every_n-th frame): the one-to-many decode
+    shape. fake=True derives a deterministic frame count from the payload
+    digest (1..8) and a per-frame digest — the row-explosion, schema, and
+    Arrow batch handling are the real thing; fake=False is the pyav
+    integration point. Emitted rows per doc: ceil(n_frames / every_n)."""
+    if not fake:
+        raise NotImplementedError(
+            "real frame extraction requires pyav/ffmpeg — not available in "
+            "this environment; pass fake=True for deterministic frames")
+
+    def sample(batches):
+        for pdf in batches:
+            out_ids, out_idx, out_dig = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                digest = hashlib.md5(bytes(payload)).hexdigest()
+                n_frames = (int(digest[:2], 16) % 8) + 1
+                for i in range(0, n_frames, every_n):
+                    out_ids.append(doc_id)
+                    out_idx.append(i)
+                    out_dig.append(hashlib.md5(
+                        f"{digest}:{i}".encode()).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out_ids, dtype="int64"),
+                "frame_idx": pd.Series(out_idx, dtype="int32"),
+                "frame_digest": pd.Series(out_dig, dtype="object"),
+            })
+
+    return media.mapInPandas(sample, schema=FRAME_SCHEMA)

@@ -132,6 +132,34 @@ def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_frame_sample",
+    """
+WITH m AS (SELECT doc_id, md5(text) AS digest FROM documents),
+f AS (
+  SELECT doc_id, digest,
+         unnest(generate_series(0, (('0x' || substr(digest, 1, 2))::INT % 8),
+                                2)) AS frame_idx
+  FROM m
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       md5(digest || ':' || frame_idx) AS frame_digest
+FROM f
+""",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling (video -> every 2nd frame): the
+    one-to-many decode shape over Arrow batches (mapInPandas). The fake
+    decoder derives frame count and per-frame digests from the payload
+    md5, so the oracle reproduces the exact rows in SQL — proving the
+    explosion, schema, and batch plumbing, which is what transfers to a
+    real codec."""
+    from dbsync_spark.functions import multimodal as mm
+
+    media = mm.to_media(read_table(spark, sf_dir, "documents"))
+    return mm.frame_sample(media, every_n=2)
+
+
+@_register(
     "q_higher_order",
     """
 SELECT vec_id,

@@ -125,3 +125,34 @@ def test_dedup_clusters_transitive(spark):
     got = {r["doc_id"]: r["canonical_id"]
            for r in dedup_clusters(ids, pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 9: 9}
+
+
+def test_resize_deterministic_bytes(spark, sf_dir):
+    """Resize stage: every payload becomes exactly width*height bytes
+    (truncate/pad), deterministically."""
+    from dbsync_spark.functions.multimodal import resize, to_media
+    from dbsync_spark.sources.tables import read_table
+
+    media = to_media(read_table(spark, sf_dir, "documents").limit(50))
+    out = resize(media, width=16, height=8).cache()
+    assert out.count() == 50
+    from pyspark.sql import functions as F
+
+    assert out.where(F.col("n_bytes") != 16 * 8).count() == 0
+    again = resize(media, width=16, height=8)
+    assert out.select("doc_id", "payload").exceptAll(
+        again.select("doc_id", "payload")).count() == 0
+
+
+def test_resize_and_frame_sample_raise_without_codec(spark, sf_dir):
+    import pytest
+
+    from dbsync_spark.functions.multimodal import (frame_sample, resize,
+                                                   to_media)
+    from dbsync_spark.sources.tables import read_table
+
+    media = to_media(read_table(spark, sf_dir, "documents").limit(1))
+    with pytest.raises(NotImplementedError):
+        resize(media, 2, 2, fake=False)
+    with pytest.raises(NotImplementedError):
+        frame_sample(media, fake=False)

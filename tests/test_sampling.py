@@ -16,6 +16,7 @@ TRAINING_ORACLE_BACKED = [
     "q_pack_sequences",
     "q_udtf_tokenize",
     "q_higher_order",
+    "q_frame_sample",
 ]
 
 
