@@ -604,6 +604,34 @@ def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_large_volume_customers",
+    """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 250
+)
+SELECT o_custkey, o_orderkey, total_qty
+FROM big JOIN orders ON o_orderkey = l_orderkey
+""",
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): HAVING over a per-order
+    aggregate, then join back to orders. The aggregate shrinks the fact
+    table BEFORE the join — the surviving side is tiny, so AQE turns the
+    join broadcast at runtime."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("long")).cast("long")
+                .alias("total_qty"))
+           .where(F.col("total_qty") > 250))
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (big.join(orders, big.l_orderkey == orders.o_orderkey)
+            .select("o_custkey", "o_orderkey", "total_qty"))
+
+
+@_register(
     "q_funnel",
     """
 WITH stages AS (

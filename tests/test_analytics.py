@@ -40,6 +40,7 @@ ANALYTIC_ORACLE_BACKED = [
     "q_nation_volume",
     "q_shipmode_priority",
     "q_promo_share",
+    "q_large_volume_customers",
 ]
 
 
