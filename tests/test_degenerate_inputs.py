@@ -1,0 +1,74 @@
+"""Degenerate inputs: the core sync operators must behave on empty logs,
+empty status tables, and single-row inputs (bootstrap day-one states a
+production deployment actually hits)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbsync_spark.operators.apply import last_writer_wins, parse_changes
+from dbsync_spark.operators.diff import log_window_diff
+from dbsync_spark.operators.poll import poll_batch
+from dbsync_spark.operators.status import status_counts
+from dbsync_spark.schemas import SYNC_DATA_SCHEMA
+
+
+def _payload():
+    # fromDDL needs an active session: resolve lazily inside tests
+    from pyspark.sql.types import StructType
+
+    return StructType.fromDDL("k LONG, v STRING")
+
+
+def _empty_log(spark):
+    return spark.createDataFrame([], SYNC_DATA_SCHEMA)
+
+
+def test_apply_on_empty_log(spark):
+    changes = parse_changes(_empty_log(spark), _payload())
+    out = last_writer_wins(changes, ["k"])
+    assert out.count() == 0
+    assert set(out.columns) >= {"k", "v"}
+
+
+def test_poll_on_empty_log_and_empty_polled(spark):
+    log = _empty_log(spark).select("id", F.lit("x").alias("payload"))
+    polled = spark.createDataFrame([], "dataId LONG, createTime TIMESTAMP")
+    assert poll_batch(log, polled, 10).count() == 0
+
+    one = spark.createDataFrame([(1, "x")], "id LONG, payload STRING")
+    got = poll_batch(one, polled, 10).collect()
+    assert [r["id"] for r in got] == [1]
+
+
+def test_status_counts_all_pending(spark, sf_dir):
+    from dbsync_spark.changelog import build_log_orders
+
+    log = build_log_orders(spark, sf_dir).limit(10)
+    empty_status = spark.createDataFrame(
+        [], "dataId LONG, status STRING, message STRING, retry INT, "
+            "createTime TIMESTAMP")
+    rows = {r["status"]: r["cnt"]
+            for r in status_counts(log, empty_status).collect()}
+    assert rows == {"PENDING": 10}
+
+
+def test_log_window_diff_degenerate_cutoffs(spark):
+    changes = spark.createDataFrame(
+        [(1, "I", 1, "a"), (2, "U", 1, "b"), (3, "I", 2, "c")],
+        "id LONG, operation STRING, k LONG, v STRING")
+    # cutoff below all ids: everything is an insert
+    all_new = log_window_diff(changes, ["k"], cutoff=0)
+    assert {r["change_type"] for r in all_new.collect()} == {"I"}
+    assert all_new.count() == 2
+    # cutoff at max id: no changes
+    assert log_window_diff(changes, ["k"], cutoff=3).count() == 0
+
+
+def test_lww_single_row_and_delete_only(spark):
+    one = spark.createDataFrame(
+        [(1, "I", 7, "x")], "id LONG, operation STRING, k LONG, v STRING")
+    assert last_writer_wins(one, ["k"]).count() == 1
+    dels = spark.createDataFrame(
+        [(1, "D", 7, "x")], "id LONG, operation STRING, k LONG, v STRING")
+    assert last_writer_wins(dels, ["k"]).count() == 0
