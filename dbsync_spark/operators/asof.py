@@ -19,10 +19,16 @@ from pyspark.sql.window import Window
 
 def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               left_ts: str, right_ts: str,
-              right_cols: list[str]) -> DataFrame:
+              right_cols: list[str],
+              tolerance: str | None = None) -> DataFrame:
     """Left as-of join: latest right row (by right_ts <= left_ts) per key.
     Right side must be unique per (key, right_ts) — pre-reduce if not.
-    Right payload columns come back NULL when no right row precedes."""
+    Right payload columns come back NULL when no right row precedes.
+
+    `tolerance` (an INTERVAL string, e.g. "90 days") bounds staleness:
+    a match older than left_ts - tolerance is treated as no match (the
+    kdb `aj` / pandas `merge_asof(tolerance=...)` semantic). Implemented
+    as a null-out after the fill — no extra shuffle."""
     left_payload = [c for c in left.columns if c not in on]
     l_tagged = left.select(
         *on, F.col(left_ts).alias("_ts"), F.lit(1).alias("_side"),
@@ -41,12 +47,22 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     # right rows (side 0) sort before left rows at the same ts -> <= semantics
     w = (Window.partitionBy(*on).orderBy("_ts", "_side")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    match_ts = F.last(F.when(F.col("_side") == 0, F.col("_ts")),
+                      ignorenulls=True).over(w)
     filled = unioned.select(
-        "*", *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}")
-               for c in right_cols])
+        "*", match_ts.alias("_f__match_ts"),
+        *[F.last(c, ignorenulls=True).over(w).alias(f"_f_{c}")
+          for c in right_cols])
+    if tolerance is not None:
+        fresh = (F.col("_f__match_ts")
+                 >= F.col("_ts") - F.expr(f"INTERVAL {tolerance}"))
+        out_cols = [F.when(fresh, F.col(f"_f_{c}")).alias(c)
+                    for c in right_cols]
+    else:
+        out_cols = [F.col(f"_f_{c}").alias(c) for c in right_cols]
     return (filled.where(F.col("_side") == 1)
             .select(*on, *[c for c in left_payload if c != left_ts], left_ts,
-                    *[F.col(f"_f_{c}").alias(c) for c in right_cols]))
+                    *out_cols))
 
 
 def range_join(points: DataFrame, ranges: DataFrame, point_col: str,

@@ -604,6 +604,44 @@ def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_asof_tolerance",
+    """
+WITH ro AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id,
+       CASE WHEN o.o_orderdate >= e.ts - INTERVAL 90 DAY
+            THEN o.o_orderkey END AS o_orderkey,
+       CASE WHEN o.o_orderdate >= e.ts - INTERVAL 90 DAY
+            THEN o.o_orderdate END AS o_orderdate
+FROM events e
+ASOF LEFT JOIN ro o
+  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+""",
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with bounded staleness (tolerance 90 days): a preceding
+    order older than the tolerance is no match — the kdb `aj` / pandas
+    merge_asof(tolerance=...) semantic. Same one-shuffle union-and-fill
+    plan as q_asof_join; the tolerance is a post-fill null-out, not an
+    extra join. Oracle: DuckDB ASOF JOIN + staleness CASE."""
+    from dbsync_spark.operators.asof import asof_join
+
+    events = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts")
+    orders = (read_table(spark, sf_dir, "orders")
+              .groupBy("o_custkey", "o_orderdate")
+              .agg(F.max("o_orderkey").alias("o_orderkey"))
+              .withColumnRenamed("o_custkey", "user_id"))
+    joined = asof_join(events, orders, on=["user_id"],
+                       left_ts="ts", right_ts="o_orderdate",
+                       right_cols=["o_orderkey", "o_orderdate"],
+                       tolerance="90 days")
+    return joined.select("event_id", "user_id", "o_orderkey", "o_orderdate")
+
+
+@_register(
     "q_large_volume_customers",
     """
 WITH big AS (

@@ -41,6 +41,7 @@ ANALYTIC_ORACLE_BACKED = [
     "q_shipmode_priority",
     "q_promo_share",
     "q_large_volume_customers",
+    "q_asof_tolerance",
 ]
 
 
