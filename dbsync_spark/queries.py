@@ -1139,4 +1139,5 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # grouping sets, TPC-H shapes, scalar function suites) — registers into
 # QUERIES/ORACLES on import.
 from dbsync_spark import queries_analytics  # noqa: E402,F401
+from dbsync_spark import queries_tpch2  # noqa: E402,F401
 from dbsync_spark import queries_training  # noqa: E402,F401

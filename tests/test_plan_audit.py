@@ -27,6 +27,8 @@ BNLJ_ALLOWED = {
     "q_ann_ivf",           # broadcast centroids
     "q_cosine_topk",       # broadcast query vectors (tiny by contract)
     "q_embed_dedup",       # broadcast bucket bounds
+    "q_important_parts",     # 1-row total-value scalar broadcast (Q11)
+    "q_global_sales_opportunity",  # 1-row avg-balance scalar broadcast (Q22)
 }
 
 # global-sort windows over dimension-sized inputs (documented exceptions)
