@@ -93,3 +93,76 @@ def fingerprint(df: DataFrame, text_col: str = "text",
         .groupBy(id_col)
         .agg(F.sum("term").cast("long").alias("fingerprint"))
     )
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1, adapted to newline-free docs): duplicate-bigram fraction,
+    duplicate-trigram fraction, and the fraction of bigram occurrences
+    taken by the single most frequent bigram.
+
+    Distinct-fractions are computed array-side (array_distinct inside
+    codegen — zero shuffle, linear per doc); only the bigram *mode* needs
+    an explode + per-(doc, gram) count, keyed by doc_id so it scales with
+    the corpus, never concentrates."""
+    from dbsync_spark.functions.dedup import shingles
+
+    bi = shingles(F.col(text_col), 2)
+    tri = shingles(F.col(text_col), 3)
+    base = (df.where(F.size(tokens(F.col(text_col))) >= 3)
+            .select(id_col,
+                    bi.alias("_bi"),
+                    F.size(bi).alias("n_bigrams"),
+                    F.size(F.array_distinct(bi)).alias("_d2"),
+                    F.size(tri).alias("_n3"),
+                    F.size(F.array_distinct(tri)).alias("_d3")))
+    mode = (base.select(id_col, F.explode("_bi").alias("_g"))
+            .groupBy(id_col, "_g").count()
+            .groupBy(id_col).agg(F.max("count").alias("_m2")))
+    one = F.lit(1.0)
+    return (base.join(mode, on=id_col)
+            .select(
+                id_col,
+                "n_bigrams",
+                (one - F.col("_d2").cast("double") / F.col("n_bigrams"))
+                .alias("dup_bigram_frac"),
+                (F.col("_m2").cast("double") / F.col("n_bigrams"))
+                .alias("top_bigram_frac"),
+                (one - F.col("_d3").cast("double") / F.col("_n3"))
+                .alias("dup_trigram_frac")))
+
+
+def contamination(df: DataFrame, test_filter: Column,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 3) -> DataFrame:
+    """Train/test contamination check: for each held-out (test) document,
+    the fraction of its k-gram shingles that appear anywhere in the
+    training split (the decontamination primitive behind 13-gram overlap
+    filters; k is a parameter — the fixture corpus needs k=3 to exercise
+    nonzero overlap).
+
+    Shape for 100 TB: both sides reduce to distinct (id, shingle) /
+    (shingle) sets, and the only wide operation is one shuffle join on the
+    shingle hash — the exact shape of a production decontamination pass.
+    No driver-side sets, no broadcast of the (huge) train side."""
+    from dbsync_spark.functions.dedup import doc_shingles
+
+    marked = df.withColumn("_is_test", test_filter)
+    sh = doc_shingles(marked, text_col=text_col, id_col=id_col, k=k)
+    split = marked.select(id_col, "_is_test")
+    sh = sh.join(split, on=id_col)
+    test_sh = sh.where(F.col("_is_test")).select(id_col, "shingle")
+    train_set = (sh.where(~F.col("_is_test"))
+                 .select("shingle").distinct()
+                 .withColumn("_hit", F.lit(1)))
+    return (test_sh
+            .join(train_set, on="shingle", how="left")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_shingles"),
+                 F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                 .alias("n_overlap"))
+            .select(id_col, "n_shingles",
+                    F.col("n_overlap").cast("long").alias("n_overlap"),
+                    (F.col("n_overlap").cast("double") / F.col("n_shingles"))
+                    .alias("overlap_frac")))

@@ -185,3 +185,84 @@ def q_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(e, lambda x: x > 0)).alias("n_pos"),
         F.exists(e, lambda x: x > 0.9).alias("has_big"),
         rev_dot.alias("rev_dot"))
+
+
+_BI_TRI_BASE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+base AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(t) - 1),
+                        i -> array_to_string(list_slice(t, i, i + 1), ' ')) AS bi,
+         list_transform(generate_series(1, len(t) - 2),
+                        i -> array_to_string(list_slice(t, i, i + 2), ' ')) AS tri
+  FROM toks WHERE len(t) >= 3
+)"""
+
+
+@_register(
+    "q_repetition",
+    f"""
+WITH {_BI_TRI_BASE},
+bc AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(bi) AS g FROM base) GROUP BY doc_id, g
+),
+m AS (SELECT doc_id, max(c) AS m2 FROM bc GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(len(bi) AS INT) AS n_bigrams,
+       1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / len(bi)
+         AS dup_bigram_frac,
+       CAST(m.m2 AS DOUBLE) / len(bi) AS top_bigram_frac,
+       1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri)
+         AS dup_trigram_frac
+FROM base b JOIN m ON b.doc_id = m.doc_id
+""",
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (duplicate-bigram /
+    duplicate-trigram / top-bigram fractions) per document — the standard
+    filter features for removing boilerplate and degenerate repetition
+    from a pretraining corpus."""
+    from dbsync_spark.functions.text import repetition_signals
+
+    docs = read_table(spark, sf_dir, "documents")
+    return repetition_signals(docs)
+
+
+@_register(
+    "q_contamination",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+split AS (SELECT doc_id, source = 'src19' AS is_test FROM documents),
+test_sh AS (
+  SELECT s.doc_id, s.shingle FROM sh s JOIN split USING (doc_id)
+  WHERE is_test
+),
+train_set AS (
+  SELECT DISTINCT shingle FROM sh s JOIN split USING (doc_id)
+  WHERE NOT is_test
+)
+SELECT t.doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overlap,
+       CAST(sum(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS overlap_frac
+FROM test_sh t LEFT JOIN train_set tr ON t.shingle = tr.shingle
+GROUP BY t.doc_id
+""",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination: per held-out document (source 'src19'),
+    the fraction of its 3-gram shingles found anywhere in the training
+    split — the decontamination join (distinct shingle sets, one shuffle
+    on the shingle key) used before any benchmark evaluation."""
+    from dbsync_spark.functions.text import contamination
+
+    docs = read_table(spark, sf_dir, "documents")
+    return contamination(docs, F.col("source") == "src19")

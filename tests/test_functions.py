@@ -13,7 +13,7 @@ ORACLE_BACKED = [
     "q_token_count", "q_lang_id", "q_quality", "q_fingerprint",
     "q_dedup_exact", "q_minhash_dedup", "q_simhash", "q_cosine_topk",
     "q_multimodal", "q_ngram_jaccard", "q_embed_dedup",
-    "q_dedup_keep_best",
+    "q_dedup_keep_best", "q_repetition", "q_contamination",
 ]
 
 
@@ -156,3 +156,41 @@ def test_resize_and_frame_sample_raise_without_codec(spark, sf_dir):
         resize(media, 2, 2, fake=False)
     with pytest.raises(NotImplementedError):
         frame_sample(media, fake=False)
+
+
+def test_repetition_signals_on_planted_docs(spark):
+    from dbsync_spark.functions.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b a b"),       # one bigram dominates
+         (2, "u v w x y z q r"),       # all bigrams unique
+         (3, "a b")],                  # too short (< 3 tokens): dropped
+        "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    assert set(out) == {1, 2}
+    # doc 1: 7 bigrams, only 2 distinct ('a b' x4, 'b a' x3)
+    assert out[1]["n_bigrams"] == 7
+    assert abs(out[1]["dup_bigram_frac"] - 5 / 7) < 1e-12
+    assert abs(out[1]["top_bigram_frac"] - 4 / 7) < 1e-12
+    assert out[1]["dup_trigram_frac"] > 0.5
+    # doc 2: no repetition at all
+    assert out[2]["dup_bigram_frac"] == 0.0
+    assert abs(out[2]["top_bigram_frac"] - 1 / 7) < 1e-12
+    assert out[2]["dup_trigram_frac"] == 0.0
+
+
+def test_contamination_exact_copy_fully_flagged(spark):
+    from dbsync_spark.functions.text import contamination
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps", "train"),
+         (2, "lorem ipsum dolor sit amet", "train"),
+         (3, "the quick brown fox jumps", "test"),   # verbatim copy
+         (4, "completely novel held out text", "test")],
+        "doc_id LONG, text STRING, source STRING")
+    out = {r["doc_id"]: r
+           for r in contamination(docs, F.col("source") == "test").collect()}
+    assert set(out) == {3, 4}
+    assert out[3]["overlap_frac"] == 1.0   # every shingle leaked
+    assert out[4]["overlap_frac"] == 0.0   # nothing leaked
+    assert out[3]["n_shingles"] == 3       # 5 tokens -> 3 trigrams
