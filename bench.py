@@ -153,6 +153,27 @@ def main() -> None:
     with timed("event_gaps_window"):
         QUERIES["q_event_gaps"](spark, SF_DIR).count()
 
+    # -- full TPC-H 22-shape suite (one wall-clock number) --------------------
+    tpch = [
+        "q_pricing_summary", "q_min_cost_supplier", "q_top_revenue_orders",
+        "q_exists_semi", "q_regional_volume", "q_forecast_revenue",
+        "q_nation_volume", "q_market_share", "q_profit_by_nation",
+        "q_returned_items", "q_important_parts", "q_shipmode_priority",
+        "q_order_count_dist", "q_promo_share", "q_top_supplier",
+        "q_supplier_counts", "q_small_qty_revenue", "q_large_volume_customers",
+        "q_disjunctive_revenue", "q_excess_suppliers", "q_waiting_suppliers",
+        "q_global_sales_opportunity",
+    ]
+    with timed("tpch_22_suite"):
+        for qname in tpch:
+            QUERIES[qname](spark, SF_DIR).count()
+
+    # -- training-data quality signals over documents -------------------------
+    with timed("repetition_quality"):
+        QUERIES["q_repetition"](spark, SF_DIR).count()
+    with timed("contamination"):
+        QUERIES["q_contamination"](spark, SF_DIR).count()
+
     # -- one-pass snapshot diff over the bench change log ---------------------
     from dbsync_spark.operators.diff import log_window_diff
 

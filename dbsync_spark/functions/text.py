@@ -102,34 +102,41 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     duplicate-trigram fraction, and the fraction of bigram occurrences
     taken by the single most frequent bigram.
 
-    Distinct-fractions are computed array-side (array_distinct inside
-    codegen — zero shuffle, linear per doc); only the bigram *mode* needs
-    an explode + per-(doc, gram) count, keyed by doc_id so it scales with
-    the corpus, never concentrates."""
+    Every signal — including the bigram *mode* — is computed array-side
+    inside whole-stage codegen: distinct fractions via array_distinct, the
+    most-frequent-bigram count as a run-length fold over the SORTED bigram
+    array (sort groups equal grams adjacently; one linear pass finds the
+    longest run). The whole operator is a narrow map over the scan — zero
+    shuffles, zero joins — so at 100 TB it runs at scan speed with no
+    exchange."""
     from dbsync_spark.functions.dedup import shingles
 
     bi = shingles(F.col(text_col), 2)
     tri = shingles(F.col(text_col), 3)
-    base = (df.where(F.size(tokens(F.col(text_col))) >= 3)
-            .select(id_col,
-                    bi.alias("_bi"),
-                    F.size(bi).alias("n_bigrams"),
-                    F.size(F.array_distinct(bi)).alias("_d2"),
-                    F.size(tri).alias("_n3"),
-                    F.size(F.array_distinct(tri)).alias("_d3")))
-    mode = (base.select(id_col, F.explode("_bi").alias("_g"))
-            .groupBy(id_col, "_g").count()
-            .groupBy(id_col).agg(F.max("count").alias("_m2")))
+
+    def mode_count(arr):
+        init = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                        F.lit(0).alias("best"))
+
+        def step(acc, x):
+            run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            return F.struct(x.alias("prev"), run.alias("run"),
+                            F.greatest(acc.best, run).alias("best"))
+
+        return F.aggregate(F.array_sort(arr), init, step, lambda a: a.best)
+
     one = F.lit(1.0)
-    return (base.join(mode, on=id_col)
+    n2 = F.size(bi)
+    return (df.where(F.size(tokens(F.col(text_col))) >= 3)
             .select(
                 id_col,
-                "n_bigrams",
-                (one - F.col("_d2").cast("double") / F.col("n_bigrams"))
+                n2.alias("n_bigrams"),
+                (one - F.size(F.array_distinct(bi)).cast("double") / n2)
                 .alias("dup_bigram_frac"),
-                (F.col("_m2").cast("double") / F.col("n_bigrams"))
+                (mode_count(bi).cast("double") / n2)
                 .alias("top_bigram_frac"),
-                (one - F.col("_d3").cast("double") / F.col("_n3"))
+                (one - F.size(F.array_distinct(tri)).cast("double")
+                 / F.size(tri))
                 .alias("dup_trigram_frac")))
 
 

@@ -194,3 +194,12 @@ def test_contamination_exact_copy_fully_flagged(spark):
     assert out[3]["overlap_frac"] == 1.0   # every shingle leaked
     assert out[4]["overlap_frac"] == 0.0   # nothing leaked
     assert out[3]["n_shingles"] == 3       # 5 tokens -> 3 trigrams
+
+def test_repetition_plan_is_shuffle_free(spark, sf_dir):
+    """The quality pass must run at scan speed: no exchange, no join —
+    the mode is a sorted-array fold inside codegen."""
+    df = entrymod.queries()["q_repetition"](spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
