@@ -210,3 +210,20 @@ def srp_ann_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def kmeans_assign(corpus: DataFrame, dim: int, n_clusters: int = 8,
+                  iters: int = 2, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Distributed k-means clustering (Lloyd's) over an embedding column —
+    the corpus-organization primitive behind IVF indexing, semantic
+    sharding, and diversity-aware data selection.
+
+    Iterative-algorithm shape for 100 TB: per iteration, the ONLY driver
+    traffic is the aggregate state (n_clusters x dim float sums + counts);
+    assignment is a vectorized numpy matmul over Arrow batches and the
+    update is one groupBy — the data never leaves the executors, and the
+    iteration count is a small constant, not data-dependent."""
+    centroids = kmeans_centroids(corpus, dim, n_clusters, iters=iters,
+                                 id_col=id_col, vec_col=vec_col)
+    return _assign_clusters(corpus, centroids, id_col, vec_col, nprobe=1)

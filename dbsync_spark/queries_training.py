@@ -266,3 +266,15 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return contamination(docs, F.col("source") == "src19")
+
+
+@_register("q_cluster_assign")  # rows-only: float centroid means are not
+# bit-stable across engines; geometry properties are pytest-verified
+def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means cluster assignment over the embeddings corpus (8 clusters,
+    2 Lloyd iterations, deterministic lowest-id seeding) — iterative
+    algorithm on Spark with only aggregate state crossing the driver."""
+    from dbsync_spark.functions.similarity import kmeans_assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, dim=64, n_clusters=8, iters=2)

@@ -203,3 +203,33 @@ def test_repetition_plan_is_shuffle_free(spark, sf_dir):
         df._jdf.queryExecution(), "formatted")
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+def test_kmeans_properties(spark, sf_dir):
+    """Lloyd's must (a) not increase SSE across iterations, (b) use more
+    than one cluster, (c) assign each vector to its true nearest centroid."""
+    import numpy as np
+
+    from dbsync_spark.functions.similarity import (_assign_clusters,
+                                                   kmeans_centroids)
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in rows}
+    unit = {i: v / np.linalg.norm(v) for i, v in vecs.items()}
+
+    def sse(centroids):
+        return sum(
+            min(float(np.sum((u - c) ** 2)) for c in centroids)
+            for u in unit.values())
+
+    c1 = kmeans_centroids(emb, dim=64, n_clusters=8, iters=1)
+    c2 = kmeans_centroids(emb, dim=64, n_clusters=8, iters=2)
+    assert sse(c2) <= sse(c1) + 1e-9
+
+    assigned = {r["vec_id"]: r["cluster"]
+                for r in _assign_clusters(emb, c2).collect()}
+    assert len(set(assigned.values())) > 1
+    for vid, u in list(unit.items())[:50]:
+        expect = int(np.argmax(c2 @ u))
+        assert assigned[vid] == expect, vid
