@@ -42,6 +42,24 @@ def parse_changes(log: DataFrame, payload_schema: StructType) -> DataFrame:
     ).select("id", "operation", "row.*")
 
 
+def split_corrupt(log: DataFrame, data_col: str = "data"
+                  ) -> tuple[DataFrame, DataFrame]:
+    """(good, bad): route structurally invalid JSON payloads to a
+    dead-letter frame instead of silently null-filling them.
+
+    The reference treats an unparseable change as an apply failure (ack
+    ERR, sync/DataSyncer.scala:156-167) — Jackson throws at
+    DataPoller.scala:91 and the row enters the retry path. Spark's
+    PERMISSIVE from_json would instead produce an all-null row image and
+    MERGE it as real data — a silent-corruption hazard. Validity test is
+    try_parse_json (variant parse -> NULL on malformed), which matches
+    DuckDB's json_valid() on structural validity exactly, is pure codegen
+    (no Python), and folds into the scan — the split costs one predicate,
+    no extra pass."""
+    valid = F.try_parse_json(F.col(data_col)).isNotNull()
+    return log.where(valid), log.where(~valid | F.col(data_col).isNull())
+
+
 def last_writer_wins(changes: DataFrame, key_cols: list[str],
                      id_col: str = "id", op_col: str = "operation") -> DataFrame:
     """Final state of applying `changes` in id order: per key, the event

@@ -1135,6 +1135,40 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_counts(snapshot, increment)
 
 
+
+@_register(
+    "q_corrupt_deadletter",
+    f"""
+WITH {oracles.LOG_ORDERS_CTE}
+SELECT id AS dataId,
+       CASE WHEN id % 97 = 0 THEN 'ERR' ELSE 'OK' END AS status
+FROM log_orders
+""",
+)
+def q_corrupt_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-payload dead-lettering: structurally invalid JSON row
+    images ack ERR (the reference's apply-failure path for unparseable
+    changes, DataSyncer.scala:156-167) instead of silently null-merging.
+    Fixture plants corruption by truncating every 97th payload (dropping a
+    JSON object's trailing brace is always structurally invalid, so the
+    oracle's expected split is purely id-determined); validity =
+    try_parse_json, which matches DuckDB json_valid on structural
+    validity."""
+    from dbsync_spark.operators.apply import split_corrupt
+
+    log = build_log_orders(spark, sf_dir)
+    mangled = log.withColumn(
+        "data",
+        F.when(F.col("id") % 97 == 0,
+               F.expr("substring(data, 1, length(data) - 1)"))
+        .otherwise(F.col("data")))
+    good, bad = split_corrupt(mangled)
+    return (good.select(F.col("id").alias("dataId"), F.lit("OK").alias("status"))
+            .unionByName(
+                bad.select(F.col("id").alias("dataId"),
+                           F.lit("ERR").alias("status"))))
+
+
 # Analytic surface beyond the reference (window functions, semi/anti joins,
 # grouping sets, TPC-H shapes, scalar function suites) — registers into
 # QUERIES/ORACLES on import.

@@ -109,9 +109,21 @@ class SyncPipeline:
             F.current_timestamp().alias("createTime")))
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from dbsync_spark.operators.apply import split_corrupt
+
+        relevant = self._relevant(batch_df)
+        good, bad = split_corrupt(relevant)
+        if not bad.isEmpty():
+            # reference semantics: unparseable change -> ERR ack (enters
+            # the retry surface; it can never converge, but it is visible
+            # and counted, never silently null-merged)
+            self._write_acks(bad.select(
+                F.col("id").alias("dataId"), F.lit("ERR").alias("status"),
+                F.lit("malformed payload").alias("message"),
+                F.lit(0).alias("retry"),
+                F.current_timestamp().alias("createTime")))
         changes = apply_conditions(
-            parse_changes(self._relevant(batch_df), self.payload_schema),
-            self.rule)
+            parse_changes(good, self.payload_schema), self.rule)
         self.apply_changes(changes)
 
     def retry_pass(self) -> bool:
@@ -130,8 +142,13 @@ class SyncPipeline:
             return False
         from dbsync_spark.sources.log_source import read_log
 
+        from dbsync_spark.operators.apply import split_corrupt
+
         log = read_log(self.spark, self.log_path, self.log_format)
-        rows = self._relevant(log).join(
+        # malformed payloads stay ERR forever (visible in the status
+        # table); retrying them would merge all-null row images
+        retryable, _ = split_corrupt(self._relevant(log))
+        rows = retryable.join(
             bad.select(F.col("dataId").alias("id"),
                        F.col("retry").alias("_tries0")),
             on="id")

@@ -217,3 +217,42 @@ def test_streaming_sessionization_matches_batch(spark, sf_dir):
              .groupBy("user_id").agg(F.count("*").alias("n")).collect())
     assert {(r["user_id"], r["n"]) for r in got} == \
            {(r["user_id"], r["n"]) for r in batch}
+
+
+def test_corrupt_payloads_dead_letter_not_merged(spark, sf_dir):
+    """Malformed JSON payloads must ack ERR, never merge as null rows —
+    and retry_pass must not resurrect them."""
+    workdir = tempfile.mkdtemp(prefix="dbsync_corrupt_t_")
+    log = build_log_orders(spark, sf_dir).cache()
+    mangled = log.withColumn(
+        "data",
+        F.when(F.col("id") % 11 == 0, F.lit("{not json"))
+        .when(F.col("id") % 13 == 1, F.lit(None).cast("string"))
+        .otherwise(F.col("data")))
+    mangled.write.mode("append").parquet(f"{workdir}/log")
+    n_bad = mangled.where(
+        (F.col("id") % 11 == 0) | (F.col("id") % 13 == 1)).count()
+
+    rule = SyncRule("db1", "public", "orders", ("o_orderkey",))
+    pipe = SyncPipeline(
+        spark, rule, ORDERS_PAYLOAD_SCHEMA,
+        log_path=f"{workdir}/log", target_path=f"{workdir}/target",
+        status_path=f"{workdir}/status", checkpoint_path=f"{workdir}/ckpt")
+    pipe.run_to_completion()
+
+    acks = spark.read.parquet(f"{workdir}/status")
+    assert acks.where(F.col("status") == "ERR").count() == n_bad
+    assert acks.where((F.col("status") == "ERR")
+                      & (F.col("message") == "malformed payload")
+                      ).count() == n_bad
+
+    # no null key ever reaches the target
+    target = live_rows(pipe.target.read(spark))
+    assert target.where(F.col("o_orderkey").isNull()).count() == 0
+
+    # retry must not merge the malformed rows either
+    v = pipe.target.current_version()
+    assert pipe.retry_pass() is True  # ERRs exist -> a pass runs
+    target2 = live_rows(pipe.target.read(spark))
+    assert target2.where(F.col("o_orderkey").isNull()).count() == 0
+    assert target2.count() == target.count()
