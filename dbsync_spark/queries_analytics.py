@@ -1026,3 +1026,86 @@ def q_pandas_udf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         score(_cents(F.col("o_totalprice")),
               F.col("o_orderpriority")).alias("score"))
+
+
+@_register(
+    "q_regression",
+    """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(l_quantity AS BIGINT)) AS sx,
+         sum(CAST(round(l_discount * 10000, 0) AS BIGINT)) AS sy,
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+         sum(CAST(round(l_discount * 10000, 0) AS BIGINT)
+             * CAST(round(l_discount * 10000, 0) AS BIGINT)) AS syy,
+         sum(CAST(l_quantity AS BIGINT)
+             * CAST(round(l_discount * 10000, 0) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS slope,
+       (CAST(sy AS DOUBLE)
+          - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx))
+            * CAST(sx AS DOUBLE)) / n AS intercept,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS r
+FROM s
+""",
+)
+def q_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares regression + Pearson r (quantity vs
+    discount basis points) from EXACT integer moment sums — never the
+    built-in float corr/covar (their incremental update trees are not
+    associative across partial aggregates, so they can never hash-match
+    another engine). The moments (n, Sx, Sy, Sxx, Syy, Sxy) are int64
+    sums with map-side combine; the float formulas run once per group on
+    exact inputs, so the doubles are bit-identical on both engines."""
+    li = read_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_discount") * 10000, 0).cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num.cast("double") / dx
+    return s.select(
+        "l_returnflag", "n",
+        slope.alias("slope"),
+        ((F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+         / F.col("n")).alias("intercept"),
+        (num.cast("double")
+         / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))))
+        .alias("r"))
+
+
+@_register(
+    "q_downsample",
+    f"""
+SELECT user_id, date_trunc('hour', ts) AS bucket,
+       count(*) AS n_events,
+       arg_max({_CENTS.format(x='value')}, ts) AS last_cents,
+       min({_CENTS.format(x='value')}) AS min_cents,
+       max({_CENTS.format(x='value')}) AS max_cents
+FROM events
+GROUP BY user_id, date_trunc('hour', ts)
+""",
+)
+def q_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gauge downsampling (the hypertable-rollup primitive):
+    per (series, hour) keep the LAST observation plus min/max envelope —
+    max_by/arg_max, one keyed shuffle with map-side combine, no window
+    sort. (user_id, ts) is unique in the fixture, so last-by-ts is
+    deterministic."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = _cents(F.col("value"))
+    return (ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+            .agg(F.count("*").alias("n_events"),
+                 F.max_by(cents, F.col("ts")).alias("last_cents"),
+                 F.min(cents).alias("min_cents"),
+                 F.max(cents).alias("max_cents")))

@@ -42,6 +42,8 @@ ANALYTIC_ORACLE_BACKED = [
     "q_promo_share",
     "q_large_volume_customers",
     "q_asof_tolerance",
+    "q_regression",
+    "q_downsample",
 ]
 
 
