@@ -1109,3 +1109,76 @@ def q_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max_by(cents, F.col("ts")).alias("last_cents"),
                  F.min(cents).alias("min_cents"),
                  F.max(cents).alias("max_cents")))
+
+
+@_register(
+    "q_incremental_join",
+    f"""
+SELECT o_orderkey, o_custkey, l_linenumber,
+       {_REV_CENTS} AS revenue_cents
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+""",
+)
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance: the maintained view after an
+    append-only refresh (delta algebra dV = dA⋈B ∪ A⋈dB ∪ dA⋈dB,
+    operators/ivm.py) must EXACTLY equal the full-recompute oracle. The
+    split plants deltas on both sides (every 4th order, every 3rd
+    lineitem order); each delta leg broadcasts, so a refresh costs
+    O(delta), not O(base) — the view-level analog of the reference's
+    incremental table sync."""
+    from dbsync_spark.operators.ivm import refresh
+
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (read_table(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("o_orderkey"), "l_linenumber",
+                  _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .alias("revenue_cents")))
+    old_a = orders.where(F.col("o_orderkey") % 4 != 0)
+    d_a = orders.where(F.col("o_orderkey") % 4 == 0)
+    old_b = li.where(F.col("o_orderkey") % 3 != 0)
+    d_b = li.where(F.col("o_orderkey") % 3 == 0)
+    view = old_a.join(old_b, on=["o_orderkey"])
+    return refresh(view, old_a, d_a, old_b, d_b, on=["o_orderkey"])
+
+
+@_register(
+    "q_grouped_pandas_norm",
+    f"""
+WITH c AS (
+  SELECT event_id, user_id, {_CENTS.format(x='value')} AS cents,
+         min({_CENTS.format(x='value')}) OVER (PARTITION BY user_id) AS mn,
+         max({_CENTS.format(x='value')}) OVER (PARTITION BY user_id) AS mx
+  FROM events
+)
+SELECT event_id, user_id,
+       CASE WHEN mx = mn THEN 0.5
+            ELSE CAST(cents - mn AS DOUBLE) / (mx - mn) END AS norm
+FROM c
+""",
+)
+def q_grouped_pandas_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas API (applyInPandas): per-user min-max
+    normalization computed inside an Arrow-batched pandas function — the
+    escape hatch for per-group logic Spark expressions can't state
+    (sklearn transforms, per-group model scoring). Here the logic IS
+    SQL-expressible, so the oracle verifies the Arrow plumbing end-to-end:
+    integer cents in, one float subtract/divide out — bit-identical to
+    the window-function formulation on both engines. One shuffle on the
+    group key, same as the window plan."""
+    import pandas as pd
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", _cents(F.col("value")).alias("cents"))
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["cents"].min(), pdf["cents"].max()
+        if hi == lo:
+            out = pd.Series(0.5, index=pdf.index)
+        else:
+            out = (pdf["cents"] - lo) / (hi - lo)
+        return pd.DataFrame({"event_id": pdf["event_id"],
+                             "user_id": pdf["user_id"], "norm": out})
+
+    return ev.groupBy("user_id").applyInPandas(
+        norm, schema="event_id LONG, user_id LONG, norm DOUBLE")

@@ -44,6 +44,8 @@ ANALYTIC_ORACLE_BACKED = [
     "q_asof_tolerance",
     "q_regression",
     "q_downsample",
+    "q_incremental_join",
+    "q_grouped_pandas_norm",
 ]
 
 
