@@ -278,3 +278,29 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_table(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, dim=64, n_clusters=8, iters=2)
+
+
+@_register(
+    "q_fuzzy_dedup",
+    """
+WITH b AS (
+  SELECT doc_id, lang, CAST(floor(n_chars / 50) AS BIGINT) AS bucket,
+         substr(text, 1, 40) AS prefix
+  FROM documents
+)
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       levenshtein(x.prefix, y.prefix) AS dist
+FROM b x JOIN b y ON x.lang = y.lang AND x.bucket = y.bucket
+  AND x.doc_id < y.doc_id
+WHERE levenshtein(x.prefix, y.prefix) <= 12
+""",
+)
+def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) near-dup pairs with blocking — record-linkage
+    shape: block on (lang, length bucket), levenshtein only within blocks,
+    never a cross join. Both engines implement the identical Wagner-
+    Fischer distance, so pairs and distances hash-match exactly."""
+    from dbsync_spark.functions.dedup import fuzzy_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    return fuzzy_dedup(docs)
