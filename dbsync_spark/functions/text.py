@@ -140,6 +140,79 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
                 .alias("dup_trigram_frac")))
 
 
+def distinctive_terms(df: DataFrame, k: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """TF-IDF-shaped top-k distinctive terms per document.
+
+    score = tf * N / df with the *exact-ratio* idf (N/df) instead of
+    ln(N/df): the ranking it induces per document is identical (ln is
+    monotone), and the arithmetic — integer product, one IEEE double
+    division — is bit-identical across engines, unlike libm ln.
+
+    Scale shape: explode -> partial-agg tf keyed (doc, term) -> df is a
+    second partial agg keyed term -> join back on term -> per-doc top-k
+    window partitioned by doc_id. N is a 1-row broadcast, never a collect.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), "term")
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .select(id_col, "term", "tf", "df", "score"))
+
+
+def corpus_clean(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", min_tokens: int = 5,
+                 max_tokens: int = 10000, min_distinct: float = 0.3,
+                 stop_threshold: float = 0.05) -> DataFrame:
+    """Composite corpus-cleaning pipeline — the canonical pretraining-data
+    pass, fused into one plan: quality gate (token-count bounds +
+    type-token ratio), language gate (stopword-ratio heuristic, same law
+    as lang_id), and exact-dedup canonicalization (keep the min-id doc per
+    md5 digest).
+
+    Scale shape: all features are narrow map-side expressions over the
+    scan; the ONLY wide operation is the dedup window keyed by digest
+    (one hash exchange). The quality/language filters run before nothing —
+    they're pure row predicates, so Catalyst evaluates them map-side and
+    the exchange only carries rows that already passed the gates.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    feats = df.select(
+        id_col,
+        F.md5(F.col(text_col)).alias("_digest"),
+        n.alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / n)
+        .alias("distinct_ratio"),
+        (n_stop.cast("double") / n).alias("stop_ratio"),
+    ).where(
+        (n >= min_tokens) & (n <= max_tokens))
+    feats = feats.where(
+        (F.col("distinct_ratio") >= min_distinct)
+        & (F.col("stop_ratio") >= stop_threshold))
+    w = Window.partitionBy("_digest")
+    return (feats
+            .withColumn("_keep", F.min(id_col).over(w) == F.col(id_col))
+            .where("_keep")
+            .select(id_col, "n_tokens", "distinct_ratio", "stop_ratio"))
+
+
 def contamination(df: DataFrame, test_filter: Column,
                   text_col: str = "text", id_col: str = "doc_id",
                   k: int = 3) -> DataFrame:

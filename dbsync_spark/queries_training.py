@@ -281,6 +281,75 @@ def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_tfidf_topk",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score
+  FROM tf JOIN dfreq USING (term), n
+)
+SELECT doc_id, term, tf, df, score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn
+      FROM scored)
+WHERE rn <= 3
+""",
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 distinctive terms per document. Uses the exact-ratio
+    idf (tf * N / df) — rank-equivalent to ln(N/df) per document and
+    bit-identical across engines (integer product + one IEEE division;
+    libm ln is not portable). Two partial-agg shuffles (doc-term, term) +
+    a per-doc top-k window; corpus size N is a 1-row broadcast."""
+    from dbsync_spark.functions.text import distinctive_terms
+
+    docs = read_table(spark, sf_dir, "documents")
+    return distinctive_terms(docs, k=3)
+
+
+@_register(
+    "q_corpus_clean",
+    """
+WITH feats AS (
+  SELECT doc_id, md5(text) AS digest,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS distinct_ratio,
+         CAST(len(list_filter(string_split(text, ' '),
+                              t -> t IN ('the', 'a'))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio
+  FROM documents
+  WHERE len(string_split(text, ' ')) BETWEEN 5 AND 10000
+),
+gated AS (
+  SELECT * FROM feats
+  WHERE distinct_ratio >= 0.3 AND stop_ratio >= 0.05
+)
+SELECT doc_id, n_tokens, distinct_ratio, stop_ratio
+FROM gated
+WHERE doc_id = (SELECT min(g2.doc_id) FROM gated g2
+                WHERE g2.digest = gated.digest)
+""",
+)
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning in ONE fused plan: token-count bounds +
+    type-token-ratio quality gate + stopword-ratio language gate + exact
+    near-dup canonicalization (min doc_id per md5 digest). The gates are
+    map-side row predicates at the scan; the only exchange is the dedup
+    window keyed by digest — the shape a 100 TB cleaning pass needs."""
+    from dbsync_spark.functions.text import corpus_clean
+
+    docs = read_table(spark, sf_dir, "documents")
+    return corpus_clean(docs)
+
+
+@_register(
     "q_fuzzy_dedup",
     """
 WITH b AS (
