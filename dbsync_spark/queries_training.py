@@ -349,6 +349,46 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_clean(docs)
 
 
+def _pii_oracle() -> str:
+    from dbsync_spark.functions.text import PII_PATTERNS as P
+
+    aug = ("text || ' contact user' || CAST(doc_id AS VARCHAR)"
+           " || '@mail.example.com from 10.'"
+           " || CAST(doc_id % 200 AS VARCHAR) || '.0.1 call +1-555-014-'"
+           " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')")
+    red = "text"
+    for name, pat in P.items():
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{name}"
+        for name, pat in P.items())
+    return (f"WITH aug AS (SELECT doc_id, {aug} AS text FROM documents) "
+            f"SELECT doc_id, {counts}, md5({red}) AS redacted_md5 FROM aug")
+
+
+@_register("q_pii_redact", _pii_oracle())
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: per document, count + redact emails, IPv4
+    addresses, and phone numbers with typed placeholders. The fixture
+    corpus is PII-free, so the query deterministically plants synthetic
+    PII (derived from doc_id) before redacting — both engines build and
+    scrub the identical string, and the md5 of the redacted text proves
+    exact equality. Pure regexp map over the scan: zero shuffles."""
+    from dbsync_spark.functions.text import pii_redact
+
+    docs = read_table(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.1 call +1-555-014-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")))
+    return pii_redact(aug)
+
+
 @_register(
     "q_fuzzy_dedup",
     """

@@ -14,7 +14,7 @@ ORACLE_BACKED = [
     "q_dedup_exact", "q_minhash_dedup", "q_simhash", "q_cosine_topk",
     "q_multimodal", "q_ngram_jaccard", "q_embed_dedup",
     "q_dedup_keep_best", "q_repetition", "q_contamination",
-    "q_fuzzy_dedup", "q_tfidf_topk", "q_corpus_clean",
+    "q_fuzzy_dedup", "q_tfidf_topk", "q_corpus_clean", "q_pii_redact",
 ]
 
 
