@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dbsync_spark.functions.text import h15, tokens
+from dbsync_spark.sources.tables import fan_out
 
 NUM_MINHASHES = 16
 BAND_SIZE = 4  # 4 bands of 4 -> candidate if any band collides
@@ -141,14 +142,87 @@ def exact_jaccard(candidates: DataFrame, shingled: DataFrame,
 def minhash_near_dups(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", threshold: float = 0.5,
                       k: int = 3) -> DataFrame:
-    """End-to-end MinHash LSH near-dup pairs with exact-Jaccard verify.
-    The shingle set feeds both the signatures and the verify join — cache
-    it so shingling (explode + distinct) runs once, not twice."""
-    shingled = doc_shingles(df, text_col, id_col, k).cache()
-    sigs = minhash_signatures(shingled, id_col)
-    cands = lsh_candidates(lsh_bands(sigs, id_col), id_col)
-    scored = exact_jaccard(cands, shingled, id_col)
-    return scored.where(F.col("jaccard") >= threshold)
+    """End-to-end MinHash LSH near-dup pairs with exact-Jaccard verify,
+    computed row-locally with array higher-order functions wherever the
+    math allows:
+
+    - signatures:     one fused row-local pass per document — tokenize ->
+                      shingle -> md5 -> 16 affine mins via
+                      array_min(transform(...)). min over the raw shingle
+                      multiset == min over the distinct set, so no
+                      array_distinct and no shuffle on this path.
+    - band keys:      row-local md5 over signature slices; only the
+                      resulting 4 rows/doc enter the LSH self-join,
+    - exact verify:   rebuild the DISTINCT shingle-set array only for the
+                      (tiny, LSH-filtered) candidate doc ids via a
+                      broadcast semi-join, then the broadcast pair join
+                      computes size(array_intersect) locally — set
+                      semantics, same result as the relational
+                      intersect-count.
+
+    The only shuffles left are the tiny band self-join and the
+    candidate-subset joins. No caching: materializing per-doc wide string
+    arrays in the block store costs more than recomputing them for the
+    small candidate subset (measured at sf0.1). The exploded relational
+    forms above (doc_shingles/minhash_signatures/...) remain the scale
+    fallback for corpora whose individual documents are too large to hold
+    their shingle set in one row (~multi-MB docs); for typical web/train
+    corpora (KB-scale docs) the array form is strictly fewer shuffles."""
+    hashes = F.transform(shingles(F.col(text_col), k),
+                         lambda s: h15(s) % MERSENNE31)
+
+    def _mh(i: int):
+        # one-arg lambda (a 2-arg lambda would make Spark pass the array
+        # index as the second argument)
+        return lambda h: (F.lit(UH_A[i]) * h + F.lit(UH_B[i])) % MERSENNE31
+
+    # the signature pass is pure per-row CPU (md5 per shingle x 16 affine
+    # mins) — make sure it runs on all cores even for single-split inputs
+    sigs = (
+        fan_out(df).select(F.col(id_col), hashes.alias("_hs"))
+        .where(F.size("_hs") > 0)
+        .select(F.col(id_col),
+                *[F.array_min(F.transform("_hs", _mh(i))).alias(f"mh{i}")
+                  for i in range(NUM_MINHASHES)])
+    )
+
+    n_bands = NUM_MINHASHES // BAND_SIZE
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[
+                F.col(f"mh{b * BAND_SIZE + j}").cast("string")
+                for j in range(BAND_SIZE)
+            ])).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
+    ).select(id_col, "b.band", "b.band_key")
+    cands = lsh_candidates(bands, id_col)
+
+    cand_ids = (cands.select(F.col("doc_a").alias(id_col))
+                .unionByName(cands.select(F.col("doc_b").alias(id_col)))
+                .distinct())
+    sets = (
+        fan_out(df).join(F.broadcast(cand_ids), on=id_col, how="semi")
+        .select(F.col(id_col),
+                F.array_distinct(shingles(F.col(text_col), k)).alias("_sh"))
+    )
+    sets_a = sets.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa"))
+    sets_b = sets.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sb"))
+    n_inter = F.size(F.array_intersect("_sa", "_sb"))
+    jac = (n_inter.cast("double")
+           / (F.size("_sa") + F.size("_sb") - n_inter)).alias("jaccard")
+    # broadcast the candidate pairs: LSH keeps them tiny relative to the
+    # corpus, and a sort-merge join here would shuffle every document's
+    # shingle-set array (the widest column in the pipeline)
+    return (
+        F.broadcast(cands).join(sets_a, on="doc_a").join(sets_b, on="doc_b")
+        .select("doc_a", "doc_b", jac)
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def ngram_jaccard_vs_query(df: DataFrame, query_doc_id: int,
@@ -244,7 +318,7 @@ def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """SimHash signature: for each bit, vote +1/-1 per distinct token by
     that bit of h8(token); bit set iff the vote sum is positive."""
-    toked = df.select(
+    toked = fan_out(df).select(
         id_col, F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
     toked = toked.withColumn("_h", h8(F.col("tok")))  # hash once per token
     h = F.col("_h")

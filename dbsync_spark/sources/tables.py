@@ -32,6 +32,32 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(ts_type, LongType):
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         if isinstance(ts_type, TimestampNTZType):
+            # The cast is only a re-tag when the session timezone is UTC;
+            # under any other timezone it would shift every wall-clock value.
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz not in ("UTC", "Etc/UTC", "GMT"):
+                raise ValueError(
+                    f"events.ts is TIMESTAMP_NTZ; session timezone must be UTC "
+                    f"for a lossless cast, got {tz!r} (use dbsync_spark.session.get_spark)"
+                )
             return df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        raise ValueError(
+            f"events.ts has unexpected parquet-decoded type {ts_type}; "
+            "expected INT64 TIMESTAMP(NANOS) (read as LongType via nanosAsLong) "
+            "or TIMESTAMP_NTZ — fixture schema drift, fix read_table before use"
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition, but ONLY when the plan produced fewer
+    partitions than cores — small single-file fixtures scan as 1-2 splits,
+    which would serialize a CPU-heavy per-row stage (hashing, shingling,
+    vector math) onto 1-2 cores. At production scale the input already has
+    >= cores splits and this is the identity: no shuffle injected. Use at
+    the entry of compute-bound per-row pipelines, never before cheap
+    scan->agg plans (there the extra exchange costs more than it buys)."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
