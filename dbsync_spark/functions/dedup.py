@@ -168,6 +168,27 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text",
     fallback for corpora whose individual documents are too large to hold
     their shingle set in one row (~multi-MB docs); for typical web/train
     corpora (KB-scale docs) the array form is strictly fewer shuffles."""
+    cands, sets = _lsh_candidate_sets(df, text_col, id_col, k)
+    sets_a = sets.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa"))
+    sets_b = sets.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sb"))
+    n_inter = F.size(F.array_intersect("_sa", "_sb"))
+    jac = (n_inter.cast("double")
+           / (F.size("_sa") + F.size("_sb") - n_inter)).alias("jaccard")
+    # broadcast the candidate pairs: LSH keeps them tiny relative to the
+    # corpus, and a sort-merge join here would shuffle every document's
+    # shingle-set array (the widest column in the pipeline)
+    return (
+        F.broadcast(cands).join(sets_a, on="doc_a").join(sets_b, on="doc_b")
+        .select("doc_a", "doc_b", jac)
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _lsh_candidate_sets(df: DataFrame, text_col: str, id_col: str,
+                        k: int) -> tuple[DataFrame, DataFrame]:
+    """Shared LSH front end: (candidate id pairs, distinct shingle-set
+    arrays for exactly the candidate ids). Signatures and band keys are
+    row-local; only 4 narrow rows/doc enter the self-join."""
     hashes = F.transform(shingles(F.col(text_col), k),
                          lambda s: h15(s) % MERSENNE31)
 
@@ -210,18 +231,71 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text",
         .select(F.col(id_col),
                 F.array_distinct(shingles(F.col(text_col), k)).alias("_sh"))
     )
+    return cands, sets
+
+
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.8,
+                      k: int = 3, max_shingle_df: int = 3) -> DataFrame:
+    """Asymmetric containment: containment(A in B) = |A∩B| / |A|.
+    Catches quotes/subsets that symmetric Jaccard misses — a short
+    document fully embedded in a long one has high containment but low
+    Jaccard (the union is dominated by the long doc).
+
+    Candidate generation is NOT MinHash-LSH: band collision probability
+    tracks Jaccard, so a high-containment low-Jaccard pair would almost
+    never collide. Instead: a rare-shingle inverted index — any pair
+    sharing at least one shingle whose corpus document-frequency is
+    between 2 and `max_shingle_df` becomes a candidate. Every contained
+    quote shares ALL its shingles with its host, so recall is 1.0 for
+    quotes containing at least one rare shingle; candidate volume is
+    bounded by sum over rare shingles of C(df,2) <= C(max_df,2) * n_rare
+    (linear, never the O(n^2) cross join). Verify = exact set
+    containment via array_intersect on the candidate subset only.
+
+    The index is built over h15(shingle) — 60-bit keys keep all three
+    index shuffles narrow instead of moving multi-word strings; the
+    (hash-space-rare) collision risk is harmless because the exact
+    verify runs on the full string shingle sets. The hashed (id, shash)
+    frame is localCheckpointed: it feeds the df-count, both self-join
+    sides, and checkpoint sizes let AQE pick broadcast for the (small)
+    rare side at fixture scale while the same plan degrades to a shuffle
+    join when the rare set is actually large."""
+    sh = (fan_out(df)
+          .select(F.col(id_col),
+                  F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+          .select(F.col(id_col), h15(F.col("shingle")).alias("shash"))
+          .distinct()
+          .localCheckpoint(eager=False))
+    rare = (sh.groupBy("shash")
+            .agg(F.count("*").alias("_df"))  # (id, shash) is distinct
+            .where((F.col("_df") >= 2) & (F.col("_df") <= max_shingle_df))
+            .select("shash"))
+    rsh = sh.join(rare, on="shash")
+    cands = (rsh.select(F.col(id_col).alias("doc_a"), "shash")
+             .join(rsh.select(F.col(id_col).alias("doc_b"), "shash"),
+                   on="shash")
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b")
+             .distinct())
+    cand_ids = (cands.select(F.col("doc_a").alias(id_col))
+                .unionByName(cands.select(F.col("doc_b").alias(id_col)))
+                .distinct())
+    sets = (
+        fan_out(df).join(F.broadcast(cand_ids), on=id_col, how="semi")
+        .select(F.col(id_col),
+                F.array_distinct(shingles(F.col(text_col), k)).alias("_sh"))
+    )
     sets_a = sets.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa"))
     sets_b = sets.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sb"))
     n_inter = F.size(F.array_intersect("_sa", "_sb"))
-    jac = (n_inter.cast("double")
-           / (F.size("_sa") + F.size("_sb") - n_inter)).alias("jaccard")
-    # broadcast the candidate pairs: LSH keeps them tiny relative to the
-    # corpus, and a sort-merge join here would shuffle every document's
-    # shingle-set array (the widest column in the pipeline)
+    cont_a = (n_inter.cast("double") / F.size("_sa")).alias("cont_a_in_b")
+    cont_b = (n_inter.cast("double") / F.size("_sb")).alias("cont_b_in_a")
     return (
         F.broadcast(cands).join(sets_a, on="doc_a").join(sets_b, on="doc_b")
-        .select("doc_a", "doc_b", jac)
-        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", cont_a, cont_b)
+        .where((F.col("cont_a_in_b") >= threshold)
+               | (F.col("cont_b_in_a") >= threshold))
     )
 
 

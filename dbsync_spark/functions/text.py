@@ -277,3 +277,78 @@ def contamination(df: DataFrame, test_filter: Column,
                     F.col("n_overlap").cast("long").alias("n_overlap"),
                     (F.col("n_overlap").cast("double") / F.col("n_shingles"))
                     .alias("overlap_frac")))
+
+
+def segment_dedup(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", seg_tokens: int = 4,
+                  df_threshold: int = 2) -> DataFrame:
+    """Boilerplate segment removal — the paragraph/line-dedup pass (CCNet
+    shape) generalized to fixed `seg_tokens`-token segments so it applies
+    to corpora without newline structure: chunk each document's token
+    stream into non-overlapping segments, count how many DISTINCT
+    documents each segment occurs in, and flag segments appearing in >=
+    `df_threshold` docs as boilerplate. Per doc: segment count,
+    boilerplate count, retained fraction.
+
+    Scale shape: segments are computed row-locally (transform over one
+    token split — no explode before the aggregate keying), the only wide
+    ops are the segment doc-frequency aggregate and the segment join —
+    both shuffle on the segment key with map-side combine. Exactly the
+    production boilerplate-removal topology; at 100 TB the segment key
+    would be hashed (h15) to keep shuffle rows narrow."""
+    toks = tokens(F.col(text_col))
+    n_seg = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * seg_tokens + 1, seg_tokens)))
+    seg = df.select(F.col(id_col), F.explode(segs).alias("seg"))
+    dfreq = seg.groupBy("seg").agg(
+        F.count_distinct(id_col).alias("seg_df"))
+    return (seg.join(dfreq, on="seg")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_segments"),
+                 F.sum(F.when(F.col("seg_df") >= df_threshold, 1)
+                       .otherwise(0)).alias("n_boilerplate"))
+            .select(id_col, "n_segments",
+                    F.col("n_boilerplate").cast("long").alias("n_boilerplate"),
+                    ((F.col("n_segments") - F.col("n_boilerplate"))
+                     .cast("double") / F.col("n_segments"))
+                    .alias("retained_frac")))
+
+
+def bigram_stats(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", min_count: int = 2) -> DataFrame:
+    """Collocation statistics: for every adjacent token pair seen >=
+    `min_count` times corpus-wide, its bigram count, both unigram counts,
+    and a PMI-proportional association score
+    score = c_xy * N_tokens^2 / (N_bigrams * c_x * c_y)
+    computed as ONE division of two exact BIGINT products so the double
+    is bit-identical across engines (the counts stay well under 2^53 at
+    fixture scale; a production corpus would log-transform after the
+    exact ratio).
+
+    One explode feeds both unigram and bigram counts; the three
+    aggregates are narrow-key shuffles with map-side combine, and the
+    final enrichment joins broadcast the (small) unigram table."""
+    toked = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    uni = toked.groupBy("tok").agg(F.count("*").alias("c"))
+    bg = (df.select(tokens(F.col(text_col)).alias("tk"))
+          .select(F.explode(F.expr(
+              "transform(sequence(1, size(tk)-1), i -> struct(tk[i-1] as w1, tk[i] as w2))"))
+              .alias("b"))
+          .select("b.w1", "b.w2"))
+    totals = bg.agg(F.count("*").alias("n_bigrams")).crossJoin(
+        toked.agg(F.count("*").alias("n_tokens")))
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_xy")) \
+            .where(F.col("c_xy") >= min_count)
+    num = F.col("c_xy") * F.col("n_tokens") * F.col("n_tokens")
+    den = F.col("n_bigrams") * F.col("c1.c") * F.col("c2.c")
+    return (bgc
+            .join(F.broadcast(uni.alias("c1")),
+                  F.col("w1") == F.col("c1.tok"))
+            .join(F.broadcast(uni.alias("c2")),
+                  F.col("w2") == F.col("c2.tok"))
+            .crossJoin(F.broadcast(totals))
+            .select("w1", "w2", "c_xy",
+                    F.col("c1.c").alias("c_x"), F.col("c2.c").alias("c_y"),
+                    (num.cast("double") / den.cast("double")).alias("score")))

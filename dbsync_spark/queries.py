@@ -463,6 +463,75 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_near_dups(corpus, threshold=0.5)
 
 
+_CONTAINMENT_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+         array_to_string((string_split(text, ' '))[1:12], ' ')
+  FROM documents
+  WHERE doc_id % 20 = 0 AND len(string_split(text, ' ')) >= 24
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+shh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shash
+  FROM sh
+),
+rare AS (
+  SELECT shash FROM (
+    SELECT shash, count(*) AS _df FROM shh GROUP BY shash
+  ) WHERE _df BETWEEN 2 AND 3
+),
+rsh AS (SELECT shh.doc_id, shh.shash FROM shh JOIN rare USING (shash)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM rsh a JOIN rsh b ON a.shash = b.shash
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_inter AS DOUBLE) / na.n AS cont_a_in_b,
+       CAST(i.n_inter AS DOUBLE) / nb.n AS cont_b_in_a
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE) / na.n >= 0.8
+   OR CAST(i.n_inter AS DOUBLE) / nb.n >= 0.8
+"""
+
+
+@_register("q_containment", _CONTAINMENT_ORACLE)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment (quote/subset detection): |A∩B|/|A| over a
+    corpus where every 20th document also appears as a 12-token quote.
+    Candidates come from a rare-shingle inverted index, NOT MinHash-LSH —
+    band collisions track symmetric Jaccard, which is near zero for a
+    short quote inside a long host, so LSH would miss exactly the pairs
+    this operator exists to find (functions/dedup.py containment_pairs)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    off = docs.agg(F.max("doc_id")).first()[0] + 1
+    toks = F.split(F.col("text"), " ")
+    quotes = (docs.where((F.col("doc_id") % 20 == 0) & (F.size(toks) >= 24))
+              .select((F.col("doc_id") + off).alias("doc_id"),
+                      F.concat_ws(" ", F.slice(toks, 1, 12)).alias("text")))
+    corpus = docs.unionByName(quotes)
+    return dd.containment_pairs(corpus, threshold=0.8)
+
+
 def _simhash_oracle(bits: int = 32) -> str:
     votes = ",\n         ".join(
         f"sum(CASE WHEN (_h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"

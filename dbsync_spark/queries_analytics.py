@@ -1182,3 +1182,43 @@ def q_grouped_pandas_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ev.groupBy("user_id").applyInPandas(
         norm, schema="event_id LONG, user_id LONG, norm DOUBLE")
+
+
+@_register(
+    "q_attribution",
+    """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d,
+         count(*) OVER (PARTITION BY user_id) AS n_ev
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         max(CASE WHEN rn_a = 1 THEN event_type END) AS first_touch,
+         max(CASE WHEN rn_d = 1 THEN event_type END) AS last_touch,
+         max(n_ev) AS n_ev
+  FROM ranked GROUP BY user_id
+)
+SELECT first_touch, last_touch,
+       count(*) AS n_users,
+       CAST(sum(n_ev) AS BIGINT) AS n_events
+FROM per_user GROUP BY first_touch, last_touch
+""",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch attribution: per user the first and last
+    event type by (ts, event_id), then user counts per (first, last)
+    pair. Spark side uses min_by/max_by over a struct ordering key — one
+    hash aggregate with map-side partials instead of two window sorts
+    (at 100 TB: one shuffle on user_id, no per-partition global sort)."""
+    ev = read_table(spark, sf_dir, "events")
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min_by("event_type", ordk).alias("first_touch"),
+        F.max_by("event_type", ordk).alias("last_touch"),
+        F.count("*").alias("n_ev"))
+    return (per_user.groupBy("first_touch", "last_touch")
+            .agg(F.count("*").alias("n_users"),
+                 F.sum("n_ev").alias("n_events")))

@@ -413,3 +413,65 @@ def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return fuzzy_dedup(docs)
+
+
+@_register(
+    "q_segment_dedup",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+seg AS (
+  SELECT t.doc_id,
+         array_to_string(t.tk[(u.i*4+1):(u.i*4+4)], ' ') AS seg
+  FROM t, unnest(generate_series(0, CAST(ceil(len(t.tk) / 4.0) AS INT) - 1)) AS u(i)
+),
+dfreq AS (SELECT seg, count(DISTINCT doc_id) AS seg_df FROM seg GROUP BY seg)
+SELECT s.doc_id,
+       count(*) AS n_segments,
+       CAST(sum(CASE WHEN d.seg_df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boilerplate,
+       CAST(count(*) - sum(CASE WHEN d.seg_df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / count(*) AS retained_frac
+FROM seg s JOIN dfreq d USING (seg)
+GROUP BY s.doc_id
+""",
+)
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate segment removal (the paragraph/line-dedup pass,
+    generalized to fixed 4-token segments): per document, how many of its
+    segments appear in >= 2 distinct documents and the retained fraction
+    after dropping them (functions/text.py segment_dedup)."""
+    from dbsync_spark.functions.text import segment_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    return segment_dedup(docs, seg_tokens=4, df_threshold=2)
+
+
+@_register(
+    "q_bigram_pmi",
+    """
+WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+toks AS (SELECT unnest(tk) AS tok FROM t),
+uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+bg AS (SELECT t.tk[u.i] AS w1, t.tk[u.i+1] AS w2
+       FROM t, unnest(generate_series(1, len(t.tk) - 1)) AS u(i)),
+tot AS (SELECT (SELECT count(*) FROM bg) AS n_bigrams,
+               (SELECT count(*) FROM toks) AS n_tokens),
+bgc AS (SELECT w1, w2, count(*) AS c_xy FROM bg
+        GROUP BY w1, w2 HAVING count(*) >= 2)
+SELECT b.w1, b.w2, b.c_xy, c1.c AS c_x, c2.c AS c_y,
+       CAST(b.c_xy * t.n_tokens * t.n_tokens AS DOUBLE)
+         / CAST(t.n_bigrams * c1.c * c2.c AS DOUBLE) AS score
+FROM bgc b
+JOIN uni c1 ON b.w1 = c1.tok
+JOIN uni c2 ON b.w2 = c2.tok, tot t
+""",
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocation statistics: corpus-wide adjacent-pair counts,
+    unigram counts, and a PMI-proportional association score computed as
+    one division of two exact BIGINT products, so the double is
+    bit-identical across engines (functions/text.py bigram_stats)."""
+    from dbsync_spark.functions.text import bigram_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bigram_stats(docs, min_count=2)

@@ -234,3 +234,62 @@ def test_kmeans_properties(spark, sf_dir):
     for vid, u in list(unit.items())[:50]:
         expect = int(np.argmax(c2 @ u))
         assert assigned[vid] == expect, vid
+
+
+class TestSegmentDedup:
+    def test_identical_docs_all_boilerplate(self, spark):
+        from dbsync_spark.functions.text import segment_dedup
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h"), (2, "a b c d e f g h"),
+             (3, "x y z w p q r s")],
+            "doc_id long, text string")
+        rows = {r.doc_id: r for r in segment_dedup(df, seg_tokens=4,
+                                                   df_threshold=2).collect()}
+        assert rows[1].n_segments == 2 and rows[1].n_boilerplate == 2
+        assert rows[1].retained_frac == 0.0
+        assert rows[3].n_boilerplate == 0 and rows[3].retained_frac == 1.0
+
+    def test_partial_trailing_segment(self, spark):
+        from dbsync_spark.functions.text import segment_dedup
+        df = spark.createDataFrame([(1, "a b c d e")],
+                                   "doc_id long, text string")
+        r = segment_dedup(df, seg_tokens=4).collect()[0]
+        assert r.n_segments == 2  # 'a b c d' + trailing 'e'
+
+
+class TestBigramStats:
+    def test_counts_and_score(self, spark):
+        from dbsync_spark.functions.text import bigram_stats
+        # "a b" occurs twice (docs 1,2); N_tokens=8, N_bigrams=5
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c"), (3, "c a")],
+            "doc_id long, text string")
+        rows = {(r.w1, r.w2): r for r in bigram_stats(df, min_count=2).collect()}
+        ab = rows[("a", "b")]
+        assert ab.c_xy == 2 and ab.c_x == 3 and ab.c_y == 2
+        assert ab.score == (2 * 8 * 8) / (5 * 3 * 2)
+
+
+class TestContainment:
+    def test_quote_detected_despite_low_jaccard(self, spark):
+        from dbsync_spark.functions.dedup import containment_pairs
+        host = " ".join(f"w{i}" for i in range(40))
+        quote = " ".join(f"w{i}" for i in range(10))
+        other = " ".join(f"v{i}" for i in range(40))
+        df = spark.createDataFrame(
+            [(1, host), (2, quote), (3, other)],
+            "doc_id long, text string")
+        rows = containment_pairs(df, threshold=0.8).collect()
+        pairs = {(r.doc_a, r.doc_b): r for r in rows}
+        assert (1, 2) in pairs
+        r = pairs[(1, 2)]
+        # quote (doc 2, 8 shingles) fully inside host (38 shingles):
+        # containment of B in A is 1.0, symmetric Jaccard only 8/38
+        assert r.cont_b_in_a == 1.0
+        assert r.cont_a_in_b == 8 / 38
+
+    def test_lsh_would_miss_it(self, spark):
+        """Documents the reason containment uses rare-shingle blocking:
+        the Jaccard of a short quote in a long host is far below any LSH
+        operating point."""
+        assert 8 / 38 < 0.25
