@@ -88,6 +88,11 @@ def main() -> None:
     build_bench_log(spark, SF_DIR).write.mode("overwrite").parquet(f"{workdir}/log")
     log = spark.read.parquet(f"{workdir}/log")
     log_rows = log.count()
+    # warm-up (untimed): run the apply once over a 1% slice so the timed
+    # number measures the operator at steady state, not JVM/codegen warmup
+    warm = parse_changes(log.where(F.col("id") % 100 == 0), li_schema)
+    last_writer_wins(warm, ["l_orderkey", "l_linenumber"]).write.mode(
+        "overwrite").parquet(f"{workdir}/warm")
     with timed("apply_e2e"):
         changes = parse_changes(log, li_schema)
         final = last_writer_wins(changes, ["l_orderkey", "l_linenumber"])
@@ -173,6 +178,14 @@ def main() -> None:
         QUERIES["q_repetition"](spark, SF_DIR).count()
     with timed("contamination"):
         QUERIES["q_contamination"](spark, SF_DIR).count()
+    with timed("containment"):
+        QUERIES["q_containment"](spark, SF_DIR).count()
+    with timed("segment_dedup"):
+        QUERIES["q_segment_dedup"](spark, SF_DIR).count()
+    with timed("bigram_pmi"):
+        QUERIES["q_bigram_pmi"](spark, SF_DIR).count()
+    with timed("attribution"):
+        QUERIES["q_attribution"](spark, SF_DIR).count()
 
     # -- one-pass snapshot diff over the bench change log ---------------------
     from dbsync_spark.operators.diff import log_window_diff

@@ -13,6 +13,28 @@ import os
 from pyspark.sql import SparkSession
 
 
+# Confs we would additionally set on a real multi-executor cluster. Not
+# baked into get_spark() because the fixture scale sits below the default
+# thresholds; tests/test_plans.py pins that the optimizer actually injects
+# the runtime bloom filter once a join crosses them.
+SCALE_CONFS = {
+    # Runtime bloom-filter join pruning: build a bloom filter from the
+    # filtered (small) side of a shuffle join and apply it to the scan of
+    # the big side — rows that cannot match are dropped BEFORE the
+    # shuffle. At 100 TB this is the difference between shuffling the
+    # full fact table and shuffling only the matching fraction. Defaults
+    # (10 MB creation side / 10 GB application side) are tuned for real
+    # clusters; enabled=true is already the Spark default, listed here
+    # for explicitness.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Larger advisory partition size at scale: fewer, fuller shuffle
+    # partitions amortize per-task overhead once data volumes are real.
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128MB",
+    # Skewed-partition splitting thresholds (AQE skew join is already on).
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256MB",
+}
+
+
 def get_spark(app_name: str = "dbsync-spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:

@@ -79,3 +79,40 @@ def test_status_counts_partial_aggregation(spark, sf_dir):
     counts = status_counts(log, derive_status_fixture(log))
     plan = _plan(counts)
     assert "partial_count" in plan
+
+
+def test_runtime_bloom_filter_injected_at_scale_thresholds(spark, sf_dir):
+    """SCALE_CONFS story: when a selective dimension filter feeds a
+    shuffle join whose probe side crosses the application threshold, the
+    optimizer builds a bloom filter from the filtered side and applies it
+    to the fact scan BEFORE the shuffle — at 100 TB that shrinks the
+    shuffled volume to roughly the matching fraction. Fixture sizes sit
+    under the production defaults, so the test lowers the application
+    threshold to prove the injection actually happens for our join shape
+    (and restores every conf afterwards)."""
+    saved = {}
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "10KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in overrides.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+                  .where(F.col("o_orderpriority") == "1-URGENT"))
+        j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, "runtime bloom filter not injected"
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
