@@ -1222,3 +1222,60 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (per_user.groupBy("first_touch", "last_touch")
             .agg(F.count("*").alias("n_users"),
                  F.sum("n_ev").alias("n_events")))
+
+
+@_register(
+    "q_gap_fill",
+    """
+WITH src AS (SELECT * FROM events WHERE value > 95),
+cells AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS cnt
+  FROM src GROUP BY 1, 2
+),
+spine AS (
+  SELECT et.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM src) et
+  CROSS JOIN (SELECT unnest(generate_series(
+      (SELECT date_trunc('hour', min(ts)) FROM src),
+      (SELECT date_trunc('hour', max(ts)) FROM src),
+      INTERVAL 1 HOUR)) AS h) g
+),
+filled AS (
+  SELECT s.event_type, s.h, c.cnt
+  FROM spine s LEFT JOIN cells c ON s.event_type = c.event_type AND s.h = c.h
+)
+SELECT event_type, h,
+       coalesce(cnt, 0) AS cnt,
+       coalesce(last_value(cnt IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS locf_cnt,
+       cnt IS NULL AS is_gap
+FROM filled
+""",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward
+    (the hypertable `time_bucket_gapfill + locf` shape): build the dense
+    (event_type x hour) spine, left-join the sparse hourly counts, and
+    carry the last non-missing value across gaps with a keyed running
+    window. The spine is generated row-locally from one 1-row bounds
+    aggregate (broadcast — never a driver loop); the LOCF window is
+    partitioned by series key, so no global sort anywhere."""
+    ev = read_table(spark, sf_dir, "events").where(F.col("value") > 95)
+    cells = (ev.groupBy("event_type",
+                        F.date_trunc("hour", F.col("ts")).alias("h"))
+             .agg(F.count("*").alias("cnt")))
+    bounds = ev.agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
+                    F.date_trunc("hour", F.max("ts")).alias("h1"))
+    spine_h = bounds.select(F.explode(
+        F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h"))
+    spine = ev.select("event_type").distinct().crossJoin(F.broadcast(spine_h))
+    filled = spine.join(cells, on=["event_type", "h"], how="left")
+    w = (Window.partitionBy("event_type").orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return filled.select(
+        "event_type", "h",
+        F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        F.coalesce(F.last("cnt", ignorenulls=True).over(w), F.lit(0))
+        .alias("locf_cnt"),
+        F.col("cnt").isNull().alias("is_gap"))

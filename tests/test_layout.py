@@ -120,3 +120,53 @@ def test_range_clustered_files_are_disjoint(spark, sf_dir, tmp_path):
     # row count preserved
     back = spark.read.parquet(path)
     assert back.count() == events.count()
+
+
+def test_zorder_clustering_prunes_on_both_columns(spark, sf_dir, tmp_path):
+    """Z-order layout: a point/range predicate on EITHER clustered column
+    must be satisfiable by a strict subset of files (file-level min/max
+    covers only a compact rectangle), where single-column range
+    clustering serves only its own column. Also checks the write is
+    lossless."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dbsync_spark.sinks.layout import write_zorder_clustered
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    path = str(tmp_path / "zorder")
+    write_zorder_clustered(li, path, ["l_orderkey", "l_partkey"],
+                           bits=8, num_files=8)
+
+    def file_ranges(col_name):
+        out = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = next(md.row_group(rg).column(i)
+                           for i in range(md.num_columns)
+                           if md.row_group(rg).column(i).path_in_schema == col_name)
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            if mins:
+                out.append((min(mins), max(maxs)))
+        return out
+
+    back = spark.read.parquet(path)
+    assert back.count() == li.count()
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) >= 4
+
+    for col in ("l_orderkey", "l_partkey"):
+        ranges = file_ranges(col)
+        lo = min(r[0] for r in ranges)
+        hi = max(r[1] for r in ranges)
+        # probe the low quartile of the value domain: at least one file
+        # must be skippable (its [min,max] excludes the probe point)
+        probe = lo + (hi - lo) // 4
+        covering = sum(1 for mn, mx in ranges if mn <= probe <= mx)
+        assert covering < len(ranges), (
+            f"no file-level pruning possible on {col}: every file's "
+            f"min/max covers the probe")

@@ -22,6 +22,7 @@ BNLJ_ALLOWED = {
     "q_mixture_weights",   # 1-row scale-factor broadcast
     "q_tfidf_topk",        # 1-row corpus-size (N) broadcast
     "q_bigram_pmi",        # 1-row (n_bigrams, n_tokens) totals broadcast
+    "q_gap_fill",          # broadcast hour-spine x distinct-series cross
     "q_ngram_jaccard",     # broadcast query-doc shingle set
     "q_range_join",        # broadcast tier table (non-equi by design)
     "q_asof_join",         # union-and-fill uses a broadcast bound set
