@@ -75,9 +75,14 @@ def _srp_planes(dim: int, n_planes: int, seed: str = "srp") -> np.ndarray:
 
 
 def srp_bucket_ids(df: DataFrame, dim: int, n_planes: int = 8,
-                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(id, bucket) via signed random projections — vectorized numpy matmul
-    over Arrow batches (the Pandas-UDF fast path, not per-row Python)."""
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   keep_vec: bool = False) -> DataFrame:
+    """(id, bucket[, vec as float64]) via signed random projections —
+    vectorized numpy matmul over Arrow batches (the Pandas-UDF fast path,
+    not per-row Python). With keep_vec the float64 vector rides along in
+    the same Arrow batch, so downstream scoring needs NO join back to the
+    source frame (one mapInPandas pass replaces scan + scan + shuffle
+    join; float32->float64 here is exact, identical to casting later)."""
     planes = _srp_planes(dim, n_planes)
 
     def bucketize(batches):
@@ -85,10 +90,15 @@ def srp_bucket_ids(df: DataFrame, dim: int, n_planes: int = 8,
             mat = np.vstack(pdf[vec_col].apply(np.asarray, args=(np.float64,)))
             signs = (mat @ planes.T) > 0
             buckets = (signs * (1 << np.arange(n_planes))).sum(axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col], "bucket": buckets.astype("int64")})
+            out = {id_col: pdf[id_col], "bucket": buckets.astype("int64")}
+            if keep_vec:
+                out[vec_col] = list(mat)
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(
-        bucketize, schema=f"{id_col} LONG, bucket LONG")
+    schema = f"{id_col} LONG, bucket LONG"
+    if keep_vec:
+        schema += f", {vec_col} ARRAY<DOUBLE>"
+    return df.select(id_col, vec_col).mapInPandas(bucketize, schema=schema)
 
 
 def kmeans_centroids(corpus: DataFrame, dim: int, n_clusters: int = 16,
@@ -125,24 +135,31 @@ def kmeans_centroids(corpus: DataFrame, dim: int, n_clusters: int = 16,
 
 def _assign_clusters(df: DataFrame, centroids: np.ndarray,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     nprobe: int = 1) -> DataFrame:
-    """(id, cluster) for the nprobe nearest centroids (cosine, vectors
-    scored as-is against unit centroids)."""
+                     nprobe: int = 1, keep_vec: bool = False) -> DataFrame:
+    """(id, cluster[, vec as float64]) for the nprobe nearest centroids
+    (cosine, vectors scored as-is against unit centroids). keep_vec
+    carries the float64 vector through the Arrow batch so scoring avoids
+    a join back to the source frame."""
     cent = centroids
 
     def assign(batches):
         for pdf in batches:
             mat = np.vstack(pdf[vec_col].apply(np.asarray, args=(np.float64,)))
-            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            sims = mat @ cent.T
+            unit = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = unit @ cent.T
             top = np.argsort(-sims, axis=1)[:, :nprobe]
-            yield pd.DataFrame({
+            out = {
                 id_col: pdf[id_col].to_numpy().repeat(nprobe),
                 "cluster": top.reshape(-1).astype("int64"),
-            })
+            }
+            if keep_vec:
+                out[vec_col] = [v for v in mat for _ in range(nprobe)]
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} LONG, cluster LONG")
+    schema = f"{id_col} LONG, cluster LONG"
+    if keep_vec:
+        schema += f", {vec_col} ARRAY<DOUBLE>"
+    return df.select(id_col, vec_col).mapInPandas(assign, schema=schema)
 
 
 def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
@@ -154,15 +171,15 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     reads ~nprobe/n_clusters of the data."""
     centroids = kmeans_centroids(corpus, dim, n_clusters, iters=2,
                                  id_col=id_col, vec_col=vec_col)
-    cb = _assign_clusters(corpus, centroids, id_col, vec_col, nprobe=1)
-    qb = _assign_clusters(queries, centroids, id_col, vec_col, nprobe=nprobe)
+    cb = _assign_clusters(corpus, centroids, id_col, vec_col, nprobe=1,
+                          keep_vec=True)
+    qb = _assign_clusters(queries, centroids, id_col, vec_col, nprobe=nprobe,
+                          keep_vec=True)
 
-    c = corpus.join(cb, on=id_col).select(
-        F.col(id_col).alias("vec_id"), F.col("cluster"),
-        as_double(F.col(vec_col)).alias("e"))
-    q = queries.join(qb, on=id_col).select(
-        F.col(id_col).alias("query_id"), F.col("cluster"),
-        as_double(F.col(vec_col)).alias("qe"))
+    c = cb.select(F.col(id_col).alias("vec_id"), F.col("cluster"),
+                  F.col(vec_col).alias("e"))
+    q = qb.select(F.col(id_col).alias("query_id"), F.col("cluster"),
+                  F.col(vec_col).alias("qe"))
     pairs = c.join(F.broadcast(q), on="cluster").where(
         F.col("vec_id") != F.col("query_id"))
     sim = (dot(F.col("e"), F.col("qe"))
@@ -184,19 +201,17 @@ def srp_ann_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     probing them recovers most of the recall lost to quantization). At
     100 TB the bucket join replaces the full cross product; recall/cost is
     tuned via n_planes (bucket granularity) and probe_hamming (probes)."""
-    cb = srp_bucket_ids(corpus, dim, n_planes, id_col, vec_col)
-    qb = srp_bucket_ids(queries, dim, n_planes, id_col, vec_col)
+    cb = srp_bucket_ids(corpus, dim, n_planes, id_col, vec_col, keep_vec=True)
+    qb = srp_bucket_ids(queries, dim, n_planes, id_col, vec_col, keep_vec=True)
     if probe_hamming >= 1:
         flips = [F.col("bucket")] + [
             F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)]
         qb = qb.withColumn("bucket", F.explode(F.array(*flips)))
 
-    c = corpus.join(cb, on=id_col).select(
-        F.col(id_col).alias("vec_id"), F.col("bucket"),
-        as_double(F.col(vec_col)).alias("e"))
-    q = queries.join(qb, on=id_col).select(
-        F.col(id_col).alias("query_id"), F.col("bucket"),
-        as_double(F.col(vec_col)).alias("qe"))
+    c = cb.select(F.col(id_col).alias("vec_id"), F.col("bucket"),
+                  F.col(vec_col).alias("e"))
+    q = qb.select(F.col(id_col).alias("query_id"), F.col("bucket"),
+                  F.col(vec_col).alias("qe"))
 
     pairs = c.join(F.broadcast(q), on="bucket").where(
         F.col("vec_id") != F.col("query_id"))
