@@ -188,23 +188,36 @@ def _lsh_candidate_sets(df: DataFrame, text_col: str, id_col: str,
                         k: int) -> tuple[DataFrame, DataFrame]:
     """Shared LSH front end: (candidate id pairs, distinct shingle-set
     arrays for exactly the candidate ids). Signatures and band keys are
-    row-local; only 4 narrow rows/doc enter the self-join."""
+    row-local; only 4 narrow rows/doc enter the self-join.
+
+    All 16 minima come from ONE fold over the shingle-hash array —
+    expressing them as 16 separate array_min(transform(...)) columns
+    looks equivalent but is 16x the work: projection collapse inlines
+    the whole tokenize->shingle->md5 subtree into every column
+    expression (measured 2x end-to-end at sf0.1). The per-doc signature
+    frame is then localCheckpointed — it is the LSH index a production
+    pipeline would materialize anyway, and without the barrier the band
+    projection would re-inline the fold 4x."""
     hashes = F.transform(shingles(F.col(text_col), k),
                          lambda s: h15(s) % MERSENNE31)
-
-    def _mh(i: int):
-        # one-arg lambda (a 2-arg lambda would make Spark pass the array
-        # index as the second argument)
-        return lambda h: (F.lit(UH_A[i]) * h + F.lit(UH_B[i])) % MERSENNE31
-
-    # the signature pass is pure per-row CPU (md5 per shingle x 16 affine
-    # mins) — make sure it runs on all cores even for single-split inputs
+    ua = F.array(*[F.lit(a) for a in UH_A[:NUM_MINHASHES]])
+    ub = F.array(*[F.lit(b) for b in UH_B[:NUM_MINHASHES]])
+    p = F.lit(MERSENNE31).cast("long")
+    mins = F.aggregate(
+        hashes,
+        F.array_repeat(p, NUM_MINHASHES),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(NUM_MINHASHES - 1)),
+            lambda a, i: F.least(
+                a, (F.element_at(ua, i + 1) * h + F.element_at(ub, i + 1)) % p)),
+    )
+    # empty shingle set (doc shorter than k tokens) leaves the fold at its
+    # init value p; every real min is < p, so this is the size>0 filter
     sigs = (
-        fan_out(df).select(F.col(id_col), hashes.alias("_hs"))
-        .where(F.size("_hs") > 0)
-        .select(F.col(id_col),
-                *[F.array_min(F.transform("_hs", _mh(i))).alias(f"mh{i}")
-                  for i in range(NUM_MINHASHES)])
+        fan_out(df).select(F.col(id_col), mins.alias("_m"))
+        .where(F.col("_m")[0] < MERSENNE31)
+        .localCheckpoint(eager=False)
     )
 
     n_bands = NUM_MINHASHES // BAND_SIZE
@@ -212,7 +225,7 @@ def _lsh_candidate_sets(df: DataFrame, text_col: str, id_col: str,
         F.struct(
             F.lit(b).alias("band"),
             F.md5(F.concat_ws(",", *[
-                F.col(f"mh{b * BAND_SIZE + j}").cast("string")
+                F.col("_m")[b * BAND_SIZE + j].cast("string")
                 for j in range(BAND_SIZE)
             ])).alias("band_key"),
         )
