@@ -85,7 +85,12 @@ def main() -> None:
     # setup (untimed): materialize the change log the way it would arrive —
     # as parquet on storage. The timed path is the engine's real work:
     # scan -> JSON decode -> LWW reduce -> target + status writes.
-    build_bench_log(spark, SF_DIR).write.mode("overwrite").parquet(f"{workdir}/log")
+    # write the log as one file per core (a real change log arrives as many
+    # poller-written files); otherwise snappy-compressed JSON packs ~750k
+    # rows into 4 files and the timed scan+decode stage only gets 14 splits
+    n_files = spark.sparkContext.defaultParallelism
+    (build_bench_log(spark, SF_DIR).repartition(n_files)
+     .write.mode("overwrite").parquet(f"{workdir}/log"))
     log = spark.read.parquet(f"{workdir}/log")
     log_rows = log.count()
     # warm-up (untimed): run the apply once over a 1% slice so the timed
