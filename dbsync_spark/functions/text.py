@@ -253,22 +253,28 @@ def contamination(df: DataFrame, test_filter: Column,
     filters; k is a parameter — the fixture corpus needs k=3 to exercise
     nonzero overlap).
 
-    Shape for 100 TB: both sides reduce to distinct (id, shingle) /
-    (shingle) sets, and the only wide operation is one shuffle join on the
-    shingle hash — the exact shape of a production decontamination pass.
-    No driver-side sets, no broadcast of the (huge) train side."""
-    from dbsync_spark.functions.dedup import doc_shingles
+    Shape for 100 TB: both sides reduce to distinct (id, shingle-hash) /
+    (shingle-hash) sets — the join key is the 60-bit h15 of the shingle,
+    never the string (production 13-gram decontamination joins on exactly
+    such hashes), and the only wide operation is one shuffle join on it.
+    No driver-side sets, no broadcast of the (huge) train side. The
+    DuckDB oracle mirrors the same hash, so any collision affects both
+    engines identically."""
+    from dbsync_spark.functions.dedup import shingles
+    from dbsync_spark.sources.tables import fan_out
 
-    marked = df.withColumn("_is_test", test_filter)
-    sh = doc_shingles(marked, text_col=text_col, id_col=id_col, k=k)
-    split = marked.select(id_col, "_is_test")
-    sh = sh.join(split, on=id_col)
-    test_sh = sh.where(F.col("_is_test")).select(id_col, "shingle")
+    marked = fan_out(df).withColumn("_is_test", test_filter)
+    sh = (marked
+          .select(F.col(id_col), F.col("_is_test"),
+                  F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+          .select(id_col, "_is_test", h15(F.col("shingle")).alias("shash"))
+          .distinct())
+    test_sh = sh.where(F.col("_is_test")).select(id_col, "shash")
     train_set = (sh.where(~F.col("_is_test"))
-                 .select("shingle").distinct()
+                 .select("shash").distinct()
                  .withColumn("_hit", F.lit(1)))
     return (test_sh
-            .join(train_set, on="shingle", how="left")
+            .join(train_set, on="shash", how="left")
             .groupBy(id_col)
             .agg(F.count("*").alias("n_shingles"),
                  F.sum(F.coalesce(F.col("_hit"), F.lit(0)))

@@ -233,27 +233,32 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_contamination",
     """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id,
+shs AS (
+  SELECT doc_id,
          unnest(list_transform(generate_series(1, len(t) - 2),
                 i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingle
   FROM toks WHERE len(t) >= 3
 ),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shash
+  FROM shs
+),
 split AS (SELECT doc_id, source = 'src19' AS is_test FROM documents),
 test_sh AS (
-  SELECT s.doc_id, s.shingle FROM sh s JOIN split USING (doc_id)
+  SELECT s.doc_id, s.shash FROM sh s JOIN split USING (doc_id)
   WHERE is_test
 ),
 train_set AS (
-  SELECT DISTINCT shingle FROM sh s JOIN split USING (doc_id)
+  SELECT DISTINCT shash FROM sh s JOIN split USING (doc_id)
   WHERE NOT is_test
 )
 SELECT t.doc_id, count(*) AS n_shingles,
-       CAST(sum(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(sum(CASE WHEN tr.shash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_overlap,
-       CAST(sum(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       CAST(sum(CASE WHEN tr.shash IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
          / count(*) AS overlap_frac
-FROM test_sh t LEFT JOIN train_set tr ON t.shingle = tr.shingle
+FROM test_sh t LEFT JOIN train_set tr ON t.shash = tr.shash
 GROUP BY t.doc_id
 """,
 )
