@@ -192,6 +192,28 @@ def main() -> None:
     with timed("attribution"):
         QUERIES["q_attribution"](spark, SF_DIR).count()
 
+    # -- streaming micro-batch latency (BASELINE.md: <= 5 s / 10k-row batch) --
+    from dbsync_spark.changelog import ORDERS_PAYLOAD_SCHEMA, build_log_orders
+    from dbsync_spark.operators.route import SyncRule
+    from dbsync_spark.streaming.pipeline import SyncPipeline
+
+    olog_rows = olog.count()
+    n_batches = 6
+    (olog.repartition(n_batches)
+     .write.mode("overwrite").parquet(f"{workdir}/slog"))
+    pipe = SyncPipeline(
+        spark, SyncRule("db1", "public", "orders", ("o_orderkey",)),
+        ORDERS_PAYLOAD_SCHEMA,
+        log_path=f"{workdir}/slog", target_path=f"{workdir}/starget",
+        status_path=f"{workdir}/sstatus", checkpoint_path=f"{workdir}/sckpt",
+        max_files_per_trigger=1)
+    with timed("microbatch_total"):
+        pipe.run_to_completion()
+    # normalize to the reference's batch unit (10k rows/poll)
+    timings["microbatch_latency_per_10k"] = round(
+        timings["microbatch_total"] / n_batches
+        * (10_000 / (olog_rows / n_batches)), 3)
+
     # -- one-pass snapshot diff over the bench change log ---------------------
     from dbsync_spark.operators.diff import log_window_diff
 

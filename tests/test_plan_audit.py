@@ -51,9 +51,7 @@ LOG_FIXTURE_CONSUMERS = {
 }
 
 
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted")
+from dbsync_spark.plans import plan_text as _plan  # noqa: E402
 
 
 @pytest.fixture(scope="module")
@@ -80,21 +78,35 @@ def test_broadcast_nested_loop_only_where_intended(plans):
 def test_no_global_window_on_fact_tables(plans):
     """A window spec with an empty PARTITION BY forces every row through
     one task. Only allowed for declared dimension-table queries."""
-    bad = []
-    for name, plan in plans.items():
-        if name in GLOBAL_WINDOW_ALLOWED | LOG_FIXTURE_CONSUMERS:
-            continue
-        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
-            spec = m.group(1)
-            # a partitioned window spec mentions partition columns before
-            # the ordering entries ("col ASC NULLS FIRST"); a global spec
-            # starts straight at the ordering/frame
-            first = spec.split(",")[0].strip()
-            if first.endswith("ASC NULLS FIRST") or first.startswith(
-                    "specifiedwindowframe"):
-                bad.append(name)
-                break
+    from dbsync_spark.plans import _has_global_window
+
+    bad = [name for name, plan in plans.items()
+           if name not in GLOBAL_WINDOW_ALLOWED | LOG_FIXTURE_CONSUMERS
+           and _has_global_window(plan)]
     assert not bad, f"global (unpartitioned) window in: {bad}"
+
+
+def test_audit_plan_api(spark, sf_dir):
+    """audit_plan flags scale-hostile shapes and reports pushdown."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dbsync_spark.plans import audit_plan
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    good = (li.where(F.col("l_quantity") > 10)
+            .groupBy("l_returnflag").count())
+    a = audit_plan(good)
+    assert not a.scale_hostile
+    assert a.n_exchanges >= 1
+    assert any("l_quantity" in f for f in a.pushed_filters)
+    assert all(len(cols) <= 3 for cols in a.read_schemas)  # pruned scan
+
+    ranked = li.withColumn(
+        "rn", F.row_number().over(Window.orderBy("l_orderkey")))
+    b = audit_plan(ranked)
+    assert b.has_global_window
+    assert "unpartitioned window (single-task sort)" in b.scale_hostile
 
 
 def test_parquet_scans_are_pruned(plans):
