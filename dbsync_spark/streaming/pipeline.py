@@ -50,6 +50,15 @@ class SyncPipeline:
         self.in_batch_retries = in_batch_retries
         self.log_format = log_format
 
+    @property
+    def name(self) -> str:
+        """Stable display name for endpoints/monitoring payloads."""
+        r = self.rule
+        tgt_schema = r.target_schema or r.source_schema
+        tgt_table = r.target_table or r.source_table
+        return (f"{r.source_db}.{r.source_schema}.{r.source_table}"
+                f"->{tgt_schema}.{tgt_table}")
+
     def _key(self):
         return F.concat_ws(":", *[F.col(k).cast("string")
                                   for k in self.rule.source_keys])
