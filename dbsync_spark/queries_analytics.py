@@ -1279,3 +1279,37 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.last("cnt", ignorenulls=True).over(w), F.lit(0))
         .alias("locf_cnt"),
         F.col("cnt").isNull().alias("is_gap"))
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+
+@_register(
+    "q_profile",
+    "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, count(*) AS n_rows,"
+        f" count(*) - count({c}) AS n_nulls,"
+        f" count(DISTINCT {c}) AS n_distinct FROM orders"
+        for c in _PROFILE_COLS),
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (ANALYZE-style column statistics): per column, the
+    row count, null count, and exact distinct count, computed in ONE scan
+    as parallel aggregate expressions and unpivoted to long form. At
+    100 TB the exact count_distinct expressions (which expand the
+    aggregate input n_cols-fold) would flip to approx_count_distinct —
+    same plan shape, sketch merge instead of expand."""
+    orders = read_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in _PROFILE_COLS:
+        aggs += [F.count(c).alias(f"{c}__nn"),
+                 F.count_distinct(c).alias(f"{c}__nd")]
+    row = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n - {c}__nn, {c}__nd" for c in _PROFILE_COLS)
+    return row.select(
+        F.expr(f"stack({len(_PROFILE_COLS)}, {stack_args})")
+        .alias("col_name", "n_nulls", "n_distinct"),
+        F.col("__n").alias("n_rows"),
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct")

@@ -1,0 +1,105 @@
+"""Scale-trend soak: run the headline operators at 1x and Nx the sf0.1
+fixture volume (disjoint key/id spaces) and print per-scale throughput.
+
+    python tools/soak.py [N]      # default 8
+
+The point is the TREND, not the absolute numbers: a plan whose throughput
+RISES with volume (fixed overhead amortizing, cores saturating) is
+evidence the shape survives scale-up; a plan whose wall-clock grows
+super-linearly is shuffling or sorting something it shouldn't.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate(df, times: int, id_col: str, offset: int):
+    parts = [df.withColumn(id_col, F.col(id_col) + F.lit(i * offset))
+             for i in range(times)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> int:
+    from bench import build_bench_log
+    from dbsync_spark.functions.dedup import minhash_near_dups, simhash
+    from dbsync_spark.functions.text import contamination, segment_dedup
+    from dbsync_spark.operators.apply import last_writer_wins, parse_changes
+    from dbsync_spark.session import get_spark
+    from dbsync_spark.sources.tables import read_table
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    spark = get_spark("dbsync-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    workdir = tempfile.mkdtemp(prefix="dbsync_soak_")
+    li_schema = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").schema
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    cores = spark.sparkContext.defaultParallelism
+    results = []
+
+    for scale in (1, n):
+        # apply: Nx the change log, disjoint id/key spaces per replica
+        log1 = build_bench_log(spark, SF_DIR)
+        max_id = log1.agg(F.max("id")).first()[0] + 1
+        log = replicate(log1, scale, "id", max_id)
+        (log.repartition(cores * scale)
+         .write.mode("overwrite").parquet(f"{workdir}/log{scale}"))
+        stored = spark.read.parquet(f"{workdir}/log{scale}")
+        rows = stored.count()
+        t0 = time.time()
+        changes = parse_changes(stored, li_schema)
+        final = last_writer_wins(changes, ["l_orderkey", "l_linenumber"])
+        final.write.mode("overwrite").parquet(f"{workdir}/target{scale}")
+        apply_s = time.time() - t0
+
+        corpus = replicate(docs, scale, "doc_id", 10_000_000)
+        timings = {}
+        for name, fn in (
+                ("minhash", lambda c: minhash_near_dups(c, threshold=0.5)),
+                ("simhash", simhash),
+                ("segment_dedup", segment_dedup),
+                ("contamination",
+                 lambda c: contamination(c.withColumn(
+                     "source", (F.col("doc_id") % 20).cast("string")),
+                     F.col("source") == "19")),
+        ):
+            t0 = time.time()
+            fn(corpus).count()
+            timings[name] = round(time.time() - t0, 2)
+
+        results.append({
+            "scale": scale, "log_rows": rows,
+            "apply_sec": round(apply_s, 2),
+            "apply_rows_per_sec": round(rows / apply_s),
+            "doc_ops_sec": timings,
+        })
+        print(json.dumps(results[-1]))
+
+    r1, rn = results
+    print(json.dumps({
+        "metric": "soak_throughput_ratio",
+        "scale_factor": n,
+        "apply_throughput_ratio": round(
+            rn["apply_rows_per_sec"] / r1["apply_rows_per_sec"], 2),
+        "wall_ratio_doc_ops": {
+            k: round(rn["doc_ops_sec"][k] / max(r1["doc_ops_sec"][k], 1e-9), 2)
+            for k in r1["doc_ops_sec"]},
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
