@@ -1313,3 +1313,28 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("col_name", "n_nulls", "n_distinct"),
         F.col("__n").alias("n_rows"),
     ).select("col_name", "n_rows", "n_nulls", "n_distinct")
+
+
+@_register(
+    "q_set_ops_all",
+    """
+SELECT user_id, count(*) AS n_excess
+FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  EXCEPT ALL
+  SELECT user_id FROM events WHERE event_type = 'view'
+)
+GROUP BY user_id
+""",
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — EXCEPT ALL: per user, how many
+    click events exceed their view events (multiplicity-aware difference,
+    which plain EXCEPT's set semantics would collapse to 0/1). Spark's
+    exceptAll plans as an aggregate-count + generate replicate — one
+    shuffle on the value key, no join."""
+    ev = read_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    views = ev.where(F.col("event_type") == "view").select("user_id")
+    return (clicks.exceptAll(views)
+            .groupBy("user_id").agg(F.count("*").alias("n_excess")))
