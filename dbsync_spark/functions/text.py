@@ -338,9 +338,14 @@ def bigram_stats(df: DataFrame, text_col: str = "text",
     final enrichment joins broadcast the (small) unigram table."""
     toked = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
     uni = toked.groupBy("tok").agg(F.count("*").alias("c"))
+    # guard the 1-token case: Spark's sequence(1, 0) yields a DESCENDING
+    # [1, 0] (not empty like DuckDB's generate_series), which would index
+    # past the array
     bg = (df.select(tokens(F.col(text_col)).alias("tk"))
           .select(F.explode(F.expr(
-              "transform(sequence(1, size(tk)-1), i -> struct(tk[i-1] as w1, tk[i] as w2))"))
+              "CASE WHEN size(tk) >= 2 THEN "
+              "transform(sequence(1, size(tk)-1), i -> struct(tk[i-1] as w1, tk[i] as w2)) "
+              "ELSE array() END"))
               .alias("b"))
           .select("b.w1", "b.w2"))
     totals = bg.agg(F.count("*").alias("n_bigrams")).crossJoin(

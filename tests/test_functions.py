@@ -293,3 +293,97 @@ class TestContainment:
         the Jaccard of a short quote in a long host is far below any LSH
         operating point."""
         assert 8 / 38 < 0.25
+
+
+class TestNewOpProperties:
+    """Property tests: random small-vocab corpora, results checked against
+    direct Python recomputation of the declared semantics."""
+
+    @staticmethod
+    def _mk_docs(spark, docs):
+        return spark.createDataFrame(
+            [(i, " ".join(words)) for i, words in enumerate(docs)],
+            "doc_id long, text string")
+
+    def test_segment_dedup_matches_python_reference(self, spark):
+        from collections import Counter
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from dbsync_spark.functions.text import segment_dedup
+
+        @settings(max_examples=8, deadline=None)
+        @given(st.lists(
+            st.lists(st.sampled_from("abcdef"), min_size=1, max_size=13),
+            min_size=1, max_size=8))
+        def run(docs):
+            segs = {i: [" ".join(w[j * 4:(j + 1) * 4])
+                        for j in range((len(w) + 3) // 4)]
+                    for i, w in enumerate(docs)}
+            df_counts = Counter()
+            for i, ss in segs.items():
+                for s in set(ss):
+                    df_counts[s] += 1
+            got = {r.doc_id: r for r in segment_dedup(
+                self._mk_docs(spark, docs), seg_tokens=4,
+                df_threshold=2).collect()}
+            for i, ss in segs.items():
+                boiler = sum(1 for s in ss if df_counts[s] >= 2)
+                assert got[i].n_segments == len(ss)
+                assert got[i].n_boilerplate == boiler
+
+        run()
+
+    def test_bigram_stats_matches_python_reference(self, spark):
+        from collections import Counter
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from dbsync_spark.functions.text import bigram_stats
+
+        @settings(max_examples=8, deadline=None)
+        @given(st.lists(
+            st.lists(st.sampled_from("abcd"), min_size=1, max_size=10),
+            min_size=1, max_size=6))
+        def run(docs):
+            uni = Counter(w for ws in docs for w in ws)
+            bg = Counter((ws[i], ws[i + 1]) for ws in docs
+                         for i in range(len(ws) - 1))
+            n_tok, n_bg = sum(uni.values()), sum(bg.values())
+            got = {(r.w1, r.w2): r for r in bigram_stats(
+                self._mk_docs(spark, docs), min_count=2).collect()}
+            expect = {p for p, c in bg.items() if c >= 2}
+            assert set(got) == expect
+            for (w1, w2), r in got.items():
+                assert r.c_xy == bg[(w1, w2)]
+                assert r.c_x == uni[w1] and r.c_y == uni[w2]
+                assert r.score == (r.c_xy * n_tok * n_tok) / (
+                    n_bg * r.c_x * r.c_y)
+
+        run()
+
+    def test_containment_values_match_python_reference(self, spark):
+        """For every reported pair, both containment fractions equal the
+        Python shingle-set computation; and every planted (quote, host)
+        pair sharing a rare shingle is reported."""
+        from dbsync_spark.functions.dedup import containment_pairs
+
+        words = [f"w{i}" for i in range(60)]
+        host = words[:40]
+        quote = words[:10]          # subset of host
+        other = [f"v{i}" for i in range(30)]
+        docs = [host, quote, other, words[20:55]]
+        df = self._mk_docs(spark, docs)
+
+        def sh(ws):
+            return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+
+        sets = {i: sh(ws) for i, ws in enumerate(docs)}
+        got = containment_pairs(df, threshold=0.0).collect()
+        assert any((r.doc_a, r.doc_b) == (0, 1) for r in got)
+        for r in got:
+            inter = len(sets[r.doc_a] & sets[r.doc_b])
+            assert r.cont_a_in_b == inter / len(sets[r.doc_a])
+            assert r.cont_b_in_a == inter / len(sets[r.doc_b])
