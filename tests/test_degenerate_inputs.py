@@ -72,3 +72,29 @@ def test_lww_single_row_and_delete_only(spark):
     dels = spark.createDataFrame(
         [(1, "D", 7, "x")], "id LONG, operation STRING, k LONG, v STRING")
     assert last_writer_wins(dels, ["k"]).count() == 0
+
+
+def test_text_ops_on_empty_and_trivial_corpora(spark):
+    """Empty corpus, empty-string docs, and single-token docs must produce
+    sane (not crashing, not descending-sequence) results for every
+    text-pipeline operator."""
+    from dbsync_spark.functions.dedup import (containment_pairs,
+                                              minhash_near_dups)
+    from dbsync_spark.functions.text import bigram_stats, segment_dedup
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_near_dups(empty).count() == 0
+    assert containment_pairs(empty).count() == 0
+    assert bigram_stats(empty).count() == 0
+    assert segment_dedup(empty).count() == 0
+
+    trivial = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two")], "doc_id long, text string")
+    # no doc has >= 3 tokens: no shingles, no pairs anywhere
+    assert minhash_near_dups(trivial).count() == 0
+    assert containment_pairs(trivial).count() == 0
+    # bigrams exist only for doc 3; none reach min_count=2
+    assert bigram_stats(trivial, min_count=2).count() == 0
+    assert bigram_stats(trivial, min_count=1).count() == 1
+    segs = {r.doc_id: r.n_segments for r in segment_dedup(trivial).collect()}
+    assert segs == {1: 1, 2: 1, 3: 1}  # '' tokenizes to one empty token
