@@ -46,7 +46,14 @@ class DbSyncApp:
         self.base_dir = base_dir
         self.payload_schemas = payload_schemas
         self.registry = ComponentRegistry()
-        self.dispatcher = dispatcher or ActionDispatcher()
+        if dispatcher is None:
+            from dbsync_spark.monitor.health import (email_action,
+                                                     restart_action_for,
+                                                     webhook_action)
+            dispatcher = ActionDispatcher(
+                email=email_action, webhook=webhook_action,
+                restart=restart_action_for(self))
+        self.dispatcher = dispatcher
         self.pipelines: list[SyncPipeline] = []
         self._http: ThreadingHTTPServer | None = None
         self._listener = None

@@ -108,12 +108,17 @@ class ActionDispatcher:
         if restart:
             self.handlers["restart"] = restart
         self.dispatched: list[tuple[str, str]] = []
+        self.failures: list[tuple[str, str]] = []
 
     def dispatch(self, rule, reason: str) -> None:
         self.dispatched.append((rule.action, reason))
         handler = self.handlers.get(rule.action)
         if handler:
-            handler(reason, **rule.params)
+            try:
+                handler(reason, **rule.params)
+            except Exception as e:  # noqa: BLE001 - an alert action failing
+                # (SMTP down, webhook 500) must never kill the monitor loop
+                self.failures.append((rule.action, str(e)))
 
 
 def status_endpoints(sync_state: SyncState, registry: ComponentRegistry,
@@ -127,3 +132,40 @@ def status_endpoints(sync_state: SyncState, registry: ComponentRegistry,
             "ts": time.time(),
         },
     }
+
+
+def webhook_action(reason: str, url: str, timeout: float = 5.0,
+                   **params) -> None:
+    """Default webhook handler: POST a JSON alert body (the reference's
+    WebhookActionHandler.scala:11-34 — HTTP POST of the alert payload)."""
+    import json
+    import urllib.request
+
+    body = json.dumps({"reason": reason, **params}).encode()
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": "application/json"})
+    urllib.request.urlopen(req, timeout=timeout).read()
+
+
+def email_action(reason: str, smtp_host: str = "localhost",
+                 smtp_port: int = 25, sender: str = "dbsync@localhost",
+                 to: str = "ops@localhost",
+                 subject: str = "dbsync alert", **params) -> None:
+    """Default SMTP handler (EmailActionHandler.scala:11-56)."""
+    import smtplib
+    from email.message import EmailMessage
+
+    msg = EmailMessage()
+    msg["From"], msg["To"], msg["Subject"] = sender, to, subject
+    msg.set_content(reason)
+    with smtplib.SMTP(smtp_host, smtp_port) as s:
+        s.send_message(msg)
+
+
+def restart_action_for(app) -> "callable":
+    """Default restart handler: reload the app with its current config
+    (RestartActionHandler.scala:9-19 — in-process relaunch; reload==restart
+    per Endpoints.scala:75-95)."""
+    def _restart(reason: str, **params) -> None:
+        app.reload(app.config)
+    return _restart

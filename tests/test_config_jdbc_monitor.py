@@ -193,3 +193,71 @@ def test_demo_config_file_parses():
     assert rules["orders"].update_condition == "o_totalprice > 0"
     assert rules["events"].insert_condition == "1=1"     # defaulted
     assert cfg.monitors[0].action == "webhook"
+
+
+def test_default_action_handlers(monkeypatch):
+    """The shipped M3 handlers: webhook POSTs JSON to a live local server,
+    email drives smtplib, and a failing action is recorded, not raised."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from dbsync_spark.config import MonitorRule
+    from dbsync_spark.monitor.health import (ActionDispatcher, email_action,
+                                             webhook_action)
+
+    received = []
+
+    class Capture(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            n = int(self.headers["Content-Length"])
+            received.append(json.loads(self.rfile.read(n)))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Capture)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/alerts"
+        d = ActionDispatcher(webhook=webhook_action, email=email_action)
+        rule = MonitorRule(action="webhook", params={"url": url})
+        d.dispatch(rule, "blocked over threshold")
+        assert received == [{"reason": "blocked over threshold"}]
+        assert d.failures == []
+
+        # webhook to a closed port: recorded as failure, not raised
+        bad = MonitorRule(action="webhook",
+                          params={"url": "http://127.0.0.1:9/x",
+                                  "timeout": 0.2})
+        d.dispatch(bad, "x")
+        assert d.failures and d.failures[-1][0] == "webhook"
+    finally:
+        srv.shutdown()
+
+    sent = []
+
+    class FakeSMTP:
+        def __init__(self, host, port):
+            sent.append(("connect", host, port))
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def send_message(self, msg):
+            sent.append(("send", msg["Subject"], msg.get_content().strip()))
+
+    import smtplib
+    monkeypatch.setattr(smtplib, "SMTP", FakeSMTP)
+    d2 = ActionDispatcher(email=email_action)
+    d2.dispatch(MonitorRule(action="email",
+                            params={"smtp_host": "mail", "smtp_port": 2525}),
+                "errors over threshold")
+    assert ("connect", "mail", 2525) in sent
+    assert ("send", "dbsync alert", "errors over threshold") in sent
+    assert d2.failures == []
