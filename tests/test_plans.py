@@ -4,6 +4,8 @@ extra shuffle, or kills pushdown, these fail before any benchmark does."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from dbsync_spark.operators.apply import last_writer_wins, parse_changes
@@ -116,3 +118,24 @@ def test_runtime_bloom_filter_injected_at_scale_thresholds(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_from_json_schema_pruned_to_accessed_fields(spark, sf_dir):
+    """JSON-decode is the apply path's dominant cost; when a consumer only
+    touches a few payload fields, Catalyst must narrow the from_json
+    schema to exactly those fields (OptimizeJsonExprs) instead of decoding
+    the full row image. At 100 TB this is the difference between decoding
+    one column and nine."""
+    from dbsync_spark.changelog import ORDERS_PAYLOAD_SCHEMA, build_log_orders
+    from dbsync_spark.operators.apply import parse_changes
+    from dbsync_spark.plans import plan_text
+
+    changes = parse_changes(build_log_orders(spark, sf_dir),
+                            ORDERS_PAYLOAD_SCHEMA)
+    plan = plan_text(changes.select("id", "o_orderkey"))
+    # pruned decode: from_json's schema argument is the single accessed
+    # field, not the full 6-field payload StructType (which still appears
+    # in the fixture's encode side, so match the decode schema exactly)
+    assert "from_json(StructField(o_orderkey,LongType,true)," in plan
+    assert ("from_json(StructField(o_orderkey,LongType,true),"
+            "StructField") not in plan
