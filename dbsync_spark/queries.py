@@ -1244,3 +1244,51 @@ def q_corrupt_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
 from dbsync_spark import queries_analytics  # noqa: E402,F401
 from dbsync_spark import queries_tpch2  # noqa: E402,F401
 from dbsync_spark import queries_training  # noqa: E402,F401
+
+
+_DIFF_COLS = ["o_custkey", "o_orderstatus", "o_totalprice",
+              "o_orderdate", "o_orderpriority"]
+
+
+@_register(
+    "q_changed_columns",
+    f"""
+WITH {oracles.LOG_ORDERS_CTE},
+h AS (
+  SELECT id, o_orderkey, operation,
+         lag(id) OVER w AS _p_id,
+         {", ".join(f"{c}, lag({c}) OVER w AS _p_{c}" for c in _DIFF_COLS)}
+  FROM log_orders
+  WINDOW w AS (PARTITION BY o_orderkey ORDER BY id)
+)
+SELECT id, o_orderkey, operation, changed_cols FROM (
+  SELECT id, o_orderkey, operation,
+         concat_ws(',', {", ".join(
+             f"CASE WHEN {c} IS DISTINCT FROM _p_{c} THEN '{c}' END"
+             for c in _DIFF_COLS)}) AS changed_cols
+  FROM h WHERE _p_id IS NOT NULL
+) WHERE changed_cols <> ''
+""",
+)
+def q_changed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level CDC diff: for every change with a predecessor on the
+    same key, the (ordered) list of payload columns whose value differs
+    from the previous version — what a downstream consumer needs to build
+    partial updates or audit trails from full-row-image capture. One keyed
+    window (no self-join); null-safe per-column comparison."""
+    from pyspark.sql import Window
+
+    log = build_log_orders(spark, sf_dir)
+    decoded = parse_changes(log, ORDERS_PAYLOAD_SCHEMA)
+    w = Window.partitionBy("o_orderkey").orderBy("id")
+    h = decoded.select(
+        "id", "o_orderkey", "operation", *_DIFF_COLS,
+        F.lag("id").over(w).alias("_p_id"),
+        *[F.lag(c).over(w).alias(f"_p_{c}") for c in _DIFF_COLS])
+    changed = F.concat_ws(",", *[
+        F.when(~F.col(c).eqNullSafe(F.col(f"_p_{c}")), F.lit(c))
+        for c in _DIFF_COLS])
+    return (h.where(F.col("_p_id").isNotNull())
+            .select("id", "o_orderkey", "operation",
+                    changed.alias("changed_cols"))
+            .where(F.col("changed_cols") != ""))
