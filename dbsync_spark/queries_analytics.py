@@ -1338,3 +1338,72 @@ def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = ev.where(F.col("event_type") == "view").select("user_id")
     return (clicks.exceptAll(views)
             .groupBy("user_id").agg(F.count("*").alias("n_excess")))
+
+
+@_register(
+    "q_hopping_window",
+    """
+WITH starts AS (
+  SELECT event_type,
+         unnest([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w_start
+  FROM events
+)
+SELECT event_type, w_start, count(*) AS cnt
+FROM starts GROUP BY event_type, w_start
+""",
+)
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window counts: 2-hour windows advancing every
+    hour, so each event lands in exactly two windows — the overlap shape
+    tumbling windows can't express (trend smoothing, rate-over-window
+    alerting). Spark's window(ts, '2 hours', '1 hour') replicates rows
+    into their covering windows before the aggregate; the oracle mirrors
+    that expansion explicitly."""
+    ev = read_table(spark, sf_dir, "events")
+    return (ev.groupBy(
+                "event_type",
+                F.window("ts", "2 hours", "1 hour").alias("w"))
+            .agg(F.count("*").alias("cnt"))
+            .select("event_type", F.col("w.start").alias("w_start"), "cnt"))
+
+
+@_register(
+    "q_session_window",
+    """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+ids AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM ids GROUP BY user_id, session_id
+""",
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-minute inactivity gap) per user via
+    F.session_window — the aggregate-time session operator (merges
+    windows inside the agg, no two-pass gaps-and-islands). The oracle
+    reconstructs the same sessions relationally: session_end is
+    last_event + gap, exactly Spark's window.end semantics. One shuffle
+    on (user_id); the same expression works under readStream with a
+    watermark."""
+    ev = read_table(spark, sf_dir, "events")
+    return (ev.groupBy("user_id",
+                       F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events"))
