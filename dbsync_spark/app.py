@@ -67,15 +67,22 @@ class DbSyncApp:
             self._listener = HeartbeatListener(
                 self.registry, interval_ms=self.config.sys.maxPollWait or 60000)
             self.spark.streams.addListener(self._listener)
+        import threading
+
+        ack_locks: dict[str, threading.Lock] = {}
         for rule in self.config.syncs:
             key = f"{rule.source_db}.{rule.source_schema}.{rule.source_table}"
             tgt_key = f"{rule.target_db}.{'.'.join(rule.resolved_target())}"
+            status_path = os.path.join(self.base_dir, "status", rule.source_db)
             pipe = SyncPipeline(
                 self.spark, rule, self.payload_schemas[key],
                 log_path=os.path.join(self.base_dir, "log", rule.source_db),
                 target_path=os.path.join(self.base_dir, "targets", tgt_key),
-                status_path=os.path.join(self.base_dir, "status", rule.source_db),
+                status_path=status_path,
                 checkpoint_path=os.path.join(self.base_dir, "ckpt", f"{key}->{tgt_key}"),
+                # one lock per shared status dir: concurrent parquet appends
+                # to the same path corrupt each other's committer temp files
+                ack_lock=ack_locks.setdefault(status_path, threading.Lock()),
             )
             os.makedirs(pipe.log_path, exist_ok=True)
             self.pipelines.append(pipe)
@@ -83,9 +90,16 @@ class DbSyncApp:
                                    interval_ms=self.config.sys.maxPollWait or 60000)
 
     def run_all_available(self) -> None:
-        """Drain all pending log data through every pipeline (batch mode)."""
-        for pipe in self.pipelines:
-            pipe.run_to_completion()
+        """Drain all pending log data through every pipeline. All queries
+        START before any is awaited, so rules drain concurrently — the
+        Spark scheduler interleaves their micro-batch jobs the way the
+        reference runs one poller thread per db plus partition workers
+        (DbSyncLauncher.scala:62-73). Paths (log/target/status/checkpoint)
+        are per-pipeline, so concurrent drains never contend on state."""
+        queries = [(pipe, pipe.start(available_now=True))
+                   for pipe in self.pipelines]
+        for pipe, q in queries:
+            q.awaitTermination()
             self.registry.heartbeat(
                 f"pipeline:{pipe.rule.source_db}.{pipe.rule.source_schema}."
                 f"{pipe.rule.source_table}->{pipe.rule.target_db}."

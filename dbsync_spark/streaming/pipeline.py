@@ -35,7 +35,7 @@ class SyncPipeline:
                  status_path: str, checkpoint_path: str,
                  max_files_per_trigger: int | None = None,
                  failure_policy=None, in_batch_retries: int = 1,
-                 log_format: str = "parquet"):
+                 log_format: str = "parquet", ack_lock=None):
         self.spark = spark
         self.rule = rule
         self.payload_schema = payload_schema
@@ -49,6 +49,11 @@ class SyncPipeline:
         self.failure_policy = failure_policy
         self.in_batch_retries = in_batch_retries
         self.log_format = log_format
+        # pipelines that share one status path (multi-target rules over the
+        # same source db) must not append parquet concurrently: the Hadoop
+        # output committer's _temporary dir is per-path, and one job's
+        # commit cleanup deletes the other's in-flight files
+        self.ack_lock = ack_lock
 
     @property
     def name(self) -> str:
@@ -64,7 +69,11 @@ class SyncPipeline:
                                   for k in self.rule.source_keys])
 
     def _write_acks(self, acks: DataFrame) -> None:
-        acks.write.mode("append").parquet(self.status_path)
+        if self.ack_lock is not None:
+            with self.ack_lock:
+                acks.write.mode("append").parquet(self.status_path)
+        else:
+            acks.write.mode("append").parquet(self.status_path)
 
     def _relevant(self, batch_df: DataFrame) -> DataFrame:
         """This pipeline's slice of the shared change log. Fan-out happens
