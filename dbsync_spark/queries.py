@@ -1292,3 +1292,30 @@ def q_changed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id", "o_orderkey", "operation",
                     changed.alias("changed_cols"))
             .where(F.col("changed_cols") != ""))
+
+
+@_register(
+    "q_dedup_normalized",
+    """
+WITH norm AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS _k
+  FROM documents
+)
+SELECT _k AS text_key, min(doc_id) AS doc_id, count(*) AS n_copies
+FROM norm GROUP BY _k
+""",
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: case-fold, trim, and collapse
+    whitespace runs BEFORE hashing, so cosmetic variants ('Hello  world '
+    vs 'hello world') collapse to one canonical doc — the usual first
+    pass before any fuzzy method. Hash-groupBy on the md5 of the
+    normalized text keeps shuffle keys 16 bytes regardless of document
+    size."""
+    docs = read_table(spark, sf_dir, "documents")
+    key = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), " +", " ")))
+    return (docs.select(key.alias("text_key"), "doc_id")
+            .groupBy("text_key")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.count("*").alias("n_copies")))
