@@ -1407,3 +1407,42 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"),
                     "n_events"))
+
+
+@_register(
+    "q_pandas_grouped_agg",
+    f"""
+SELECT l_returnflag,
+       CAST(sum({_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS sum_cents,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-AGGREGATE pandas UDF (the UDAF surface — distinct from the
+    grouped-MAP applyInPandas of q_grouped_pandas_norm): a vectorized
+    Arrow aggregate usable inside groupBy().agg() alongside built-ins.
+    Summing exact integer cents in numpy keeps the result bit-identical
+    to the SQL SUM (int64 addition is associative — this is why the UDF
+    sums cents, never float dollars)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module's `from __future__ import
+    # annotations` stringifies signatures, which defeats pandas_udf's
+    # annotation-based type inference
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def cents_sum(v):
+        return int(v.sum())
+
+    # Spark disallows mixing group-agg pandas UDFs with built-in
+    # aggregates in one agg(), so the row count is a pandas UDF too
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_vals(v):
+        return len(v)
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return (li.select("l_returnflag", cents.alias("_c"))
+            .groupBy("l_returnflag")
+            .agg(cents_sum(F.col("_c")).alias("sum_cents"),
+                 n_vals(F.col("_c")).alias("n_rows")))
