@@ -25,11 +25,15 @@ from pyspark.sql import functions as F  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def build_bench_log(spark, sf_dir: str):
+def build_bench_log(spark, sf_dir: str, li=None):
     """~1.23M-row I/U/D change log over lineitem at sf0.1, keyed
     (l_orderkey, l_linenumber). Ids are key-derived (monotone I < U < D per
-    key, unique) — no global sort anywhere."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    key, unique) — no global sort anywhere. Pass `li` to build over a
+    custom lineitem frame (tools/soak.py scales the KEY space this way —
+    replicating only the log would measure duplicate-key collapse, not a
+    scaled workload)."""
+    if li is None:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     cols = li.columns
     key_id = (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long")
     max_id = F.lit(li.agg(F.max(F.col("l_orderkey") * 8 + F.col("l_linenumber"))).first()[0])

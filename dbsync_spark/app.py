@@ -94,8 +94,11 @@ class DbSyncApp:
         START before any is awaited, so rules drain concurrently — the
         Spark scheduler interleaves their micro-batch jobs the way the
         reference runs one poller thread per db plus partition workers
-        (DbSyncLauncher.scala:62-73). Paths (log/target/status/checkpoint)
-        are per-pipeline, so concurrent drains never contend on state."""
+        (DbSyncLauncher.scala:62-73). Target and checkpoint paths are
+        per-pipeline; the status path is shared per SOURCE db, which is
+        exactly why bootstrap hands pipelines on the same source a shared
+        ack_lock — concurrent parquet appends to one path corrupt each
+        other's committer temp files."""
         queries = [(pipe, pipe.start(available_now=True))
                    for pipe in self.pipelines]
         for pipe, q in queries:
@@ -222,15 +225,25 @@ class DbSyncApp:
     # -- M5 hot restart / config reload ---------------------------------------
     def reload(self, new_config: AppConfig) -> None:
         """The reference's reload-is-restart (DbSyncLauncher.scala:21-42,
-        Endpoints.scala:75-95): tear down pipelines, swap config, rebuild.
-        Checkpoints make this lossless — rebuilt pipelines resume from
-        their offsets."""
+        Endpoints.scala:75-95): STOP running queries, tear down pipelines,
+        swap config, rebuild. Checkpoints make this lossless — rebuilt
+        pipelines resume from their offsets. Stopping first matters:
+        restarting a pipeline while its old query still runs would launch
+        a second query on the same checkpoint location, which Spark
+        rejects."""
+        for pipe in self.pipelines:
+            q = getattr(pipe, "last_query", None)
+            if q is not None and q.isActive:
+                q.stop()
         self.config = new_config
         self.pipelines = []
         self.registry = ComponentRegistry()
         if self._listener is not None:
             self._listener.registry = self.registry
         self.bootstrap()
+        # signal run loops (main's continuous mode) that the stopped
+        # queries ended because of a restart, not a shutdown
+        self._reloaded = True
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -272,15 +285,24 @@ def main(argv: list[str] | None = None) -> int:
         app.monitor_pass()
         app.stop()
         return 0
-    queries = [p.start(available_now=False, processing_time="5 seconds")
-               for p in app.pipelines]
-    try:
-        for q in queries:
-            q.awaitTermination()
-    except KeyboardInterrupt:
-        for q in queries:
-            q.stop()
-        app.stop()
+    # continuous mode: if the queries stopped because a restart action
+    # reloaded the app (app._reloaded), start the rebuilt pipelines and
+    # keep serving — the reference's in-process relaunch loop
+    # (DbSyncLauncher.scala:31-42)
+    while True:
+        app._reloaded = False
+        queries = [p.start(available_now=False, processing_time="5 seconds")
+                   for p in app.pipelines]
+        try:
+            for q in queries:
+                q.awaitTermination()
+        except KeyboardInterrupt:
+            for q in queries:
+                q.stop()
+            app.stop()
+            break
+        if not app._reloaded:
+            break
     return 0
 
 

@@ -169,19 +169,37 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text",
     their shingle set in one row (~multi-MB docs); for typical web/train
     corpora (KB-scale docs) the array form is strictly fewer shuffles."""
     cands, sets = _lsh_candidate_sets(df, text_col, id_col, k)
-    sets_a = sets.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa"))
-    sets_b = sets.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sb"))
     n_inter = F.size(F.array_intersect("_sa", "_sb"))
     jac = (n_inter.cast("double")
            / (F.size("_sa") + F.size("_sb") - n_inter)).alias("jaccard")
-    # broadcast the candidate pairs: LSH keeps them tiny relative to the
-    # corpus, and a sort-merge join here would shuffle every document's
-    # shingle-set array (the widest column in the pipeline)
+    return (_pair_sets(cands, sets, id_col)
+            .select("doc_a", "doc_b", jac)
+            .where(F.col("jaccard") >= threshold))
+
+
+def _candidate_shingle_sets(df: DataFrame, cands: DataFrame, text_col: str,
+                            id_col: str, k: int) -> DataFrame:
+    """Distinct shingle-set arrays for exactly the candidate ids (broadcast
+    semi-join keeps the rebuild proportional to the candidate set)."""
+    cand_ids = (cands.select(F.col("doc_a").alias(id_col))
+                .unionByName(cands.select(F.col("doc_b").alias(id_col)))
+                .distinct())
     return (
-        F.broadcast(cands).join(sets_a, on="doc_a").join(sets_b, on="doc_b")
-        .select("doc_a", "doc_b", jac)
-        .where(F.col("jaccard") >= threshold)
+        fan_out(df).join(F.broadcast(cand_ids), on=id_col, how="semi")
+        .select(F.col(id_col),
+                F.array_distinct(shingles(F.col(text_col), k)).alias("_sh"))
     )
+
+
+def _pair_sets(cands: DataFrame, sets: DataFrame, id_col: str) -> DataFrame:
+    """(doc_a, doc_b, _sa, _sb) — each candidate pair with both shingle-set
+    arrays attached. The candidate pairs are broadcast: LSH/rare-shingle
+    blocking keeps them tiny relative to the corpus, and a sort-merge join
+    here would shuffle every document's shingle-set array (the widest
+    column in the pipeline)."""
+    sets_a = sets.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa"))
+    sets_b = sets.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sb"))
+    return F.broadcast(cands).join(sets_a, on="doc_a").join(sets_b, on="doc_b")
 
 
 def _lsh_candidate_sets(df: DataFrame, text_col: str, id_col: str,
@@ -236,15 +254,7 @@ def _lsh_candidate_sets(df: DataFrame, text_col: str, id_col: str,
     ).select(id_col, "b.band", "b.band_key")
     cands = lsh_candidates(bands, id_col)
 
-    cand_ids = (cands.select(F.col("doc_a").alias(id_col))
-                .unionByName(cands.select(F.col("doc_b").alias(id_col)))
-                .distinct())
-    sets = (
-        fan_out(df).join(F.broadcast(cand_ids), on=id_col, how="semi")
-        .select(F.col(id_col),
-                F.array_distinct(shingles(F.col(text_col), k)).alias("_sh"))
-    )
-    return cands, sets
+    return cands, _candidate_shingle_sets(df, cands, text_col, id_col, k)
 
 
 def containment_pairs(df: DataFrame, text_col: str = "text",
@@ -291,25 +301,14 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
              .where(F.col("doc_a") < F.col("doc_b"))
              .select("doc_a", "doc_b")
              .distinct())
-    cand_ids = (cands.select(F.col("doc_a").alias(id_col))
-                .unionByName(cands.select(F.col("doc_b").alias(id_col)))
-                .distinct())
-    sets = (
-        fan_out(df).join(F.broadcast(cand_ids), on=id_col, how="semi")
-        .select(F.col(id_col),
-                F.array_distinct(shingles(F.col(text_col), k)).alias("_sh"))
-    )
-    sets_a = sets.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa"))
-    sets_b = sets.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sb"))
+    sets = _candidate_shingle_sets(df, cands, text_col, id_col, k)
     n_inter = F.size(F.array_intersect("_sa", "_sb"))
     cont_a = (n_inter.cast("double") / F.size("_sa")).alias("cont_a_in_b")
     cont_b = (n_inter.cast("double") / F.size("_sb")).alias("cont_b_in_a")
-    return (
-        F.broadcast(cands).join(sets_a, on="doc_a").join(sets_b, on="doc_b")
-        .select("doc_a", "doc_b", cont_a, cont_b)
-        .where((F.col("cont_a_in_b") >= threshold)
-               | (F.col("cont_b_in_a") >= threshold))
-    )
+    return (_pair_sets(cands, sets, id_col)
+            .select("doc_a", "doc_b", cont_a, cont_b)
+            .where((F.col("cont_a_in_b") >= threshold)
+                   | (F.col("cont_b_in_a") >= threshold)))
 
 
 def ngram_jaccard_vs_query(df: DataFrame, query_doc_id: int,

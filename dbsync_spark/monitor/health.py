@@ -149,16 +149,18 @@ def webhook_action(reason: str, url: str, timeout: float = 5.0,
 
 def email_action(reason: str, smtp_host: str = "localhost",
                  smtp_port: int = 25, sender: str = "dbsync@localhost",
-                 to: str = "ops@localhost",
-                 subject: str = "dbsync alert", **params) -> None:
-    """Default SMTP handler (EmailActionHandler.scala:11-56)."""
+                 to: str = "ops@localhost", subject: str = "dbsync alert",
+                 timeout: float = 10.0, **params) -> None:
+    """Default SMTP handler (EmailActionHandler.scala:11-56). The connect
+    timeout bounds the monitor tick: a blackholed port 25 must not stall
+    the driver loop for the kernel TCP timeout."""
     import smtplib
     from email.message import EmailMessage
 
     msg = EmailMessage()
     msg["From"], msg["To"], msg["Subject"] = sender, to, subject
     msg.set_content(reason)
-    with smtplib.SMTP(smtp_host, smtp_port) as s:
+    with smtplib.SMTP(smtp_host, smtp_port, timeout=timeout) as s:
         s.send_message(msg)
 
 

@@ -58,12 +58,17 @@ _READ_SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
 _PUSHED_RE = re.compile(r"PushedFilters: \[([^\]]*)\]")
 
 
+_ORDER_ENTRY_RE = re.compile(
+    r"(ASC|DESC) NULLS (FIRST|LAST)$")
+
+
 def _has_global_window(plan: str) -> bool:
     for m in _GLOBAL_WINDOW_RE.finditer(plan):
         first = m.group(1).split(",")[0].strip()
         # a partitioned spec lists partition columns first; a global spec
-        # starts straight at the ordering ("col ASC NULLS FIRST") or frame
-        if first.endswith("ASC NULLS FIRST") or first.startswith(
+        # starts straight at an ordering entry ("col ASC NULLS FIRST",
+        # "col DESC NULLS LAST", ...) or at the frame
+        if _ORDER_ENTRY_RE.search(first) or first.startswith(
                 "specifiedwindowframe"):
             return True
     return False
@@ -81,8 +86,11 @@ def audit_plan(df: DataFrame) -> PlanAudit:
     # carries no codegen markers at all, so n_codegen_stages is 0 until
     # the query has run — audit structural properties before execution,
     # codegen width after.
-    n_exchanges = (plan.count("Exchange hashpartitioning")
-                   or len(re.findall(r"\(\d+\) Exchange", plan)))
+    # formatted mode prints "(n) Exchange" with the partitioning in a
+    # separate Arguments line; simple mode inlines it. Count node
+    # occurrences in whichever spelling the plan uses.
+    n_exchanges = (len(re.findall(r"\(\d+\) Exchange", plan))
+                   or plan.count("Exchange hashpartitioning"))
     n_codegen = (plan.count("WholeStageCodegen")
                  or len(set(re.findall(r"codegen id : (\d+)", plan))))
     return PlanAudit(

@@ -54,6 +54,7 @@ class SyncPipeline:
         # output committer's _temporary dir is per-path, and one job's
         # commit cleanup deletes the other's in-flight files
         self.ack_lock = ack_lock
+        self.last_query = None  # most recent StreamingQuery from start()
 
     @property
     def name(self) -> str:
@@ -190,7 +191,8 @@ class SyncPipeline:
             writer = writer.trigger(availableNow=True)
         elif processing_time:
             writer = writer.trigger(processingTime=processing_time)
-        return writer.start()
+        self.last_query = writer.start()
+        return self.last_query
 
     def run_to_completion(self) -> None:
         q = self.start(available_now=True)

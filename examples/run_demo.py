@@ -29,7 +29,7 @@ sync:
     sourceTable: orders
     sourceKeys: o_orderkey
 monitor:
-  - {syncErrorOver: 100, action: webhook, params: {url: "http://localhost:9}"}}
+  - {syncErrorOver: 100, action: webhook, params: {url: "http://localhost:9000/alerts"}}
 """
 
 
@@ -69,8 +69,8 @@ def main() -> int:
     # every applied (OK) row from the log — exactly the reference's
     # CleanWorker semantics
     app.retention_pass()
-    print(f"log rows after retention sweep: "
-          f"{app.sync_state().success + app.sync_state().pending}")
+    swept = app.sync_state()
+    print(f"log rows after retention sweep: {swept.success + swept.pending}")
     app.stop()
     spark.stop()
     return 0

@@ -240,8 +240,9 @@ def test_default_action_handlers(monkeypatch):
     sent = []
 
     class FakeSMTP:
-        def __init__(self, host, port):
+        def __init__(self, host, port, timeout=None):
             sent.append(("connect", host, port))
+            assert timeout is not None, "email_action must bound the connect"
 
         def __enter__(self):
             return self

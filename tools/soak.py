@@ -50,11 +50,17 @@ def main() -> int:
     cores = spark.sparkContext.defaultParallelism
     results = []
 
+    li1 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    max_okey = li1.agg(F.max("l_orderkey")).first()[0] + 1
+
     for scale in (1, n):
-        # apply: Nx the change log, disjoint id/key spaces per replica
-        log1 = build_bench_log(spark, SF_DIR)
-        max_id = log1.agg(F.max("id")).first()[0] + 1
-        log = replicate(log1, scale, "id", max_id)
+        # apply: Nx the change log with genuinely DISJOINT key spaces —
+        # the lineitem frame itself is replicated with offset l_orderkey
+        # BEFORE the log is built, so the LWW reduce sees Nx distinct keys
+        # and writes an Nx-sized target (replicating only the log would
+        # measure duplicate-key collapse with constant output instead)
+        li = replicate(li1, scale, "l_orderkey", max_okey)
+        log = build_bench_log(spark, SF_DIR, li=li)
         (log.repartition(cores * scale)
          .write.mode("overwrite").parquet(f"{workdir}/log{scale}"))
         stored = spark.read.parquet(f"{workdir}/log{scale}")
