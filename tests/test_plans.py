@@ -139,3 +139,20 @@ def test_from_json_schema_pruned_to_accessed_fields(spark, sf_dir):
     assert "from_json(StructField(o_orderkey,LongType,true)," in plan
     assert ("from_json(StructField(o_orderkey,LongType,true),"
             "StructField") not in plan
+
+
+def test_fan_out_is_identity_when_input_already_parallel(spark, sf_dir):
+    """fan_out must inject its repartition ONLY for inputs with fewer
+    splits than cores — at production scale (splits >= cores) it is the
+    identity and adds no exchange."""
+    from dbsync_spark.sources.tables import fan_out
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cores = spark.sparkContext.defaultParallelism
+    wide = li.repartition(cores + 4)
+    assert fan_out(wide) is wide  # identity, not just same partition count
+
+    narrow = li.coalesce(1)
+    out = fan_out(narrow)
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == cores
