@@ -1,0 +1,101 @@
+"""Iterative graph algorithms as DataFrame loops.
+
+The reference has no graph surface; these are the beyond-reference
+iterative operators a corpus/analytics pipeline needs (link analysis for
+source-quality weighting, influence ranking over interaction graphs).
+Connected components (min-label propagation) lives in
+functions/dedup.py::dedup_clusters; this module adds PageRank.
+
+Design for scale: each iteration is one join + one aggregate — the
+standard distributed PageRank shape (edges partitioned by src, ranks by
+node; the join shuffles on the node key and AQE handles skew). Lineage is
+truncated per iteration with localCheckpoint so the plan stays flat at
+any iteration count. No driver-side graph state: the driver holds only
+the loop counter.
+
+Exactness: all arithmetic is scaled-integer with floor division
+(`div`), never floats — sums of BIGINTs are order-independent, so the
+result is bit-identical across partitionings AND across engines. This is
+what makes an *iterative* algorithm hash-matchable against a DuckDB
+oracle (an unrolled CTE chain computing the identical recurrence).
+Dangling nodes (no out-edges) drop their mass — the common distributed
+simplification — and both sides implement the same rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# rank recurrence (per iteration, all integer):
+#   contrib(v)  = rank(v) div out_deg(v)           (floor)
+#   new_rank(u) = (15 * SCALE) div 100  +  (85 * sum contrib(v->u)) div 100
+# i.e. damping 0.85, uniform teleport, ranks scaled by SCALE (avg = SCALE).
+PAGERANK_SCALE = 10**12
+DAMPING_PCT = 85
+
+
+def pagerank(edges: DataFrame, n_iters: int = 8,
+             scale: int = PAGERANK_SCALE) -> DataFrame:
+    """Fixed-iteration integer PageRank over an edge list (`src`, `dst`
+    columns; parallel edges should be de-duplicated by the caller).
+    Returns (node, rank) with rank scaled so the initial value is
+    `scale` per node. Deterministic to the bit — see module docstring."""
+    src_nodes = edges.select(F.col("src").alias("node"))
+    dst_nodes = edges.select(F.col("dst").alias("node"))
+    nodes = src_nodes.unionByName(dst_nodes).distinct().localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # (src, dst, deg) — static across iterations, checkpoint once
+    e = edges.join(deg, on="src").localCheckpoint()
+    base = (100 - DAMPING_PCT) * scale // 100
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    for _ in range(n_iters):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .select(F.col("dst"), F.expr("rank div deg").alias("c"))
+            .groupBy("dst").agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (F.lit(base).cast("long")
+                 + F.expr(f"({DAMPING_PCT} * coalesce(s, 0L)) div 100")
+                 ).alias("rank"))
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(edges_cte: str, n_iters: int = 8,
+                        scale: int = PAGERANK_SCALE) -> str:
+    """DuckDB SQL computing the identical recurrence: the iteration is
+    unrolled into a CTE chain (standard SQL forbids aggregates in a
+    recursive CTE term). `edges_cte` must define `edges(src, dst)`."""
+    base = (100 - DAMPING_PCT) * scale // 100
+    parts = [
+        f"WITH {edges_cte},",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges),",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for i in range(1, n_iters + 1):
+        # CASTs pin BIGINT throughout: DuckDB's SUM(BIGINT) is HUGEINT,
+        # which pandas would surface as a different dtype than Spark's long
+        parts.append(
+            f""",r{i} AS (
+  SELECT n.node,
+         CAST(CAST({base} AS BIGINT)
+           + ({DAMPING_PCT} * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+  FROM nodes n
+  LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS s
+    FROM edges e
+    JOIN r{i - 1} r ON e.src = r.node
+    JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+)""")
+    parts.append(f"\nSELECT node, rank FROM r{n_iters}")
+    return "".join(parts)

@@ -70,6 +70,25 @@ def mixture_weights(df: DataFrame, stratum: str,
                     .alias("target_rows")))
 
 
+def weighted_sample(df: DataFrame, key: str, weight: Column,
+                    max_weight: int) -> DataFrame:
+    """Per-row weighted Bernoulli sampling, deterministically: a row with
+    weight w (an integer column, e.g. document length or a quality score)
+    is kept iff hash_bucket(key) * max_weight < w * SAMPLE_MOD — i.e. with
+    probability w / max_weight, but as a pure function of the key. All
+    arithmetic stays integer (no float rates), so any engine reproduces
+    the exact keep-set; weights above max_weight clamp to always-keep.
+
+    This is importance sampling for corpus curation (keep long/high-
+    quality documents preferentially) with the same scale properties as
+    hash_sample: evaluated at the scan, no shuffle, no RNG coordination
+    across executors, re-runnable.
+    """
+    w = F.least(weight.cast("long"), F.lit(max_weight).cast("long"))
+    return df.where(
+        hash_bucket(F.col(key)) * F.lit(max_weight) < w * F.lit(SAMPLE_MOD))
+
+
 def pack_sequences(df: DataFrame, id_col: str, len_col: str,
                    budget: int, stream_col: str | None = None) -> DataFrame:
     """Assign each document to a pack (context window) of at most `budget`

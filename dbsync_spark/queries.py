@@ -1244,6 +1244,7 @@ def q_corrupt_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
 from dbsync_spark import queries_analytics  # noqa: E402,F401
 from dbsync_spark import queries_tpch2  # noqa: E402,F401
 from dbsync_spark import queries_training  # noqa: E402,F401
+from dbsync_spark import queries_graph  # noqa: E402,F401
 
 
 _DIFF_COLS = ["o_custkey", "o_orderstatus", "o_totalprice",

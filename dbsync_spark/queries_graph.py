@@ -1,0 +1,59 @@
+"""Declared queries for the iterative graph operators (functions/graph.py).
+
+q_pagerank is the headline: an ITERATIVE algorithm that still fully
+hash-matches a DuckDB oracle, because the recurrence is scaled-integer
+with floor division (order-independent sums) and the oracle unrolls the
+same fixed iteration count into a CTE chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbsync_spark.functions import graph as gr
+from dbsync_spark.queries import _register
+from dbsync_spark.sources.tables import read_table
+
+_N_ITERS = 8
+
+_TRADE_EDGES_CTE = """edges AS (
+  SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey <> c.c_nationkey
+)"""
+
+
+def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation trade graph: an edge supplier-nation -> customer-nation for
+    every pair that traded at least once. Dimension joins broadcast; the
+    lineitem-orders join is the only shuffle and AQE plans it."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(F.col("s_nationkey").alias("src"),
+                F.col("c_nationkey").alias("dst"))
+        .distinct()
+    )
+
+
+@_register(
+    "q_pagerank",
+    gr.pagerank_oracle_sql(_TRADE_EDGES_CTE, n_iters=_N_ITERS),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation trade graph (8 iterations, damping 0.85,
+    scaled-integer exact). Each iteration = one shuffle join + one
+    aggregate with lineage truncated — the pattern holds for a
+    billion-edge graph; here the graph is small but the plan is the
+    at-scale plan."""
+    return gr.pagerank(trade_edges(spark, sf_dir), n_iters=_N_ITERS)

@@ -46,6 +46,24 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+@_register(
+    "q_weighted_sample",
+    f"""
+SELECT doc_id, n_chars FROM documents
+WHERE ({_BUCKET}) * 2000 < LEAST(n_chars, 2000) * {smp.SAMPLE_MOD}
+""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sampling: each document kept with
+    probability n_chars/2000 (clamped to 1), as a pure integer-arithmetic
+    function of doc_id — importance sampling for corpus curation with no
+    RNG state and no shuffle (functions/sampling.py weighted_sample)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return smp.weighted_sample(
+        docs, "doc_id", F.col("n_chars"), max_weight=2000,
+    ).select("doc_id", "n_chars")
+
+
 _MIX_BP = {"en": 5000, "de": 2000, "fr": 1500, "es": 1000, "zh": 500}
 _MIX_CASE = ("CASE " + " ".join(
     f"WHEN lang = '{k}' THEN {v}" for k, v in _MIX_BP.items()) + " ELSE 0 END")

@@ -1,0 +1,57 @@
+"""Iterative graph operators: PageRank exactness and fidelity."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+from dbsync_spark.functions import graph as gr
+from tests.compare import assert_matches
+
+
+def test_pagerank_matches_oracle(spark, sf_dir, duck):
+    """The iterative Spark loop and the unrolled DuckDB CTE chain compute
+    the bit-identical integer recurrence."""
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    assert_matches(qs["q_pagerank"](spark, sf_dir), duck, os_["q_pagerank"])
+
+
+def test_pagerank_tracks_float_reference(spark):
+    """The scaled-integer recurrence approximates true float PageRank:
+    on a small asymmetric graph, ranks agree within floor-division error
+    and the ordering is identical."""
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 0), (4, 2)]
+    df = spark.createDataFrame(edges, "src INT, dst INT")
+    got = {r["node"]: r["rank"] for r in gr.pagerank(df, n_iters=12).collect()}
+
+    # float reference: identical recurrence without the floors
+    nodes = sorted({n for e in edges for n in e})
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(12):
+        contrib = {n: 0.0 for n in nodes}
+        for s, d in edges:
+            contrib[d] += rank[s] / out[s]
+        rank = {n: 0.15 + 0.85 * contrib[n] for n in nodes}
+
+    scale = gr.PAGERANK_SCALE
+    for n in nodes:
+        assert abs(got[n] / scale - rank[n]) < 1e-6, (n, got[n] / scale, rank[n])
+    # same ordering, and the hub (node 2, most in-links) ranks first
+    by_int = sorted(nodes, key=lambda n: -got[n])
+    by_flt = sorted(nodes, key=lambda n: -rank[n])
+    assert by_int == by_flt
+    assert by_int[0] == 2
+
+
+def test_pagerank_mass_bounds(spark, sf_dir):
+    """Total rank stays within [teleport floor, initial mass]: floors and
+    dangling nodes only ever lose mass, teleport injects 0.15/node."""
+    from dbsync_spark.queries_graph import trade_edges
+
+    ranks = gr.pagerank(trade_edges(spark, sf_dir), n_iters=4)
+    rows = ranks.collect()
+    n = len(rows)
+    total = sum(r["rank"] for r in rows)
+    assert 0.15 * n * gr.PAGERANK_SCALE <= total <= n * gr.PAGERANK_SCALE
+    assert all(r["rank"] >= 0.15 * gr.PAGERANK_SCALE - 1 for r in rows)

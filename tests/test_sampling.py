@@ -12,6 +12,7 @@ from tests.compare import assert_matches
 TRAINING_ORACLE_BACKED = [
     "q_hash_sample",
     "q_stratified_sample",
+    "q_weighted_sample",
     "q_mixture_weights",
     "q_pack_sequences",
     "q_udtf_tokenize",
@@ -54,6 +55,24 @@ def test_stratified_rates_differ_by_stratum(spark, sf_dir):
     for lang in kept:
         if lang != "en":
             assert kept[lang] / totals[lang] < 0.45
+
+
+def test_weighted_sample_properties(spark, sf_dir):
+    """Rows at/above max_weight are always kept; the kept-rate of a
+    stratum tracks its weight; the sample is reproducible."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = smp.weighted_sample(docs, "doc_id", F.col("n_chars"), 2000).cache()
+    # clamp: every doc with n_chars >= 2000 survives
+    big_total = docs.where(F.col("n_chars") >= 2000).count()
+    big_kept = out.where(F.col("n_chars") >= 2000).count()
+    assert big_kept == big_total
+    # short docs are kept at a visibly lower rate than long docs
+    short_tot = docs.where(F.col("n_chars") < 500).count()
+    if short_tot > 50:
+        short_rate = out.where(F.col("n_chars") < 500).count() / short_tot
+        assert short_rate < 0.5
+    again = smp.weighted_sample(docs, "doc_id", F.col("n_chars"), 2000)
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
 
 
 def test_pack_sequences_budget_property(spark, sf_dir):
