@@ -181,6 +181,15 @@ def main() -> None:
     with timed("tpch_22_suite"):
         for qname in tpch:
             QUERIES[qname](spark, SF_DIR).count()
+    # same 22 queries submitted concurrently (12 driver threads): at this
+    # SF the serial wall is per-job scheduling floor, not compute — a
+    # multi-query engine overlaps them (Spark schedules concurrent jobs
+    # task-by-task). This is the realistic dashboard/multi-tenant number.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with timed("tpch_22_concurrent"):
+        with ThreadPoolExecutor(12) as ex:
+            list(ex.map(lambda q: QUERIES[q](spark, SF_DIR).count(), tpch))
 
     # -- training-data quality signals over documents -------------------------
     with timed("repetition_quality"):
