@@ -44,6 +44,16 @@ def pagerank(edges: DataFrame, n_iters: int = 8,
     src_nodes = edges.select(F.col("src").alias("node"))
     dst_nodes = edges.select(F.col("dst").alias("node"))
     nodes = src_nodes.unionByName(dst_nodes).distinct().localCheckpoint()
+    # Overflow guard: total mass never exceeds n*scale (floors/dangling
+    # only lose mass), so every intermediate is <= DAMPING_PCT*n*scale.
+    # Spark's non-ANSI mode would WRAP on BIGINT overflow (silently
+    # corrupt ranks) while DuckDB's HUGEINT sums would raise — fail fast
+    # instead of diverging. For huge graphs pass a smaller scale.
+    n_nodes = nodes.count()
+    if DAMPING_PCT * n_nodes * scale >= 2**63 - 1:
+        raise ValueError(
+            f"pagerank scale {scale} overflows BIGINT for {n_nodes} nodes; "
+            f"use scale <= {(2**63 - 1) // (DAMPING_PCT * n_nodes)}")
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # (src, dst, deg) — static across iterations, checkpoint once
     e = edges.join(deg, on="src").localCheckpoint()

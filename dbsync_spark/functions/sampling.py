@@ -83,8 +83,13 @@ def weighted_sample(df: DataFrame, key: str, weight: Column,
     quality documents preferentially) with the same scale properties as
     hash_sample: evaluated at the scan, no shuffle, no RNG coordination
     across executors, re-runnable.
+
+    NULL weights drop the row (weight 0): LEAST skips NULLs in both
+    Spark and DuckDB, which would silently turn "weight unknown" into
+    "always keep" — the opposite of the curation intent.
     """
-    w = F.least(weight.cast("long"), F.lit(max_weight).cast("long"))
+    w = F.least(F.coalesce(weight.cast("long"), F.lit(0).cast("long")),
+                F.lit(max_weight).cast("long"))
     return df.where(
         hash_bucket(F.col(key)) * F.lit(max_weight) < w * F.lit(SAMPLE_MOD))
 

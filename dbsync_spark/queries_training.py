@@ -50,7 +50,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_weighted_sample",
     f"""
 SELECT doc_id, n_chars FROM documents
-WHERE ({_BUCKET}) * 2000 < LEAST(n_chars, 2000) * {smp.SAMPLE_MOD}
+WHERE ({_BUCKET}) * 2000 < LEAST(COALESCE(n_chars, 0), 2000) * {smp.SAMPLE_MOD}
 """,
 )
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

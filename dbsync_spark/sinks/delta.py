@@ -2,13 +2,14 @@
 
 `ParquetTable` (sinks/table.py) is the container-testable stand-in: this
 module is the swap target on a real cluster where delta-spark is
-available. The apply semantics are identical to operators/apply.py
-merge_snapshot — last-writer-wins by log id with delete tombstone
-semantics collapsing to physical deletes — but expressed as a single
-`MERGE INTO`, which Delta executes as a join + rewrite of only the
-touched files (with file-skipping on the join keys). Retention/compaction
-(reference O8, `job/CleanWorker.scala:27-53`) map to `VACUUM` and
-`OPTIMIZE` literally.
+available. The apply semantics are EXACTLY operators/apply.py
+merge_snapshot — the batch reduce is merge_snapshot itself, and the
+target keeps its (_last_id, _deleted) tombstone columns — expressed as a
+single `MERGE INTO`, which Delta executes as a join + rewrite of only
+the touched files (with file-skipping on the join keys).
+Retention/compaction (reference O8, `job/CleanWorker.scala:27-53`) map
+to `VACUUM`/`OPTIMIZE`, with tombstone purge gated on the applied-log
+horizon.
 
 Everything is import-gated: in environments without delta-spark the
 class raises a clear error at construction, never at import.
@@ -51,43 +52,48 @@ class DeltaSink:
     def merge_changes(self, spark: SparkSession, changes: DataFrame,
                       key_cols: list[str], id_col: str = "id",
                       op_col: str = "operation") -> None:
-        """Apply an I/U/D micro-batch: reduce the batch last-writer-wins
-        per key FIRST (map-side combine, tiny merge source), then one
-        MERGE: matched+D -> delete, matched -> update, unmatched+not-D ->
-        insert. Out-of-order protection mirrors merge_snapshot: the
-        update/delete clauses are conditioned on the incoming id being
-        newer than the stored _last_id."""
-        from pyspark.sql import functions as F
+        """Apply an I/U/D micro-batch with merge_snapshot's EXACT
+        semantics: the batch is reduced last-writer-wins per key by
+        merge_snapshot itself (one shared implementation, no drift), and
+        the target STORES delete tombstones (_deleted, _last_id) rather
+        than physically deleting — so a replayed or out-of-order older
+        event can neither clobber a newer row nor resurrect a deleted
+        key. One MERGE: matched+newer -> update all, unmatched -> insert
+        (tombstones included). Read live rows via `live`."""
+        from dbsync_spark.operators.apply import (
+            DELETED_COL, LAST_ID_COL, merge_snapshot)
 
-        from dbsync_spark.operators.apply import LAST_ID_COL
-
-        payload = [c for c in changes.columns if c not in (id_col, op_col)]
-        winner = (changes.groupBy(*key_cols).agg(
-            F.max_by(F.struct(op_col, *[c for c in payload if c not in key_cols]),
-                     F.col(id_col)).alias("_w"),
-            F.max(id_col).alias(LAST_ID_COL)))
-        src = winner.select(
-            *key_cols, F.col(f"_w.{op_col}").alias(op_col), LAST_ID_COL,
-            *[F.col(f"_w.{c}").alias(c) for c in payload if c not in key_cols])
+        src = merge_snapshot(None, changes, key_cols, id_col, op_col)
         if self.read(spark) is None:
-            (src.where(F.col(op_col) != "D").drop(op_col)
-             .write.format("delta").save(self.path))
+            src.write.format("delta").save(self.path)
             return
         tgt = DeltaTable.forPath(spark, self.path)
         cond = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
         newer = f"s.{LAST_ID_COL} > t.{LAST_ID_COL}"
-        sets = {c: f"s.{c}" for c in payload if c not in key_cols}
-        sets[LAST_ID_COL] = f"s.{LAST_ID_COL}"
         (tgt.alias("t").merge(src.alias("s"), cond)
-         .whenMatchedDelete(condition=f"s.{op_col} = 'D' AND {newer}")
-         .whenMatchedUpdate(condition=f"s.{op_col} != 'D' AND {newer}", set=sets)
-         .whenNotMatchedInsert(
-             condition=f"s.{op_col} != 'D'",
-             values={**{k: f"s.{k}" for k in key_cols}, **sets})
+         .whenMatchedUpdateAll(condition=newer)
+         .whenNotMatchedInsertAll()
          .execute())
 
-    def maintain(self, spark: SparkSession, retain_hours: int = 168) -> None:
-        """Reference O8 retention/maintenance: compact + drop old files."""
+    def live(self, spark: SparkSession) -> DataFrame | None:
+        """Tombstone-free user-facing view (apply.live_rows)."""
+        from dbsync_spark.operators.apply import live_rows
+
+        snap = self.read(spark)
+        return None if snap is None else live_rows(snap)
+
+    def maintain(self, spark: SparkSession, retain_hours: int = 168,
+                 tombstone_horizon_id: int | None = None) -> None:
+        """Reference O8 retention/maintenance: compact + drop old files.
+        Tombstones below `tombstone_horizon_id` may be physically purged
+        ONLY once every log entry with id < horizon is fully applied and
+        retired from the change log (the same contract as the reference's
+        dataKeepHours sweep — a replay from before the horizon is then
+        impossible by construction)."""
+        from dbsync_spark.operators.apply import DELETED_COL, LAST_ID_COL
+
         tgt = DeltaTable.forPath(spark, self.path)
+        if tombstone_horizon_id is not None:
+            tgt.delete(f"{DELETED_COL} AND {LAST_ID_COL} < {tombstone_horizon_id}")
         tgt.optimize().executeCompaction()
         tgt.vacuum(retain_hours)

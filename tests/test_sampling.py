@@ -73,6 +73,12 @@ def test_weighted_sample_properties(spark, sf_dir):
         assert short_rate < 0.5
     again = smp.weighted_sample(docs, "doc_id", F.col("n_chars"), 2000)
     assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+    assert again.select("doc_id").exceptAll(out.select("doc_id")).count() == 0
+    # NULL weight means "drop", never "always keep"
+    nulled = smp.weighted_sample(
+        docs.withColumn("n_chars", F.lit(None).cast("long")),
+        "doc_id", F.col("n_chars"), 2000)
+    assert nulled.count() == 0
 
 
 def test_pack_sequences_budget_property(spark, sf_dir):
