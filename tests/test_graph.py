@@ -44,6 +44,41 @@ def test_pagerank_tracks_float_reference(spark):
     assert by_int[0] == 2
 
 
+def test_pagerank_property_random_graphs(spark):
+    """Hypothesis: for arbitrary digraphs, the distributed integer
+    recurrence equals a sequential python reimplementation exactly
+    (same floors), independent of partitioning."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scale = 10**9
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.sets(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                   min_size=1, max_size=25).filter(
+                       lambda es: any(s != d for s, d in es)))
+    def check(edge_set):
+        edges = [(s, d) for s, d in edge_set if s != d]
+        df = spark.createDataFrame(edges, "src INT, dst INT").repartition(7)
+        got = {r["node"]: r["rank"]
+               for r in gr.pagerank(df, n_iters=5, scale=scale).collect()}
+
+        nodes = sorted({n for e in edges for n in e})
+        out = {}
+        for s, _ in edges:
+            out[s] = out.get(s, 0) + 1
+        base = 15 * scale // 100
+        rank = {n: scale for n in nodes}
+        for _ in range(5):
+            contrib = {n: 0 for n in nodes}
+            for s, d in edges:
+                contrib[d] += rank[s] // out[s]
+            rank = {n: base + (85 * contrib[n]) // 100 for n in nodes}
+        assert got == rank
+
+    check()
+
+
 def test_pagerank_mass_bounds(spark, sf_dir):
     """Total rank stays within [teleport floor, initial mass]: floors and
     dangling nodes only ever lose mass, teleport injects 0.15/node."""
