@@ -400,6 +400,59 @@ def dedup_clusters(ids: DataFrame, pairs: DataFrame,
                          F.col("lab").alias("canonical_id"))
 
 
+def dedup_clusters_incremental(prior: DataFrame, ids: DataFrame,
+                               pairs: DataFrame, id_col: str = "doc_id",
+                               max_iters: int = 20) -> DataFrame:
+    """Incrementally maintain a dedup_clusters result when new documents
+    and new near-dup pairs arrive: seed label propagation with the PRIOR
+    canonical labels (new/unknown docs seed with themselves) and iterate
+    only until the new edges' effect converges.
+
+    Correctness: min-label propagation is monotone non-increasing and
+    converges to the component-minimum regardless of the starting labels,
+    provided every start label is the id of some node in the component —
+    a prior canonical_id is the min id of a prior sub-component, so the
+    seeded run converges to exactly the full-recompute labels on the
+    union graph (pinned by test). At scale this turns the daily dedup
+    refresh from O(diameter) full-graph rounds into a few rounds
+    touching mostly the new edges' neighborhoods.
+
+    `prior` is (id_col, canonical_id); `ids`/`pairs` are the FULL current
+    doc set and pair graph (prior pairs plus new ones)."""
+    nodes = ids.select(F.col(id_col).alias("node")).distinct()
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    seed = prior.select(F.col(id_col).alias("node"),
+                        F.col("canonical_id").alias("lab"))
+    labels = (
+        nodes.join(seed, on="node", how="left")
+        .select("node", F.coalesce(F.col("lab"), F.col("node")).alias("lab"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src").agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select("node", F.least(F.col("lab"),
+                                    F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"))
+            .localCheckpoint()
+        )
+        converged = (
+            new_labels.alias("n").join(labels.alias("o"), on="node")
+            .where(F.col("n.lab") != F.col("o.lab")).isEmpty()
+        )
+        labels = new_labels
+        if converged:
+            break
+    return labels.select(F.col("node").alias(id_col),
+                         F.col("lab").alias("canonical_id"))
+
+
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """SimHash signature: for each bit, vote +1/-1 per distinct token by

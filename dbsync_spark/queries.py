@@ -814,6 +814,31 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q_dedup_cluster"] = _CLUSTER_ORACLE_TEMPLATE.format(body=_minhash_cte_body())
 
 
+@_register("q_dedup_cluster_incremental")
+def q_dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the dedup clustering: compute the prior
+    clustering over only the pre-existing docs' pair graph, then fold in
+    the newly-arrived variants' pairs via seeded label propagation
+    (functions/dedup.py dedup_clusters_incremental). Declared against the
+    SAME full-recompute oracle as q_dedup_cluster — incremental == full,
+    the IVM contract, extended to an iterative graph operator. At 100 TB
+    this is the daily dedup refresh touching only new-edge
+    neighborhoods."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    off = docs.agg(F.max("doc_id")).first()[0] + 1
+    variants = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + off).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" spark")).alias("text"))
+    corpus = docs.unionByName(variants)
+    pairs = dd.minhash_near_dups(corpus, threshold=0.5).localCheckpoint()
+    old_pairs = pairs.where((F.col("doc_a") < off) & (F.col("doc_b") < off))
+    prior = dd.dedup_clusters(docs.select("doc_id"), old_pairs)
+    return dd.dedup_clusters_incremental(prior, corpus.select("doc_id"), pairs)
+
+
+ORACLES["q_dedup_cluster_incremental"] = ORACLES["q_dedup_cluster"]
+
+
 _KEEP_BEST_ORACLE_TEMPLATE = """
 WITH RECURSIVE {body},
 good AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),

@@ -79,6 +79,47 @@ def test_pagerank_property_random_graphs(spark):
     check()
 
 
+def test_incremental_clusters_equal_full_recompute(spark):
+    """Hypothesis: for random pair graphs and random old/new edge splits,
+    seeded label propagation (dedup_clusters_incremental) converges to
+    exactly the full-recompute labels on the union graph."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dbsync_spark.functions.dedup import (
+        dedup_clusters, dedup_clusters_incremental)
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 14), st.integers(0, 14),
+                              st.booleans()),
+                    min_size=1, max_size=30))
+    def check(raw):
+        pairs = [(min(a, b), max(a, b), new) for a, b, new in raw if a != b]
+        if not pairs:
+            return
+        all_nodes = sorted({n for a, b, _ in pairs for n in (a, b)})
+        ids = spark.createDataFrame([(n,) for n in all_nodes], "doc_id INT")
+        full = spark.createDataFrame(
+            [(a, b) for a, b, _ in pairs], "doc_a INT, doc_b INT")
+        old = spark.createDataFrame(
+            [(a, b) for a, b, new in pairs if not new],
+            "doc_a INT, doc_b INT")
+        prior = dedup_clusters(ids, old)
+        inc = dedup_clusters_incremental(prior, ids, full)
+        ref = dedup_clusters(ids, full)
+        got = {r["doc_id"]: r["canonical_id"] for r in inc.collect()}
+        exp = {r["doc_id"]: r["canonical_id"] for r in ref.collect()}
+        assert got == exp
+
+    check()
+
+
+def test_incremental_cluster_query_matches_oracle(spark, sf_dir, duck):
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    assert_matches(qs["q_dedup_cluster_incremental"](spark, sf_dir), duck,
+                   os_["q_dedup_cluster_incremental"])
+
+
 def test_pagerank_mass_bounds(spark, sf_dir):
     """Total rank stays within [teleport floor, initial mass]: floors and
     dangling nodes only ever lose mass, teleport injects 0.15/node."""
