@@ -77,6 +77,83 @@ def pagerank(edges: DataFrame, n_iters: int = 8,
     return ranks
 
 
+def bfs_distances(edges: DataFrame, sources: DataFrame,
+                  n_iters: int = 4) -> DataFrame:
+    """Fixed-depth BFS / single-source-set shortest paths over an edge
+    list (`src`, `dst`) from a set of seed nodes (`node` column).
+    Returns (node, dist) for EVERY node of the graph or seed set; dist is
+    NULL when the node is unreachable within `n_iters` hops.
+
+    Recurrence (all integer, exact — hash-matchable like pagerank):
+      d0(v)     = 0 if v in sources else NULL
+      d_{i+1}(v)= min(d_i(v), 1 + min over edges u->v of d_i(u))
+    The NULL-min is written as an explicit CASE (not LEAST) so Spark and
+    DuckDB agree on NULL handling by construction.
+
+    Scale shape: each iteration is one equi-join (edges x frontier) + one
+    min-aggregate — identical to the distributed Pregel BFS step; lineage
+    truncated per iteration. The frontier join shrinks to only-reached
+    nodes, so late iterations touch a fraction of the edge set."""
+    src_nodes = edges.select(F.col("src").alias("node"))
+    dst_nodes = edges.select(F.col("dst").alias("node"))
+    nodes = (src_nodes.unionByName(dst_nodes)
+             .unionByName(sources.select("node"))
+             .distinct().localCheckpoint())
+    e = edges.localCheckpoint()
+    seeds = sources.select("node").distinct()
+    dist = (nodes.join(seeds.withColumn("_s", F.lit(0)), "node", "left")
+            .select("node", F.col("_s").cast("int").alias("dist"))
+            .localCheckpoint())
+    for _ in range(n_iters):
+        reached = dist.where(F.col("dist").isNotNull())
+        cand = (e.join(reached, e.src == reached.node)
+                .select(F.col("dst"), (F.col("dist") + 1).alias("c"))
+                .groupBy("dst").agg(F.min("c").alias("c")))
+        dist = (dist.join(cand, dist.node == cand.dst, "left")
+                .select(
+                    "node",
+                    F.expr("CASE WHEN dist IS NULL THEN c "
+                           "WHEN c IS NULL THEN dist "
+                           "WHEN c < dist THEN c ELSE dist END")
+                    .cast("int").alias("dist"))
+                .localCheckpoint())
+    return dist
+
+
+def bfs_oracle_sql(edges_cte: str, sources_cte: str,
+                   n_iters: int = 4) -> str:
+    """DuckDB SQL computing the identical BFS recurrence, unrolled into a
+    CTE chain (`edges_cte` defines edges(src, dst); `sources_cte` defines
+    sources(node))."""
+    parts = [
+        f"WITH {edges_cte},",
+        f"{sources_cte},",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges UNION SELECT node FROM sources),",
+        "d0 AS (SELECT n.node,"
+        " CAST(CASE WHEN s.node IS NOT NULL THEN 0 END AS INT) AS dist"
+        " FROM nodes n LEFT JOIN (SELECT DISTINCT node FROM sources) s"
+        " ON n.node = s.node)",
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f""",d{i} AS (
+  SELECT d.node,
+         CAST(CASE WHEN d.dist IS NULL THEN c.c
+                   WHEN c.c IS NULL THEN d.dist
+                   WHEN c.c < d.dist THEN c.c ELSE d.dist END AS INT) AS dist
+  FROM d{i - 1} d
+  LEFT JOIN (
+    SELECT e.dst, MIN(r.dist + 1) AS c
+    FROM edges e JOIN d{i - 1} r ON e.src = r.node
+    WHERE r.dist IS NOT NULL
+    GROUP BY e.dst
+  ) c ON d.node = c.dst
+)""")
+    parts.append(f"\nSELECT node, dist FROM d{n_iters}")
+    return "".join(parts)
+
+
 def pagerank_oracle_sql(edges_cte: str, n_iters: int = 8,
                         scale: int = PAGERANK_SCALE) -> str:
     """DuckDB SQL computing the identical recurrence: the iteration is

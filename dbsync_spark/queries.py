@@ -1270,6 +1270,7 @@ from dbsync_spark import queries_analytics  # noqa: E402,F401
 from dbsync_spark import queries_tpch2  # noqa: E402,F401
 from dbsync_spark import queries_training  # noqa: E402,F401
 from dbsync_spark import queries_graph  # noqa: E402,F401
+from dbsync_spark import queries_tpcds  # noqa: E402,F401
 
 
 _DIFF_COLS = ["o_custkey", "o_orderstatus", "o_totalprice",

@@ -46,6 +46,32 @@ def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BFS_SOURCES_CTE = """sources AS (
+  SELECT n_nationkey AS node FROM nation WHERE n_regionkey = 0
+)"""
+
+_BFS_ITERS = 4
+
+
+@_register(
+    "q_bfs_paths",
+    gr.bfs_oracle_sql(_TRADE_EDGES_CTE, _BFS_SOURCES_CTE,
+                      n_iters=_BFS_ITERS),
+)
+def q_bfs_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-depth BFS shortest paths over the nation trade graph, seeded
+    from region 0's nations: how many hops of trading relationships
+    separate every nation from the seed region (NULL = unreachable within
+    4 hops). The iterative frontier join is the distributed Pregel BFS
+    step; integer distances keep it hash-matchable against the unrolled
+    CTE oracle (see functions/graph.py::bfs_distances)."""
+    nation = read_table(spark, sf_dir, "nation")
+    seeds = (nation.where(F.col("n_regionkey") == 0)
+             .select(F.col("n_nationkey").alias("node")))
+    return gr.bfs_distances(trade_edges(spark, sf_dir), seeds,
+                            n_iters=_BFS_ITERS)
+
+
 @_register(
     "q_pagerank",
     gr.pagerank_oracle_sql(_TRADE_EDGES_CTE, n_iters=_N_ITERS),

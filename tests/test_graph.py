@@ -120,6 +120,59 @@ def test_incremental_cluster_query_matches_oracle(spark, sf_dir, duck):
                    os_["q_dedup_cluster_incremental"])
 
 
+def test_bfs_matches_oracle(spark, sf_dir, duck):
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    assert_matches(qs["q_bfs_paths"](spark, sf_dir), duck,
+                   os_["q_bfs_paths"])
+
+
+def test_bfs_property_random_graphs(spark):
+    """Hypothesis: distributed fixed-depth BFS equals a sequential BFS
+    (capped at the iteration count) on arbitrary digraphs and seed sets,
+    independent of partitioning."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.sets(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                min_size=1, max_size=25),
+        st.sets(st.integers(0, 9), min_size=1, max_size=3),
+        st.integers(1, 4),
+    )
+    def check(edge_set, seed_set, n_iters):
+        edges = [(s, d) for s, d in edge_set]
+        df = spark.createDataFrame(edges, "src INT, dst INT").repartition(7)
+        seeds = spark.createDataFrame([(s,) for s in seed_set], "node INT")
+        got = {r["node"]: r["dist"]
+               for r in gr.bfs_distances(df, seeds, n_iters).collect()}
+
+        nodes = {n for e in edges for n in e} | set(seed_set)
+        dist = {n: (0 if n in seed_set else None) for n in nodes}
+        for _ in range(n_iters):
+            new = dict(dist)
+            for s, d in edges:
+                if dist[s] is not None:
+                    c = dist[s] + 1
+                    if new[d] is None or c < new[d]:
+                        new[d] = c
+            dist = new
+        assert got == dist
+
+    check()
+
+
+def test_bfs_seed_only_nodes_and_unreachable(spark):
+    """Seeds outside the edge set appear with dist 0; nodes beyond the
+    horizon stay NULL."""
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)],
+                                  "src INT, dst INT")
+    seeds = spark.createDataFrame([(0,), (99,)], "node INT")
+    got = {r["node"]: r["dist"]
+           for r in gr.bfs_distances(edges, seeds, n_iters=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: None, 99: 0}
+
+
 def test_pagerank_mass_bounds(spark, sf_dir):
     """Total rank stays within [teleport floor, initial mass]: floors and
     dangling nodes only ever lose mass, teleport injects 0.15/node."""

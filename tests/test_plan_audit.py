@@ -35,7 +35,10 @@ BNLJ_ALLOWED = {
 }
 
 # global-sort windows over dimension-sized inputs (documented exceptions)
-GLOBAL_WINDOW_ALLOWED = {"q_ntile_customers"}
+# q_cumulative_crossover's window runs over the POST-aggregation daily
+# frame (bounded by calendar days at any data scale) — the fact scan and
+# aggregations beneath it are fully distributed.
+GLOBAL_WINDOW_ALLOWED = {"q_ntile_customers", "q_cumulative_crossover"}
 
 # queries consuming the FIXTURES.md §C change-log builders: those build
 # global ids with a row_number over the fixture table (fixture-only
