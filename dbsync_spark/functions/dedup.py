@@ -53,6 +53,17 @@ def shingles(text: Column, k: int = 3) -> Column:
                   ).otherwise(F.array())
 
 
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """Character k-gram shingles (ccnet-style): robust to tokenization
+    and word-boundary edits, the standard unit for fuzzy dedup of web
+    text. Empty when the doc is shorter than k chars."""
+    n = F.length(text)
+    return F.when(n >= k,
+                  F.transform(F.sequence(F.lit(1), n - (k - 1)),
+                              lambda i: F.substring(text, i, k))
+                  ).otherwise(F.array())
+
+
 def doc_shingles(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """(id, shingle) distinct pairs."""
@@ -141,7 +152,7 @@ def exact_jaccard(candidates: DataFrame, shingled: DataFrame,
 
 def minhash_near_dups(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", threshold: float = 0.5,
-                      k: int = 3) -> DataFrame:
+                      k: int = 3, shingle_fn=None) -> DataFrame:
     """End-to-end MinHash LSH near-dup pairs with exact-Jaccard verify,
     computed row-locally with array higher-order functions wherever the
     math allows:
@@ -168,7 +179,7 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text",
     fallback for corpora whose individual documents are too large to hold
     their shingle set in one row (~multi-MB docs); for typical web/train
     corpora (KB-scale docs) the array form is strictly fewer shuffles."""
-    cands, sets = _lsh_candidate_sets(df, text_col, id_col, k)
+    cands, sets = _lsh_candidate_sets(df, text_col, id_col, k, shingle_fn)
     n_inter = F.size(F.array_intersect("_sa", "_sb"))
     jac = (n_inter.cast("double")
            / (F.size("_sa") + F.size("_sb") - n_inter)).alias("jaccard")
@@ -178,16 +189,18 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text",
 
 
 def _candidate_shingle_sets(df: DataFrame, cands: DataFrame, text_col: str,
-                            id_col: str, k: int) -> DataFrame:
+                            id_col: str, k: int,
+                            shingle_fn=None) -> DataFrame:
     """Distinct shingle-set arrays for exactly the candidate ids (broadcast
     semi-join keeps the rebuild proportional to the candidate set)."""
     cand_ids = (cands.select(F.col("doc_a").alias(id_col))
                 .unionByName(cands.select(F.col("doc_b").alias(id_col)))
                 .distinct())
+    sh = shingle_fn or (lambda c: shingles(c, k))
     return (
         fan_out(df).join(F.broadcast(cand_ids), on=id_col, how="semi")
         .select(F.col(id_col),
-                F.array_distinct(shingles(F.col(text_col), k)).alias("_sh"))
+                F.array_distinct(sh(F.col(text_col))).alias("_sh"))
     )
 
 
@@ -203,10 +216,14 @@ def _pair_sets(cands: DataFrame, sets: DataFrame, id_col: str) -> DataFrame:
 
 
 def _lsh_candidate_sets(df: DataFrame, text_col: str, id_col: str,
-                        k: int) -> tuple[DataFrame, DataFrame]:
+                        k: int, shingle_fn=None
+                        ) -> tuple[DataFrame, DataFrame]:
     """Shared LSH front end: (candidate id pairs, distinct shingle-set
     arrays for exactly the candidate ids). Signatures and band keys are
     row-local; only 4 narrow rows/doc enter the self-join.
+    `shingle_fn` (Column -> array Column) swaps the shingling unit —
+    word k-shingles by default, char_shingles for the ccnet-style
+    tokenization-robust variant.
 
     All 16 minima come from ONE fold over the shingle-hash array —
     expressing them as 16 separate array_min(transform(...)) columns
@@ -216,7 +233,8 @@ def _lsh_candidate_sets(df: DataFrame, text_col: str, id_col: str,
     frame is then localCheckpointed — it is the LSH index a production
     pipeline would materialize anyway, and without the barrier the band
     projection would re-inline the fold 4x."""
-    hashes = F.transform(shingles(F.col(text_col), k),
+    sh = shingle_fn or (lambda c: shingles(c, k))
+    hashes = F.transform(sh(F.col(text_col)),
                          lambda s: h15(s) % MERSENNE31)
     ua = F.array(*[F.lit(a) for a in UH_A[:NUM_MINHASHES]])
     ub = F.array(*[F.lit(b) for b in UH_B[:NUM_MINHASHES]])
@@ -254,7 +272,8 @@ def _lsh_candidate_sets(df: DataFrame, text_col: str, id_col: str,
     ).select(id_col, "b.band", "b.band_key")
     cands = lsh_candidates(bands, id_col)
 
-    return cands, _candidate_shingle_sets(df, cands, text_col, id_col, k)
+    return cands, _candidate_shingle_sets(df, cands, text_col, id_col, k,
+                                          shingle_fn)
 
 
 def containment_pairs(df: DataFrame, text_col: str = "text",

@@ -374,7 +374,24 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(_dup_corpus(spark, sf_dir))
 
 
-def _minhash_oracle() -> str:
+_WORD_SH_CTE = """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM near_corpus),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingle
+  FROM toks WHERE len(t) >= 3
+)"""
+
+_CHAR_SH_CTE = """sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(text) - 4),
+                i -> substr(text, i, 5))) AS shingle
+  FROM near_corpus WHERE len(text) >= 5
+)"""
+
+
+def _minhash_oracle(sh_cte: str = _WORD_SH_CTE,
+                    threshold: float = 0.5) -> str:
     p = dd.MERSENNE31
     mh_exprs = ",\n         ".join(
         f"min(({dd.UH_A[i]} * _h + {dd.UH_B[i]}) % {p}) AS mh{i}"
@@ -395,13 +412,7 @@ WITH near_corpus AS (
   SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text || ' spark'
   FROM documents WHERE doc_id % 50 = 0
 ),
-toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM near_corpus),
-sh AS (
-  SELECT DISTINCT doc_id,
-         unnest(list_transform(generate_series(1, len(t) - 2),
-                i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingle
-  FROM toks WHERE len(t) >= 3
-),
+{sh_cte},
 shh AS (
   SELECT doc_id, shingle,
          ({_H15.format(s='shingle')}) % {dd.MERSENNE31} AS _h
@@ -436,7 +447,7 @@ scored AS (
   JOIN sizes na ON na.doc_id = c.doc_a
   JOIN sizes nb ON nb.doc_id = c.doc_b
 )
-SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {threshold}
 """
 
 
@@ -461,6 +472,25 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" spark")).alias("text"))
     corpus = docs.unionByName(variants)
     return dd.minhash_near_dups(corpus, threshold=0.5)
+
+
+@_register("q_minhash_char", _minhash_oracle(_CHAR_SH_CTE, threshold=0.6))
+def q_minhash_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-5-gram MinHash+LSH near-dups (ccnet-style): the shingling
+    unit is character 5-grams instead of word trigrams, so the dedup is
+    robust to tokenization, punctuation, and word-boundary edits that
+    word shingles miss entirely. Same LSH machinery (16 minhashes, 4
+    bands, exact-Jaccard verify on candidates) via the shingle_fn hook;
+    char shingles are ~10x more numerous per doc, but the fold stays one
+    row-local pass and only band rows reach the shuffle."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    off = docs.agg(F.max("doc_id")).first()[0] + 1
+    variants = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + off).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" spark")).alias("text"))
+    corpus = docs.unionByName(variants)
+    return dd.minhash_near_dups(
+        corpus, threshold=0.6, shingle_fn=lambda c: dd.char_shingles(c, 5))
 
 
 _CONTAINMENT_ORACLE = """

@@ -1446,3 +1446,74 @@ def q_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("l_returnflag")
             .agg(cents_sum(F.col("_c")).alias("sum_cents"),
                  n_vals(F.col("_c")).alias("n_rows")))
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection (IQR fences over a heavy-tailed signal)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_outlier_gaps",
+    """
+WITH gaps AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+g AS (SELECT * FROM gaps WHERE gap_us IS NOT NULL),
+ranked AS (
+  SELECT user_id, event_id, gap_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY gap_us, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM g
+),
+q AS (
+  SELECT user_id,
+         MAX(CASE WHEN rn = (n + 3) // 4 THEN gap_us END) AS q1_us,
+         MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN gap_us END) AS q3_us
+  FROM ranked GROUP BY user_id
+)
+SELECT g.user_id, g.event_id, g.gap_us, q.q1_us, q.q3_us
+FROM g JOIN q ON g.user_id = q.user_id
+WHERE 2 * g.gap_us > 2 * q.q3_us + 3 * (q.q3_us - q.q1_us)
+""",
+)
+def q_outlier_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (IQR-fence) outlier detection over per-user inter-event
+    gaps: flag gaps above Q3 + 1.5*IQR — inactivity anomalies on a
+    heavy-tailed signal where mean/stddev fences would be swamped.
+
+    Quartiles are EXACT discrete percentiles picked by rank (Q1 at
+    ceil(n/4), Q3 at ceil(3n/4)) — elements of the data, not
+    interpolated floats, so the whole computation stays in BIGINT
+    microseconds; the 1.5x fence is cross-multiplied (2*gap > 2*q3 +
+    3*iqr) to avoid the only float. Everything partitions by user_id:
+    the gap window, the rank window, and the quartile aggregate ride the
+    SAME shuffle (one Exchange, three stacked windows/aggs), and the
+    per-user quartile frame re-joins broadcast. At 100 TB a user's
+    history fits a partition by construction; for percentile over
+    billion-row UNGROUPED signals, swap the rank windows for
+    approx_percentile."""
+    ev = read_table(spark, sf_dir, "events")
+    wg = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = (ev.select("user_id", "event_id",
+                   (us - F.lag(us).over(wg)).alias("gap_us"))
+         .where(F.col("gap_us").isNotNull()))
+    wr = Window.partitionBy("user_id").orderBy("gap_us", "event_id")
+    wn = Window.partitionBy("user_id")
+    ranked = g.select(
+        "user_id", "event_id", "gap_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"))
+    q = (ranked.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 3) div 4"),
+                     F.col("gap_us"))).alias("q1_us"),
+        F.max(F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"),
+                     F.col("gap_us"))).alias("q3_us")))
+    return (g.join(F.broadcast(q), "user_id")
+            .where(2 * F.col("gap_us")
+                   > 2 * F.col("q3_us") + 3 * (F.col("q3_us") - F.col("q1_us")))
+            .select("user_id", "event_id", "gap_us", "q1_us", "q3_us"))

@@ -15,6 +15,7 @@ ORACLE_BACKED = [
     "q_multimodal", "q_ngram_jaccard", "q_embed_dedup",
     "q_dedup_keep_best", "q_repetition", "q_contamination",
     "q_fuzzy_dedup", "q_tfidf_topk", "q_corpus_clean", "q_pii_redact",
+    "q_minhash_char", "q_outlier_gaps",
 ]
 
 
@@ -43,6 +44,57 @@ def test_minhash_finds_planted_near_dups(spark):
              minhash_near_dups(df, threshold=0.5).collect()}
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_char_minhash_robust_to_tokenization(spark):
+    """Char shingles catch near-dups that word shingles miss: joining two
+    words ('lazy dog' -> 'lazydog') destroys every word trigram around
+    the edit but only k-1 char 5-grams."""
+    from dbsync_spark.functions.dedup import char_shingles
+
+    base = " ".join(
+        f"sentence {i} the quick brown fox jumps over the lazy dog and "
+        f"runs across the wide green valley toward the river"
+        for i in range(6))
+    rows = [
+        (1, base),
+        (2, base.replace("lazy dog", "lazydog", 1)),
+        (3, "completely different words describing some other matter "
+            "entirely here with no overlap at all in any shingle"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    char_pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_near_dups(
+        df, threshold=0.6,
+        shingle_fn=lambda c: char_shingles(c, 5)).collect()}
+    assert (1, 2) in char_pairs
+    assert all(3 not in p for p in char_pairs)
+
+
+def test_outlier_gaps_flags_planted_anomaly(spark):
+    """A user with regular 1-minute events and one 3-hour hole flags
+    exactly the hole."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    t, eid = t0, 0
+    for i in range(30):
+        step = dt.timedelta(hours=3) if i == 20 else dt.timedelta(minutes=1)
+        t = t + step
+        eid += 1
+        rows.append((eid, t, 7, "click", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, "
+              "event_type STRING, value DOUBLE, props STRING")
+    import dbsync_spark.queries_analytics as qa
+
+    orig = qa.read_table
+    try:
+        qa.read_table = lambda spark, sf, name: ev  # events only here
+        got = qa.q_outlier_gaps(spark, "unused").collect()
+    finally:
+        qa.read_table = orig
+    assert [r["event_id"] for r in got] == [21]
 
 
 def test_simhash_near_dup_hamming(spark):
