@@ -180,12 +180,55 @@ def minhash_near_dups(df: DataFrame, text_col: str = "text",
     their shingle set in one row (~multi-MB docs); for typical web/train
     corpora (KB-scale docs) the array form is strictly fewer shuffles."""
     cands, sets = _lsh_candidate_sets(df, text_col, id_col, k, shingle_fn)
+    return _verify_candidates(cands, sets, id_col, threshold)
+
+
+def _verify_candidates(cands: DataFrame, sets: DataFrame, id_col: str,
+                       threshold: float) -> DataFrame:
+    """Exact-Jaccard verify of candidate pairs against their distinct
+    shingle-set arrays (row-local array_intersect)."""
     n_inter = F.size(F.array_intersect("_sa", "_sb"))
     jac = (n_inter.cast("double")
            / (F.size("_sa") + F.size("_sb") - n_inter)).alias("jaccard")
     return (_pair_sets(cands, sets, id_col)
             .select("doc_a", "doc_b", jac)
             .where(F.col("jaccard") >= threshold))
+
+
+def minhash_incremental_pairs(df: DataFrame, new_ids: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              threshold: float = 0.5, k: int = 3,
+                              shingle_fn=None) -> DataFrame:
+    """Incremental near-dup maintenance: given the full corpus and the set
+    of NEWLY ARRIVED doc ids (`new_ids`, one `id_col` column), return
+    exactly the near-dup pairs that involve at least one new doc — the
+    daily-increment dedup pass.
+
+    Result contract (the IVM property, tested): equals
+    minhash_near_dups(full corpus) filtered to pairs touching a new doc.
+    Old-old pairs are never recomputed or re-verified.
+
+    Scale shape: in production the old docs' band rows ARE the persisted
+    LSH index (a table keyed (band, band_key)); the increment computes
+    signatures only for new docs and probes the index with a
+    new-side x all-side join — cost proportional to |new| + collisions,
+    not |corpus|^2, and the new band rows append to the index for the
+    next increment. Here both sides derive from one frame so the plan is
+    visible end-to-end; the join is identical."""
+    bands = _row_local_bands(df, text_col, id_col, k, shingle_fn)
+    new_bands = bands.join(F.broadcast(new_ids.select(id_col)), on=id_col,
+                           how="semi")
+    probe = new_bands.select(F.col(id_col).alias("doc_x"), "band", "band_key")
+    index = bands.select(F.col(id_col).alias("doc_y"), "band", "band_key")
+    cands = (
+        probe.join(index, on=["band", "band_key"])
+        .where(F.col("doc_x") != F.col("doc_y"))
+        .select(F.least("doc_x", "doc_y").alias("doc_a"),
+                F.greatest("doc_x", "doc_y").alias("doc_b"))
+        .distinct())
+    sets = _candidate_shingle_sets(df, cands, text_col, id_col, k, shingle_fn)
+    return _verify_candidates(cands, sets, id_col, threshold)
 
 
 def _candidate_shingle_sets(df: DataFrame, cands: DataFrame, text_col: str,
@@ -233,6 +276,17 @@ def _lsh_candidate_sets(df: DataFrame, text_col: str, id_col: str,
     frame is then localCheckpointed — it is the LSH index a production
     pipeline would materialize anyway, and without the barrier the band
     projection would re-inline the fold 4x."""
+    bands = _row_local_bands(df, text_col, id_col, k, shingle_fn)
+    cands = lsh_candidates(bands, id_col)
+
+    return cands, _candidate_shingle_sets(df, cands, text_col, id_col, k,
+                                          shingle_fn)
+
+
+def _row_local_bands(df: DataFrame, text_col: str, id_col: str, k: int,
+                     shingle_fn=None) -> DataFrame:
+    """(id, band, band_key) rows via the fused row-local signature pass
+    (see _lsh_candidate_sets docstring for why ONE fold)."""
     sh = shingle_fn or (lambda c: shingles(c, k))
     hashes = F.transform(sh(F.col(text_col)),
                          lambda s: h15(s) % MERSENNE31)
@@ -267,13 +321,9 @@ def _lsh_candidate_sets(df: DataFrame, text_col: str, id_col: str,
         )
         for b in range(n_bands)
     ]
-    bands = sigs.select(
+    return sigs.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
     ).select(id_col, "b.band", "b.band_key")
-    cands = lsh_candidates(bands, id_col)
-
-    return cands, _candidate_shingle_sets(df, cands, text_col, id_col, k,
-                                          shingle_fn)
 
 
 def containment_pairs(df: DataFrame, text_col: str = "text",

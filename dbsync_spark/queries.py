@@ -390,8 +390,18 @@ _CHAR_SH_CTE = """sh AS (
 )"""
 
 
+_NEAR_CORPUS_CTE = """near_corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text || ' spark'
+  FROM documents WHERE doc_id % 50 = 0
+)"""
+
+
 def _minhash_oracle(sh_cte: str = _WORD_SH_CTE,
-                    threshold: float = 0.5) -> str:
+                    threshold: float = 0.5,
+                    corpus_cte: str = _NEAR_CORPUS_CTE,
+                    final_filter: str = "") -> str:
     p = dd.MERSENNE31
     mh_exprs = ",\n         ".join(
         f"min(({dd.UH_A[i]} * _h + {dd.UH_B[i]}) % {p}) AS mh{i}"
@@ -406,12 +416,7 @@ def _minhash_oracle(sh_cte: str = _WORD_SH_CTE,
         for b in range(n_bands)
     )
     return f"""
-WITH near_corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text || ' spark'
-  FROM documents WHERE doc_id % 50 = 0
-),
+WITH {corpus_cte},
 {sh_cte},
 shh AS (
   SELECT doc_id, shingle,
@@ -447,7 +452,8 @@ scored AS (
   JOIN sizes na ON na.doc_id = c.doc_a
   JOIN sizes nb ON nb.doc_id = c.doc_b
 )
-SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {threshold}
+SELECT doc_a, doc_b, jaccard FROM scored
+WHERE jaccard >= {threshold}{final_filter}
 """
 
 
@@ -491,6 +497,46 @@ def q_minhash_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.unionByName(variants)
     return dd.minhash_near_dups(
         corpus, threshold=0.6, shingle_fn=lambda c: dd.char_shingles(c, 5))
+
+
+_INC_CORPUS_CTE = """near_corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text || ' spark'
+  FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 2 * (SELECT max(doc_id) + 1 FROM documents),
+         text || ' spark'
+  FROM documents WHERE doc_id % 50 = 25
+)"""
+
+# doc_a < doc_b and new ids are the largest, so "touches a new doc" is
+# exactly doc_b >= 2*offset
+_INC_FILTER = ("\n  AND doc_b >= 2 * (SELECT max(doc_id) + 1 FROM documents)")
+
+
+@_register("q_minhash_incremental",
+           _minhash_oracle(corpus_cte=_INC_CORPUS_CTE,
+                           final_filter=_INC_FILTER))
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup maintenance (IVM for LSH dedup): a batch of
+    NEW documents arrives on top of an already-deduped corpus; return
+    exactly the near-dup pairs touching a new doc, probing the band
+    index with the new docs only — never recomputing old-old pairs.
+    Oracle: the full-corpus LSH restricted to pairs whose higher id is
+    in the increment (equivalent by construction; the IVM equality is
+    also property-tested in tests/test_functions.py)."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    off = docs.agg(F.max("doc_id")).first()[0] + 1
+    old_variants = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + off).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" spark")).alias("text"))
+    new_docs = docs.where(F.col("doc_id") % 50 == 25).select(
+        (F.col("doc_id") + 2 * off).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" spark")).alias("text"))
+    corpus = docs.unionByName(old_variants).unionByName(new_docs)
+    return dd.minhash_incremental_pairs(
+        corpus, new_docs.select("doc_id"), threshold=0.5)
 
 
 _CONTAINMENT_ORACLE = """

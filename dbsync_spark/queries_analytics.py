@@ -1517,3 +1517,64 @@ def q_outlier_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(2 * F.col("gap_us")
                    > 2 * F.col("q3_us") + 3 * (F.col("q3_us") - F.col("q1_us")))
             .select("user_id", "event_id", "gap_us", "q1_us", "q3_us"))
+
+
+# ---------------------------------------------------------------------------
+# Burst dedup (telemetry): keep the first event of each activity burst
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_burst_dedup",
+    """
+WITH e AS (
+  SELECT user_id, event_type, event_id,
+         date_trunc('microseconds', ts) AS ts
+  FROM events
+),
+d AS (
+  SELECT user_id, event_type, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE THEN 1
+              ELSE 0 END AS new_s
+  FROM e
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, event_type, event_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id, event_type
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+),
+ranked AS (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id, event_type, sid
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id, event_type, sid) AS n
+  FROM s
+)
+SELECT user_id, event_type, event_id,
+       CAST(n - 1 AS BIGINT) AS n_suppressed
+FROM ranked WHERE rn = 1
+""",
+)
+def q_burst_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst dedup: within each (user, event_type), events separated by
+    less than 5 minutes form one burst; keep the burst's FIRST event and
+    report how many it suppressed — the batch analog of
+    dropDuplicatesWithinWatermark for repeated-signal telemetry.
+
+    Spark-first: the burst IS a session window, so the engine uses the
+    native session_window aggregate (one shuffle; identical code runs as
+    a watermarked streaming aggregation). The oracle reconstructs
+    sessions via the gaps-and-islands form. min_by over a (ts, event_id)
+    struct picks the first event without a second window pass."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), "5 minutes"),
+                   "user_id", "event_type")
+        .agg(F.min_by("event_id",
+                      F.struct(F.col("ts"), F.col("event_id")))
+             .alias("event_id"),
+             (F.count("*") - 1).alias("n_suppressed"))
+        .select("user_id", "event_type", "event_id", "n_suppressed"))

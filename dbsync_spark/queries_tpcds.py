@@ -350,3 +350,44 @@ def q_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum_a.alias("cum_purchase_cents"),
         cum_b.alias("cum_click_cents"),
         F.when(cum_a > cum_b, "purchase").otherwise("click").alias("leader"))
+
+
+# ---------------------------------------------------------------------------
+# DS Q67: rollup + rank within category across grouping levels
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_rollup_topk",
+    f"""
+WITH r AS (
+  SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS yr,
+         CAST(SUM({_CENTS.format(x='o_totalprice')}) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY ROLLUP (o_orderpriority, yr)
+)
+SELECT * FROM (
+  SELECT o_orderpriority, yr, rev_cents,
+         CAST(row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY rev_cents DESC, yr ASC NULLS FIRST) AS INT) AS rnk
+  FROM r
+) WHERE rnk <= 3
+""",
+)
+def q_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS Q67 shape: revenue ROLLUP over (priority, year), then rank
+    WITHIN each priority across grouping levels and keep the top 3 —
+    the subtotal row (yr NULL) competes with the detail years, exactly
+    DS's mixed-level ranking. One shuffle for the rollup (Expand feeds a
+    single hash aggregate), one for the rank window; NULL ordering is
+    pinned on both sides (Spark defaults nulls-first, DuckDB nulls-last
+    — an unpinned ORDER BY here would hash-mismatch)."""
+    orders = read_table(spark, sf_dir, "orders")
+    r = (orders
+         .withColumn("yr", F.year("o_orderdate"))
+         .rollup("o_orderpriority", "yr")
+         .agg(F.sum(_cents(F.col("o_totalprice"))).alias("rev_cents")))
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy(F.col("rev_cents").desc(), F.col("yr").asc_nulls_first()))
+    return (r.select("o_orderpriority", "yr", "rev_cents",
+                     F.row_number().over(w).alias("rnk"))
+            .where(F.col("rnk") <= 3))

@@ -46,6 +46,7 @@ ANALYTIC_ORACLE_BACKED = [
     "q_downsample",
     "q_incremental_join",
     "q_grouped_pandas_norm",
+    "q_burst_dedup",
 ]
 
 
@@ -142,3 +143,31 @@ def test_window_single_exchange(spark, sf_dir):
     # count Exchange *nodes* (numbered detail entries), not string mentions
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "hashpartitioning(user_id" in plan
+
+
+def test_burst_dedup_planted_burst(spark):
+    """Three events 1s apart collapse to the first; an event 6 minutes
+    later survives as its own burst."""
+    import datetime as dt
+
+    import dbsync_spark.queries_analytics as qa
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(seconds=1), 7, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(seconds=2), 7, "click", 1.0, "{}"),
+        (4, t0 + dt.timedelta(minutes=6), 7, "click", 1.0, "{}"),
+        (5, t0 + dt.timedelta(seconds=3), 7, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, "
+              "event_type STRING, value DOUBLE, props STRING")
+    orig = qa.read_table
+    try:
+        qa.read_table = lambda spark, sf, name: ev
+        got = {(r["event_type"], r["event_id"]): r["n_suppressed"]
+               for r in qa.q_burst_dedup(spark, "unused").collect()}
+    finally:
+        qa.read_table = orig
+    assert got == {("click", 1): 2, ("click", 4): 0, ("view", 5): 0}

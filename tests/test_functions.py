@@ -439,3 +439,35 @@ class TestNewOpProperties:
             inter = len(sets[r.doc_a] & sets[r.doc_b])
             assert r.cont_a_in_b == inter / len(sets[r.doc_a])
             assert r.cont_b_in_a == inter / len(sets[r.doc_b])
+
+
+def test_minhash_incremental_equals_full_filtered(spark):
+    """IVM contract: incremental pairs == full-corpus near-dup pairs
+    restricted to pairs touching a new doc."""
+    from dbsync_spark.functions.dedup import minhash_incremental_pairs
+
+    base = [
+        (i, f"doc number {i} with shared words alpha beta gamma delta "
+            f"epsilon zeta eta theta common tail segment {i % 4}")
+        for i in range(1, 13)
+    ]
+    # new docs: near-copies of docs 3 and 7, plus one unrelated
+    new = [
+        (101, base[2][1] + " extra"),
+        (102, base[6][1] + " extra"),
+        (103, "entirely unrelated content with none of those terms "
+              "appearing anywhere in this synthetic document at all"),
+    ]
+    corpus = spark.createDataFrame(base + new, ["doc_id", "text"])
+    new_ids = spark.createDataFrame([(i,) for i, _ in new], ["doc_id"])
+    inc = {(r["doc_a"], r["doc_b"]) for r in minhash_incremental_pairs(
+        corpus, new_ids, threshold=0.5).collect()}
+    full = {(r["doc_a"], r["doc_b"]) for r in minhash_near_dups(
+        corpus, threshold=0.5).collect()}
+    new_set = {i for i, _ in new}
+    expected = {p for p in full if p[0] in new_set or p[1] in new_set}
+    assert inc == expected
+    # LSH with 16 fixed hashes can miss an individual ~0.85-jaccard pair
+    # (both sides miss it identically — that's the equality above); at
+    # least one planted new-old pair must surface
+    assert {(3, 101), (7, 102)} & inc

@@ -15,6 +15,7 @@ TPCDS_QUERIES = [
     "q_having_range",
     "q_returns_net",
     "q_cumulative_crossover",
+    "q_rollup_topk",
 ]
 
 
@@ -72,3 +73,12 @@ def test_returns_net_counts_are_consistent(spark, sf_dir):
     for r in rows:
         assert r["n_returned"] <= r["n_items"]
         assert r["net_cents"] >= 0
+
+
+def test_rollup_topk_mixes_levels(spark, sf_dir):
+    """The subtotal row (yr NULL) always outranks its detail years —
+    rank 1 in every priority partition is the subtotal."""
+    rows = entrymod.queries()["q_rollup_topk"](spark, sf_dir).collect()
+    for r in rows:
+        if r["rnk"] == 1 and r["o_orderpriority"] is not None:
+            assert r["yr"] is None
