@@ -256,3 +256,42 @@ def test_corrupt_payloads_dead_letter_not_merged(spark, sf_dir):
     target2 = live_rows(pipe.target.read(spark))
     assert target2.where(F.col("o_orderkey").isNull()).count() == 0
     assert target2.count() == target.count()
+
+
+def test_streaming_burst_dedup_matches_batch(spark, sf_dir):
+    """q_burst_dedup's session_window aggregate runs unchanged as a
+    watermarked streaming agg and, once drained, equals the batch
+    result (kept event ids + suppressed counts)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from dbsync_spark.sources.tables import read_table
+
+    workdir = tempfile.mkdtemp(prefix="dbsync_burst_")
+    events = read_table(spark, sf_dir, "events")
+    events.repartition(2).write.parquet(f"{workdir}/events")
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{workdir}/events"))
+    dedup = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window(F.col("ts"), "5 minutes"),
+                 "user_id", "event_type")
+        .agg(F.min_by("event_id", F.struct(F.col("ts"), F.col("event_id")))
+             .alias("event_id"),
+             (F.count("*") - 1).alias("n_suppressed"))
+        .select("user_id", "event_type", "event_id", "n_suppressed"))
+    q = (dedup.writeStream.format("memory").queryName("burst_stream")
+         .outputMode("complete")
+         .option("checkpointLocation", f"{workdir}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {tuple(r) for r in spark.sql(
+        "SELECT user_id, event_type, event_id, n_suppressed "
+        "FROM burst_stream").collect()}
+    batch = {tuple(r) for r in
+             entrymod.queries()["q_burst_dedup"](spark, sf_dir).collect()}
+    assert got == batch
