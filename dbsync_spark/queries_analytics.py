@@ -1578,3 +1578,83 @@ def q_burst_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("event_id"),
              (F.count("*") - 1).alias("n_suppressed"))
         .select("user_id", "event_type", "event_id", "n_suppressed"))
+
+
+# ---------------------------------------------------------------------------
+# Path analysis: event-type transition matrix
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_path_analysis",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+""",
+)
+def q_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the event-type transition matrix (how often type A
+    is immediately followed by type B within a user's stream) — the
+    input to Markov-chain navigation/attribution models. One shuffle on
+    user_id for the lag window, then a narrow-key count aggregate with
+    map-side combine; the matrix is |types|^2 rows regardless of data
+    scale."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.select(F.lag("event_type").over(w).alias("prev_type"),
+                      F.col("event_type").alias("next_type"))
+            .where(F.col("prev_type").isNotNull())
+            .groupBy("prev_type", "next_type")
+            .agg(F.count("*").alias("n_transitions")))
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_rfm",
+    f"""
+WITH m AS (
+  SELECT o_custkey,
+         CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS last_us,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(SUM({_CENTS.format(x='o_totalprice')}) AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, last_us, frequency, monetary_cents,
+       CAST(ntile(5) OVER (ORDER BY last_us, o_custkey) AS INT) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY frequency, o_custkey) AS INT) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS INT) AS m_score
+FROM m
+""",
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (last order), frequency
+    (order count), monetary (lifetime cents), each bucketed into
+    quintiles — the classic marketing segmentation. Ties broken by
+    custkey so ntile is deterministic cross-engine.
+
+    The ntile windows are unpartitioned BUT run over the post-aggregate
+    per-customer frame (one row per customer). For catalogs where even
+    that frame is too large for one task, the quintile boundaries come
+    from approx_percentile and a broadcast join assigns scores — the
+    aggregation below is unchanged."""
+    orders = read_table(spark, sf_dir, "orders")
+    m = (orders.groupBy("o_custkey")
+         .agg(F.max(F.unix_micros(
+                  F.col("o_orderdate").cast("timestamp"))).alias("last_us"),
+              F.count("*").alias("frequency"),
+              F.sum(_cents(F.col("o_totalprice"))).alias("monetary_cents")))
+    return m.select(
+        "o_custkey", "last_us", "frequency", "monetary_cents",
+        F.ntile(5).over(Window.orderBy("last_us", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary_cents", "o_custkey")).alias("m_score"))

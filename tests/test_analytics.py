@@ -47,6 +47,8 @@ ANALYTIC_ORACLE_BACKED = [
     "q_incremental_join",
     "q_grouped_pandas_norm",
     "q_burst_dedup",
+    "q_path_analysis",
+    "q_rfm",
 ]
 
 

@@ -36,9 +36,12 @@ BNLJ_ALLOWED = {
 
 # global-sort windows over dimension-sized inputs (documented exceptions)
 # q_cumulative_crossover's window runs over the POST-aggregation daily
-# frame (bounded by calendar days at any data scale) — the fact scan and
-# aggregations beneath it are fully distributed.
-GLOBAL_WINDOW_ALLOWED = {"q_ntile_customers", "q_cumulative_crossover"}
+# frame (bounded by calendar days at any data scale); q_rfm's ntile
+# windows run over the per-customer aggregate (scale path via
+# approx_percentile boundaries documented in its docstring). The fact
+# scans and aggregations beneath both are fully distributed.
+GLOBAL_WINDOW_ALLOWED = {"q_ntile_customers", "q_cumulative_crossover",
+                         "q_rfm"}
 
 # queries consuming the FIXTURES.md §C change-log builders: those build
 # global ids with a row_number over the fixture table (fixture-only
