@@ -116,3 +116,22 @@ def pack_sequences(df: DataFrame, id_col: str, len_col: str,
         F.floor(start_offset / budget).cast("long").alias("pack_id"),
     ]
     return df.select(*out_cols)
+
+
+def group_sample(df: DataFrame, key: str, group: str, k: int) -> DataFrame:
+    """Deterministic per-group sample WITHOUT replacement: keep the k rows
+    of each group whose md5-derived key hash ranks smallest (ties broken
+    by the key itself). The hash order is uniform and independent of the
+    group, so this is a uniform k-sample per group — reproducible across
+    runs, engines, and cluster sizes, unlike rand()-based sampling, and
+    monotone in k (k=10 ⊆ k=20).
+
+    One shuffle on the group column; the rank window sorts within each
+    group partition. For groups with heavy skew (one group = most of the
+    corpus) pre-filter with hash_sample to a few-x-k-per-group superset
+    first — the hash order is shared, so the composition is exact."""
+    w = Window.partitionBy(group).orderBy(
+        h15(F.col(key).cast("string")), F.col(key))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn"))

@@ -498,3 +498,28 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return bigram_stats(docs, min_count=2)
+
+
+@_register(
+    "q_group_sample",
+    f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_H15.format(s='CAST(doc_id AS VARCHAR)')}, doc_id
+         ) AS _rn
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE _rn <= 20
+""",
+)
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-class sampling: a deterministic uniform 20-doc sample
+    from every language (hash-ranked without replacement) — the
+    class-balancing pass of a training-data pipeline, with none of the
+    reproducibility problems of rand() (see functions/sampling.py::
+    group_sample)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return smp.group_sample(docs, "doc_id", "lang", k=20).select(
+        "doc_id", "lang")

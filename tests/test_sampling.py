@@ -18,6 +18,7 @@ TRAINING_ORACLE_BACKED = [
     "q_udtf_tokenize",
     "q_higher_order",
     "q_frame_sample",
+    "q_group_sample",
 ]
 
 
@@ -159,3 +160,22 @@ def test_mixture_weights_binding_stratum(spark, sf_dir):
     eps = 1e-9
     assert all(r["target_rows"] <= r["n_rows"] + eps for r in out)
     assert any(abs(r["target_rows"] - r["n_rows"]) < eps for r in out)
+
+
+def test_group_sample_exact_k_and_monotone(spark, sf_dir):
+    """Every group yields exactly min(k, group size) rows; the k=5 sample
+    is a subset of the k=10 sample (shared hash order)."""
+    from dbsync_spark.functions.sampling import group_sample
+    from dbsync_spark.sources.tables import read_table
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_dir, "documents")
+    sizes = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    s10 = group_sample(docs, "doc_id", "lang", 10).select("doc_id", "lang")
+    got = {r["lang"]: r["n"] for r in
+           s10.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == {g: min(10, n) for g, n in sizes.items()}
+    s5 = {r["doc_id"] for r in
+          group_sample(docs, "doc_id", "lang", 5).collect()}
+    assert s5 <= {r["doc_id"] for r in s10.collect()}
