@@ -1,0 +1,117 @@
+"""Streaming incremental near-dup maintenance: a persisted LSH index
+driven from foreachBatch.
+
+The batch operator (functions/dedup.py::minhash_incremental_pairs) shows
+the per-increment math; this module runs it as a SERVICE: documents
+arrive in micro-batches, each batch probes the persisted band index,
+emits exactly the near-dup pairs touching the new docs, and appends its
+own band rows for the next batch. Over any batching of the corpus, the
+union of emitted pairs equals the full-corpus near-dup set (tested in
+tests/test_streaming_joins.py) — the exactly-the-new-pairs streaming
+contract.
+
+Storage layout (all plain parquet dirs, swap-ready for Delta):
+- <root>/bands  : (doc_id, band, band_key)  — the LSH index
+- <root>/docs   : (doc_id, text)            — needed for exact-Jaccard
+                  verify of candidate pairs (production may store the
+                  distinct shingle-set arrays instead to avoid reshingle)
+- <root>/pairs  : (doc_a, doc_b, jaccard)   — accumulated output
+
+Scale: per batch, signature work is |batch| row-local folds; the probe
+join touches only colliding (band, band_key) buckets — at 100 TB the
+bands table is bucketed by band_key so the probe is a co-located join.
+Appends are idempotent per epoch when driven from a checkpointed
+foreachBatch (rerun of a failed epoch overwrites its files via the
+epoch-id subdirectory).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (LongType, StringType, StructField,
+                               StructType)
+
+from dbsync_spark.functions.dedup import (
+    _candidate_shingle_sets,
+    _row_local_bands,
+    _verify_candidates,
+)
+
+_BANDS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("band", LongType()),
+    StructField("band_key", StringType()),
+])
+_DOCS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+])
+
+
+class StreamingDedupIndex:
+    """Incremental LSH dedup index over parquet state dirs. Call
+    `process_batch` per micro-batch (directly, or via
+    `foreach_batch_handler()` from a writeStream)."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 threshold: float = 0.5, k: int = 3, shingle_fn=None):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.threshold = threshold
+        self.k = k
+        self.shingle_fn = shingle_fn
+
+    def _read(self, sub: str, schema: StructType) -> DataFrame:
+        try:
+            return self.spark.read.schema(schema).parquet(
+                f"{self.root}/{sub}")
+        except Exception:
+            return self.spark.createDataFrame([], schema)
+
+    def process_batch(self, new_docs: DataFrame, epoch_id: int = 0
+                      ) -> DataFrame:
+        """Probe the index with a batch of (doc_id, text) docs, append
+        the batch's bands/docs, persist and return the new pairs.
+        Batch doc_ids must be globally unique (the CDC id contract)."""
+        new_docs = new_docs.select("doc_id", "text")
+        # epoch-scoped subdir: replaying a failed epoch overwrites its own
+        # files instead of double-appending (the foreachBatch idempotence
+        # pattern for append-only parquet state)
+        new_docs.write.mode("overwrite").parquet(
+            f"{self.root}/docs/epoch={epoch_id}")
+        new_bands = _row_local_bands(new_docs, "text", "doc_id", self.k,
+                                     self.shingle_fn)
+        new_bands.write.mode("overwrite").parquet(
+            f"{self.root}/bands/epoch={epoch_id}")
+
+        index = self._read("bands", _BANDS_SCHEMA)
+        new_ids = new_docs.select("doc_id")
+        probe = (index.join(F.broadcast(new_ids), on="doc_id", how="semi")
+                 .select(F.col("doc_id").alias("doc_x"), "band", "band_key"))
+        cands = (
+            probe.join(index.select(F.col("doc_id").alias("doc_y"),
+                                    "band", "band_key"),
+                       on=["band", "band_key"])
+            .where(F.col("doc_x") != F.col("doc_y"))
+            .select(F.least("doc_x", "doc_y").alias("doc_a"),
+                    F.greatest("doc_x", "doc_y").alias("doc_b"))
+            .distinct())
+        all_docs = self._read("docs", _DOCS_SCHEMA)
+        sets = _candidate_shingle_sets(all_docs, cands, "text", "doc_id",
+                                       self.k, self.shingle_fn)
+        pairs = _verify_candidates(cands, sets, "doc_id", self.threshold)
+        pairs.write.mode("overwrite").parquet(
+            f"{self.root}/pairs/epoch={epoch_id}")
+        return self.spark.read.parquet(f"{self.root}/pairs/epoch={epoch_id}")
+
+    def foreach_batch_handler(self):
+        """Adapter for `writeStream.foreachBatch` over a (doc_id, text)
+        stream."""
+        def handle(batch_df: DataFrame, epoch_id: int) -> None:
+            self.process_batch(batch_df, epoch_id)
+
+        return handle
+
+    def all_pairs(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.root}/pairs")

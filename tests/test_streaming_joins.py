@@ -75,3 +75,59 @@ def test_dedup_within_watermark_stream(spark, sf_dir):
     n_events = ev.count()
     assert got.count() == n_events
     assert got.where(F.col("c") != 1).count() == 0
+
+
+def test_streaming_dedup_index_equals_full_batch(spark, tmp_path):
+    """Docs arriving over 3 micro-batches through the persisted LSH index
+    emit, in union, exactly the full-corpus near-dup pairs — each found
+    once, when its later member arrives."""
+    from dbsync_spark.functions.dedup import minhash_near_dups
+    from dbsync_spark.streaming.dedup_index import StreamingDedupIndex
+
+    base = [
+        (i, f"document {i} shares plenty of common vocabulary alpha beta "
+            f"gamma delta epsilon zeta eta theta iota kappa tail {i % 3}")
+        for i in range(1, 16)
+    ]
+    corpus = spark.createDataFrame(base, ["doc_id", "text"])
+    idx = StreamingDedupIndex(spark, str(tmp_path / "dedup_idx"),
+                              threshold=0.5)
+    emitted = set()
+    for epoch, lo, hi in [(0, 1, 6), (1, 6, 11), (2, 11, 16)]:
+        batch = corpus.where((corpus.doc_id >= lo) & (corpus.doc_id < hi))
+        got = idx.process_batch(batch, epoch_id=epoch)
+        new_pairs = {(r["doc_a"], r["doc_b"]) for r in got.collect()}
+        assert not (new_pairs & emitted), "pair emitted twice"
+        emitted |= new_pairs
+    full = {(r["doc_a"], r["doc_b"])
+            for r in minhash_near_dups(corpus, threshold=0.5).collect()}
+    assert emitted == full
+    assert emitted, "fixture should contain near-dup pairs"
+
+
+def test_streaming_dedup_index_via_foreachbatch(spark, tmp_path):
+    """The same index wired to a real readStream/foreachBatch drain."""
+    from dbsync_spark.functions.dedup import minhash_near_dups
+    from dbsync_spark.streaming.dedup_index import StreamingDedupIndex
+
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog near the river "
+            f"bank while number {i % 2} watches quietly from the shade")
+        for i in range(1, 9)
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    src = str(tmp_path / "src")
+    corpus.repartition(4).write.parquet(src)
+
+    idx = StreamingDedupIndex(spark, str(tmp_path / "idx2"), threshold=0.5)
+    stream = (spark.readStream.schema(corpus.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(idx.foreach_batch_handler())
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {(r["doc_a"], r["doc_b"]) for r in idx.all_pairs().collect()}
+    full = {(r["doc_a"], r["doc_b"])
+            for r in minhash_near_dups(corpus, threshold=0.5).collect()}
+    assert got == full and got
