@@ -1290,6 +1290,33 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log_window_diff(changes, ["o_orderkey"], cutoff)
 
 
+@_register(
+    "q_time_travel",
+    f"""
+WITH {oracles.LOG_ORDERS_CTE},
+cutoff AS (SELECT max(id) * 3 // 5 AS c FROM log_orders),
+_last AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY id DESC) AS _rn
+  FROM log_orders WHERE id <= (SELECT c FROM cutoff)
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM _last WHERE _rn = 1 AND operation <> 'D'
+""",
+)
+def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel / AS OF: reconstruct the target table exactly as it
+    stood at an arbitrary log position (60% of the log here) — the
+    change log IS the version history, so any past state is one
+    filtered LWW reduce away (id <= position pushes to the scan). The
+    versioned-snapshot sink (sinks/table.py) gives O(1) reads of
+    RETAINED versions; this is the general form for any position."""
+    log = build_log_orders(spark, sf_dir)
+    changes = parse_changes(log, ORDERS_PAYLOAD_SCHEMA)
+    cutoff = log.agg(F.max("id")).first()[0] * 3 // 5
+    return last_writer_wins(changes.where(F.col("id") <= cutoff),
+                            ["o_orderkey"])
+
+
 @_register("q_incremental_rollup", ORACLES["q_window_count"])
 def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregate maintenance: hourly counts computed as

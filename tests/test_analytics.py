@@ -49,6 +49,7 @@ ANALYTIC_ORACLE_BACKED = [
     "q_burst_dedup",
     "q_path_analysis",
     "q_rfm",
+    "q_time_travel",
 ]
 
 

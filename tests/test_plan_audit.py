@@ -53,7 +53,7 @@ LOG_FIXTURE_CONSUMERS = {
     "q_fanout", "q_route", "q_status_agg", "q_retention", "q_ack_retry",
     "q_bootstrap_reset", "q_salted_lww", "q_state_enriched", "q_topk_orders",
     "q_change_history", "q_partition", "q_snapshot_diff",
-    "q_corrupt_deadletter", "q_changed_columns",
+    "q_corrupt_deadletter", "q_changed_columns", "q_time_travel",
 }
 
 
