@@ -1658,3 +1658,72 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(Window.orderBy("last_us", "o_custkey")).alias("r_score"),
         F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
         F.ntile(5).over(Window.orderBy("monetary_cents", "o_custkey")).alias("m_score"))
+
+
+# ---------------------------------------------------------------------------
+# Window frame completeness: first/last/nth value, RANGE interval frames
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_frame_bounds",
+    f"""
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey)  OVER w AS last_order,
+       nth_value(o_orderkey, 2) OVER w AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def q_frame_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over the full-partition frame
+    (explicit UNBOUNDED FOLLOWING — the default frame would make
+    last_value the current row, a classic cross-engine trap). One
+    shuffle on custkey."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"))
+
+
+@_register(
+    "q_rolling_7d",
+    f"""
+WITH d AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day_no,
+         {_CENTS.format(x='o_totalprice')} AS cents
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, day_no,
+       CAST(SUM(cents) OVER (
+         PARTITION BY o_custkey ORDER BY day_no
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT
+       ) AS spend_7d_cents
+FROM d
+""",
+)
+def q_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-DAY spend per customer via a RANGE frame: unlike a ROWS
+    frame, the window is defined by the VALUE distance (calendar days),
+    so sparse/bursty order histories aggregate correctly — same-day
+    orders share one frame, quiet weeks shrink it. The order key is an
+    integer epoch-day so Spark's numeric rangeBetween and DuckDB's RANGE
+    agree exactly. One shuffle on custkey."""
+    orders = read_table(spark, sf_dir, "orders")
+    # integer `div`, not float `/`: double rounding at a bucket boundary
+    # would silently shift a row's frame membership
+    day_no = F.expr(
+        "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+    w = (Window.partitionBy("o_custkey").orderBy("day_no")
+         .rangeBetween(-6, 0))
+    return (orders.select(
+        "o_custkey", "o_orderkey", day_no.alias("day_no"),
+        _cents(F.col("o_totalprice")).alias("cents"))
+        .select("o_custkey", "o_orderkey", "day_no",
+                F.sum("cents").over(w).alias("spend_7d_cents")))

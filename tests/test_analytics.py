@@ -50,6 +50,8 @@ ANALYTIC_ORACLE_BACKED = [
     "q_path_analysis",
     "q_rfm",
     "q_time_travel",
+    "q_frame_bounds",
+    "q_rolling_7d",
 ]
 
 
