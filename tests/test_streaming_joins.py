@@ -131,3 +131,51 @@ def test_streaming_dedup_index_via_foreachbatch(spark, tmp_path):
     full = {(r["doc_a"], r["doc_b"])
             for r in minhash_near_dups(corpus, threshold=0.5).collect()}
     assert got == full and got
+
+
+def test_streaming_ivf_index_batch_invariant(spark, sf_dir, tmp_path):
+    """An IVF index fed in 3 micro-batches answers identically to one
+    built in a single batch (frozen centroids => per-row assignment),
+    and its results agree with exact scoring on overlaps."""
+    from pyspark.sql import functions as F
+
+    from dbsync_spark.functions.similarity import cosine_topk
+    from dbsync_spark.sources.tables import read_table
+    from dbsync_spark.streaming.ann_index import StreamingIvfIndex
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+
+    inc = StreamingIvfIndex(spark, str(tmp_path / "ivf_inc"), dim=64,
+                            n_clusters=8)
+    inc.fit(emb)
+    for epoch, rem in [(0, 0), (1, 1), (2, 2)]:
+        inc.process_batch(emb.where(F.col("vec_id") % 3 == rem), epoch)
+
+    one = StreamingIvfIndex(spark, str(tmp_path / "ivf_one"), dim=64,
+                            n_clusters=8)
+    one.fit(emb)
+    one.process_batch(emb, 0)
+
+    got_inc = {(r["query_id"], r["vec_id"], round(r["cosine_sim"], 12))
+               for r in inc.query(queries, k=10, nprobe=2).collect()}
+    got_one = {(r["query_id"], r["vec_id"], round(r["cosine_sim"], 12))
+               for r in one.query(queries, k=10, nprobe=2).collect()}
+    assert got_inc == got_one and got_inc
+
+    exact = {(r["query_id"], r["vec_id"]): r["cosine_sim"]
+             for r in cosine_topk(emb, queries, k=10).collect()}
+    for qid, vid, sim in got_inc:
+        if (qid, vid) in exact:
+            assert abs(sim - exact[(qid, vid)]) < 1e-9
+
+
+def test_streaming_ivf_requires_fit(spark, tmp_path):
+    from dbsync_spark.streaming.ann_index import StreamingIvfIndex
+
+    idx = StreamingIvfIndex(spark, str(tmp_path / "nofit"), dim=4)
+    try:
+        idx.centroids()
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as e:
+        assert "fit()" in str(e)
