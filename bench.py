@@ -213,6 +213,19 @@ def main() -> None:
     timed2("bigram_pmi", lambda: QUERIES["q_bigram_pmi"](spark, SF_DIR).count())
     timed2("attribution", lambda: QUERIES["q_attribution"](spark, SF_DIR).count())
 
+    # -- round-3 operator additions -------------------------------------------
+    timed2("minhash_char", lambda: QUERIES["q_minhash_char"](spark, SF_DIR).count())
+    timed2("minhash_incremental",
+           lambda: QUERIES["q_minhash_incremental"](spark, SF_DIR).count())
+    timed2("bfs_paths", lambda: QUERIES["q_bfs_paths"](spark, SF_DIR).count())
+    timed2("yoy_growth", lambda: QUERIES["q_yoy_growth"](spark, SF_DIR).count())
+    timed2("returns_net", lambda: QUERIES["q_returns_net"](spark, SF_DIR).count())
+    timed2("rollup_topk", lambda: QUERIES["q_rollup_topk"](spark, SF_DIR).count())
+    timed2("outlier_gaps", lambda: QUERIES["q_outlier_gaps"](spark, SF_DIR).count())
+    timed2("burst_dedup", lambda: QUERIES["q_burst_dedup"](spark, SF_DIR).count())
+    timed2("rolling_7d", lambda: QUERIES["q_rolling_7d"](spark, SF_DIR).count())
+    timed2("time_travel", lambda: QUERIES["q_time_travel"](spark, SF_DIR).count())
+
     # -- streaming micro-batch latency (BASELINE.md: <= 5 s / 10k-row batch) --
     from dbsync_spark.changelog import ORDERS_PAYLOAD_SCHEMA, build_log_orders
     from dbsync_spark.operators.route import SyncRule
