@@ -1727,3 +1727,67 @@ def q_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents(F.col("o_totalprice")).alias("cents"))
         .select("o_custkey", "o_orderkey", "day_no",
                 F.sum("cents").over(w).alias("spend_7d_cents")))
+
+
+# ---------------------------------------------------------------------------
+# Time-series similarity search (EDBT'19 streaming-similarity shape)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_ts_similarity",
+    f"""
+WITH series AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         CAST(SUM({_CENTS.format(x='value')}) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+),
+q AS (SELECT bucket, v AS qv FROM series WHERE user_id = 1),
+qn AS (SELECT SUM(qv * qv) AS nq FROM q),
+dots AS (
+  SELECT s.user_id, CAST(SUM(s.v * q.qv) AS BIGINT) AS dot
+  FROM series s JOIN q ON s.bucket = q.bucket
+  WHERE s.user_id <> 1
+  GROUP BY s.user_id
+),
+norms AS (
+  SELECT user_id, CAST(SUM(v * v) AS BIGINT) AS na
+  FROM series GROUP BY user_id
+)
+SELECT d.user_id, d.dot, n.na,
+       CAST(d.dot AS DOUBLE) / (sqrt(CAST(n.na AS DOUBLE))
+         * sqrt(CAST((SELECT nq FROM qn) AS DOUBLE))) AS cosine_sim
+FROM dots d JOIN norms n ON d.user_id = n.user_id
+""",
+)
+def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search: cosine similarity between the
+    hourly activity series of a query user (user 1) and every other
+    user — 'which users behave like this one'. Series are exact integer
+    vectors (hourly cents); dot products and norms are BIGINT sums, so
+    the only float work is two IEEE-correctly-rounded sqrts and one
+    division (bit-identical cross-engine, same guarantee as the L2 norm
+    in q_array_funcs).
+
+    Scale: the bucketed series is a narrow aggregate (one shuffle); the
+    query series broadcasts into the dot-product join keyed on bucket;
+    norms ride the same series aggregate. For all-pairs similarity at
+    scale, bucket users by SRP of their series vector first (the ANN
+    path) — this query is the verify kernel of that pipeline."""
+    ev = read_table(spark, sf_dir, "events")
+    series = (ev.groupBy("user_id",
+                         F.date_trunc("hour", F.col("ts")).alias("bucket"))
+              .agg(F.sum(_cents(F.col("value"))).alias("v")))
+    q = (series.where(F.col("user_id") == 1)
+         .select("bucket", F.col("v").alias("qv")))
+    nq = q.agg(F.sum(F.col("qv") * F.col("qv"))).first()[0]
+    dots = (series.where(F.col("user_id") != 1)
+            .join(F.broadcast(q), "bucket")
+            .groupBy("user_id")
+            .agg(F.sum(F.col("v") * F.col("qv")).alias("dot")))
+    norms = series.groupBy("user_id").agg(
+        F.sum(F.col("v") * F.col("v")).alias("na"))
+    return (dots.join(norms, "user_id")
+            .select("user_id", "dot", "na",
+                    (F.col("dot").cast("double")
+                     / (F.sqrt(F.col("na").cast("double"))
+                        * F.sqrt(F.lit(float(nq))))).alias("cosine_sim")))

@@ -52,6 +52,7 @@ ANALYTIC_ORACLE_BACKED = [
     "q_time_travel",
     "q_frame_bounds",
     "q_rolling_7d",
+    "q_ts_similarity",
 ]
 
 
