@@ -1791,3 +1791,24 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("dot").cast("double")
                      / (F.sqrt(F.col("na").cast("double"))
                         * F.sqrt(F.lit(float(nq))))).alias("cosine_sim")))
+
+
+@_register("q_ts_dtw")  # rows-only: DTW's DP is not SQL-expressible;
+def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW distance from user 1's hourly activity series to every other
+    user's — the alignment-tolerant sibling of q_ts_similarity (a user
+    doing the same things two hours later still matches). Pandas-UDF
+    custom operator (functions/timeseries.py): the DP runs banded
+    (Sakoe-Chiba radius 24h) and vectorized per row; exactness against
+    a pure-python reference DP is pytest-verified (the declared check
+    is rows-only)."""
+    from dbsync_spark.functions import timeseries as ts
+
+    ev = read_table(spark, sf_dir, "events")
+    series = ts.series_arrays(
+        ev, "user_id", F.date_trunc("hour", F.col("ts")),
+        _cents(F.col("value")))
+    qvals = (series.where(F.col("user_id") == 1)
+             .select("values").first()[0])
+    others = series.where(F.col("user_id") != 1)
+    return ts.dtw_to_query(others, qvals, "user_id", radius=24)

@@ -177,3 +177,42 @@ def test_burst_dedup_planted_burst(spark):
     finally:
         qa.read_table = orig
     assert got == {("click", 1): 2, ("click", 4): 0, ("view", 5): 0}
+
+
+def test_dtw_matches_reference_and_properties(spark):
+    """The vectorized banded DTW equals the pure-python reference DP on
+    random series; identity distance is 0; a time-shifted copy scores
+    far below a scrambled one."""
+    import numpy as np
+
+    from dbsync_spark.functions.timeseries import (
+        _dtw_numpy, dtw_reference, dtw_to_query)
+
+    rng = np.random.RandomState(7)
+    for _ in range(25):
+        n, m = rng.randint(1, 30), rng.randint(1, 30)
+        a = rng.randint(0, 100, n).astype(float)
+        b = rng.randint(0, 100, m).astype(float)
+        r = int(rng.randint(1, 35))
+        assert _dtw_numpy(a, b, r) == dtw_reference(list(a), list(b), r)
+
+    base = [0, 0, 5, 9, 5, 0, 0, 0, 7, 3, 0, 0] * 3
+    shifted = base[2:] + [0, 0]
+    scrambled = list(reversed(base))
+    df = spark.createDataFrame(
+        [(2, [float(x) for x in shifted]),
+         (3, [float(x) for x in scrambled])],
+        "user_id LONG, values ARRAY<DOUBLE>")
+    got = {r["user_id"]: r["dtw_dist"]
+           for r in dtw_to_query(df, [float(x) for x in base],
+                                 "user_id", radius=6).collect()}
+    assert got[2] < got[3]
+    same = spark.createDataFrame([(9, [float(x) for x in base])],
+                                 "user_id LONG, values ARRAY<DOUBLE>")
+    assert dtw_to_query(same, [float(x) for x in base], "user_id",
+                        radius=6).first()["dtw_dist"] == 0.0
+
+
+def test_q_ts_dtw_runs_and_is_nonnegative(spark, sf_dir):
+    rows = entrymod.queries()["q_ts_dtw"](spark, sf_dir).collect()
+    assert rows and all(r["dtw_dist"] >= 0 for r in rows)
