@@ -1,0 +1,96 @@
+"""Runnable end-to-end TRAINING-DATA pipeline over the documents fixture:
+the counterpart to run_demo.py (which demos the replication engine).
+
+    python examples/training_pipeline.py [sf_dir]   # default sf0.001
+
+Stages (each a declared operator elsewhere in the engine; here composed
+into one deterministic pipeline, the way a pretraining-data job would):
+
+  1. PII redaction          (functions/text.pii_redact)
+  2. Quality + exact dedup  (functions/text.corpus_clean — fused gates)
+  3. Near-dup clustering    (minhash LSH -> connected components ->
+                             keep the canonical doc per cluster)
+  4. Stratified sampling    (functions/sampling.stratified_sample)
+  5. Sequence packing       (functions/sampling.pack_sequences)
+
+Every stage is hash-deterministic: rerunning the pipeline on the same
+fixture produces byte-identical output (no RNG anywhere). Stage row
+counts print as the funnel; tests/test_training_pipeline.py asserts the
+funnel's invariants at sf0.001.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+
+def run_pipeline(spark, sf_dir: str, budget: int = 2048) -> dict[str, DataFrame]:
+    """Returns the per-stage DataFrames keyed by stage name (all lazy;
+    callers count/write what they need)."""
+    from dbsync_spark.functions.dedup import (
+        dedup_clusters, minhash_near_dups)
+    from dbsync_spark.functions.sampling import (
+        pack_sequences, stratified_sample)
+    from dbsync_spark.functions.text import corpus_clean, pii_redact
+    from dbsync_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+
+    # 1. PII metadata (redaction counts + redacted digest); join back so
+    #    the surviving pipeline carries the scrubbed digest, not raw text
+    pii = pii_redact(docs)
+
+    # 2. quality gates + exact dedup (one fused plan)
+    cleaned = corpus_clean(docs)
+
+    # 3. near-dup canonicalization on the cleaned survivors
+    survivors = docs.join(cleaned.select("doc_id"), "doc_id", "semi")
+    pairs = minhash_near_dups(survivors, threshold=0.5)
+    clusters = dedup_clusters(survivors.select("doc_id"), pairs)
+    canonical = (survivors.join(
+        clusters.where(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id"), "doc_id", "semi"))
+
+    # 4. stratified sample: keep 80% of English, 20% of the rest
+    sampled = stratified_sample(canonical, "doc_id", "lang",
+                                {"en": 8000}, default_bp=2000)
+
+    # 5. pack into fixed token budgets per language stream
+    packed = pack_sequences(sampled, "doc_id", "n_chars", budget,
+                            stream_col="lang")
+
+    return {"input": docs, "pii": pii, "cleaned": cleaned,
+            "canonical": canonical, "sampled": sampled, "packed": packed}
+
+
+def main() -> int:
+    from dbsync_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("training-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    stages = run_pipeline(spark, sf_dir)
+
+    funnel = {name: df.count() for name, df in stages.items()}
+    print("stage funnel:")
+    for name in ("input", "cleaned", "canonical", "sampled", "packed"):
+        print(f"  {name:10s} {funnel[name]:6d} rows")
+    n_pii = (stages["pii"]
+             .where((F.col("n_email") > 0) | (F.col("n_ipv4") > 0)
+                    | (F.col("n_phone") > 0)).count())
+    print(f"  docs with redacted PII: {n_pii}")
+    packs = (stages["packed"].groupBy("lang")
+             .agg(F.countDistinct("pack_id").alias("n_packs")).collect())
+    print("  packs per language:",
+          {r["lang"]: r["n_packs"] for r in packs})
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,36 @@
+"""End-to-end training-data pipeline (examples/training_pipeline.py):
+funnel invariants + determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from examples.training_pipeline import run_pipeline
+
+
+def test_pipeline_funnel_invariants(spark, sf_dir):
+    stages = run_pipeline(spark, sf_dir)
+    n = {name: df.count() for name, df in stages.items()}
+    # monotone funnel: every stage only removes docs
+    assert n["input"] >= n["cleaned"] >= n["canonical"] >= n["sampled"]
+    assert n["packed"] == n["sampled"]  # packing reassigns, never drops
+    assert n["sampled"] > 0
+    # canonical docs are a subset of cleaned survivors
+    extra = (stages["canonical"].select("doc_id")
+             .join(stages["cleaned"].select("doc_id"), "doc_id", "anti"))
+    assert extra.count() == 0
+    # pack offsets respect the budget window
+    packed = stages["packed"]
+    bad = packed.where(
+        (F.col("start_offset") < F.col("pack_id") * 2048)
+        | (F.col("start_offset") >= (F.col("pack_id") + 1) * 2048))
+    assert bad.count() == 0
+    # pii stage covers every input doc
+    assert stages["pii"].count() == n["input"]
+
+
+def test_pipeline_deterministic(spark, sf_dir):
+    a = run_pipeline(spark, sf_dir)["sampled"].select("doc_id")
+    b = run_pipeline(spark, sf_dir)["sampled"].select("doc_id")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
