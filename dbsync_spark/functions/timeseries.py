@@ -101,3 +101,68 @@ def dtw_to_query(series: DataFrame, query_values, id_col: str,
                                 "dtw_dist": dists})
 
     return series.mapInPandas(compute, schema=out_schema)
+
+
+def _lb_kim(values: "pd.Series", q: np.ndarray) -> np.ndarray:
+    """LB_Kim-style lower bound valid for UNEQUAL-length series: every
+    DTW path must pay the first-cell and last-cell costs (distinct cells
+    whenever either series has length > 1), so
+    |a[0]-q[0]| + |a[-1]-q[-1]| <= DTW(a, q). Vectorized per batch."""
+    first = np.array([abs(float(v[0]) - q[0]) if len(v) else 0.0
+                      for v in values])
+    last = np.array([abs(float(v[-1]) - q[-1]) if len(v) > 1 or len(q) > 1
+                     else 0.0 for v in values])
+    # when both series are length 1, first and last are the SAME cell —
+    # don't double-count
+    both1 = np.array([len(v) == 1 for v in values]) & (len(q) == 1)
+    return np.where(both1, first, first + last)
+
+
+def dtw_topk(series: DataFrame, query_values, id_col: str, k: int = 10,
+             radius: int = 24) -> DataFrame:
+    """Exact DTW top-k with lower-bound pruning — the scale path for
+    similarity SEARCH (vs dtw_to_query, which scores everything):
+
+    1. a cheap vectorized lower bound (LB_Kim first+last cells, valid
+       for unequal lengths) is computed for every candidate — one narrow
+       map, no DP;
+    2. exact DTW runs for the k candidates with the smallest bounds,
+       fixing a provisional threshold t = kth best exact distance;
+    3. exact DTW runs ONLY for remaining candidates with bound <= t —
+       anything with a bound above t provably cannot enter the top-k.
+
+    The result is exactly brute-force top-k (tested); at scale the DP —
+    the expensive part — touches the k seed rows plus the bound-
+    survivors instead of the whole corpus. Ties broken by id."""
+    import pyspark.sql.types as T
+
+    q = np.asarray(query_values, dtype=np.float64)
+    lb_schema = T.StructType([
+        series.schema[id_col], T.StructField("lb", T.DoubleType())])
+
+    def bounds(batches):
+        for pdf in batches:
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "lb": _lb_kim(pdf["values"], q)})
+
+    lbs = series.mapInPandas(bounds, schema=lb_schema)
+    with_lb = series.join(lbs, on=id_col)
+
+    seed_ids = [r[0] for r in
+                lbs.orderBy("lb", id_col).limit(k).select(id_col).collect()]
+    seed = dtw_to_query(
+        with_lb.where(F.col(id_col).isin(seed_ids)).select(id_col, "values"),
+        query_values, id_col, radius)
+    seed_rows = seed.orderBy("dtw_dist", id_col).limit(k).collect()
+    if not seed_rows:
+        return seed
+    t = max(r["dtw_dist"] for r in seed_rows)
+
+    rest = (with_lb.where(~F.col(id_col).isin(seed_ids))
+            .where(F.col("lb") <= t).select(id_col, "values"))
+    rest_exact = dtw_to_query(rest, query_values, id_col, radius)
+    union = seed.unionByName(rest_exact)
+    from pyspark.sql.window import Window
+    w = Window.orderBy(F.col("dtw_dist"), F.col(id_col))
+    return (union.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k).drop("_rn"))

