@@ -363,3 +363,29 @@ def bigram_stats(df: DataFrame, text_col: str = "text",
             .select("w1", "w2", "c_xy",
                     F.col("c1.c").alias("c_x"), F.col("c2.c").alias("c_y"),
                     (num.cast("double") / den.cast("double")).alias("score")))
+
+
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Character-distribution Shannon entropy per document (bits/char) —
+    the Gopher-family quality signal that catches low-diversity junk
+    (aaaaaa..., base64 walls, repeated padding) that token ratios miss.
+
+    entropy = log2(N) - (1/N) * sum_c count_c * log2(count_c), computed
+    entirely row-locally: chars -> aggregate count map -> one fold. No
+    shuffle, runs at scan speed. log2 is transcendental (not cross-
+    engine bit-exact), so the declared query is rows-only; exactness vs
+    a python reference is pytest-checked to 1e-12."""
+    counts = F.expr(
+        f"transform(array_distinct(split({text_col}, '')), "
+        f"c -> size(filter(split({text_col}, ''), x -> x = c)))")
+    return (df.where(F.length(text_col) > 0)
+            .select(id_col, counts.alias("_cnt"),
+                    F.length(text_col).cast("double").alias("_n"))
+            .select(id_col,
+                    (F.log2(F.col("_n"))
+                     - F.expr("aggregate(_cnt, CAST(0.0 AS DOUBLE), "
+                              "(s, c) -> s + CAST(c AS DOUBLE) "
+                              "* log2(CAST(c AS DOUBLE)))") / F.col("_n"))
+                    .alias("entropy_bits"),
+                    F.size("_cnt").alias("n_distinct_chars")))

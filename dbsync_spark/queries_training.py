@@ -523,3 +523,16 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     return smp.group_sample(docs, "doc_id", "lang", k=20).select(
         "doc_id", "lang")
+
+
+@_register("q_char_entropy")  # rows-only: log2 is not cross-engine bit-exact
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document (bits/char) —
+    the Gopher-family diversity signal that catches padding walls and
+    repeated-character junk that token ratios miss. Row-local compute at
+    scan speed (functions/text.py::char_entropy); declared rows-only
+    because log2 is transcendental — exactness vs a python reference is
+    pytest-verified to 1e-12."""
+    from dbsync_spark.functions.text import char_entropy
+
+    return char_entropy(read_table(spark, sf_dir, "documents"))

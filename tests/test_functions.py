@@ -471,3 +471,27 @@ def test_minhash_incremental_equals_full_filtered(spark):
     # (both sides miss it identically — that's the equality above); at
     # least one planted new-old pair must surface
     assert {(3, 101), (7, 102)} & inc
+
+
+def test_char_entropy_matches_python_reference(spark, sf_dir):
+    """Entropy equals the python reference to 1e-12 on real fixture docs,
+    and respects 0 <= H <= log2(distinct chars)."""
+    import math
+    from collections import Counter
+
+    from dbsync_spark.functions.text import char_entropy
+
+    docs = read_table(spark, sf_dir, "documents").limit(50).cache()
+    got = {r["doc_id"]: (r["entropy_bits"], r["n_distinct_chars"])
+           for r in char_entropy(docs).collect()}
+    for row in docs.collect():
+        s = row["text"]
+        if not s:
+            continue
+        c = Counter(s)
+        n = len(s)
+        ref = math.log2(n) - sum(v * math.log2(v) for v in c.values()) / n
+        h, d = got[row["doc_id"]]
+        assert abs(h - ref) < 1e-12, (row["doc_id"], h, ref)
+        assert d == len(c)
+        assert -1e-12 <= h <= math.log2(max(len(c), 2)) + 1e-12
