@@ -98,3 +98,55 @@ def test_text_ops_on_empty_and_trivial_corpora(spark):
     assert bigram_stats(trivial, min_count=1).count() == 1
     segs = {r.doc_id: r.n_segments for r in segment_dedup(trivial).collect()}
     assert segs == {1: 1, 2: 1, 3: 1}  # '' tokenizes to one empty token
+
+
+def test_bfs_on_empty_edges_with_seeds(spark):
+    """BFS over an empty edge set: seeds at distance 0, nothing else."""
+    from dbsync_spark.functions.graph import bfs_distances
+
+    edges = spark.createDataFrame([], "src INT, dst INT")
+    seeds = spark.createDataFrame([(3,)], "node INT")
+    got = {r["node"]: r["dist"]
+           for r in bfs_distances(edges, seeds, n_iters=2).collect()}
+    assert got == {3: 0}
+
+
+def test_incremental_minhash_empty_increment(spark):
+    """An empty new-docs batch yields zero pairs (and doesn't error on
+    the empty probe join)."""
+    from dbsync_spark.functions.dedup import minhash_incremental_pairs
+
+    corpus = spark.createDataFrame(
+        [(1, "some words here repeated words here again and again")],
+        ["doc_id", "text"])
+    empty = spark.createDataFrame([], "doc_id LONG")
+    assert minhash_incremental_pairs(corpus, empty).count() == 0
+
+
+def test_group_sample_k_exceeds_group(spark):
+    """k larger than every group returns the whole input."""
+    from dbsync_spark.functions.sampling import group_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], ["doc_id", "lang"])
+    assert group_sample(df, "doc_id", "lang", 10).count() == 3
+
+
+def test_dtw_single_point_series(spark):
+    """Length-1 series: DTW collapses to sum of |q_i - a| costs along
+    the single row."""
+    from dbsync_spark.functions.timeseries import dtw_reference, dtw_to_query
+
+    df = spark.createDataFrame([(7, [5.0])], "user_id LONG, values ARRAY<DOUBLE>")
+    got = dtw_to_query(df, [1.0, 2.0, 3.0], "user_id", radius=5).first()
+    assert got["dtw_dist"] == dtw_reference([5.0], [1.0, 2.0, 3.0], 5)
+
+
+def test_char_entropy_empty_and_uniform(spark):
+    """Empty text rows are dropped; single-char text has zero entropy."""
+    from dbsync_spark.functions.text import char_entropy
+
+    df = spark.createDataFrame([(1, ""), (2, "zzzzzz")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in char_entropy(df).collect()}
+    assert set(rows) == {2}
+    assert rows[2]["entropy_bits"] == 0.0
