@@ -225,6 +225,10 @@ def main() -> None:
     timed2("burst_dedup", lambda: QUERIES["q_burst_dedup"](spark, SF_DIR).count())
     timed2("rolling_7d", lambda: QUERIES["q_rolling_7d"](spark, SF_DIR).count())
     timed2("time_travel", lambda: QUERIES["q_time_travel"](spark, SF_DIR).count())
+    timed2("ts_similarity", lambda: QUERIES["q_ts_similarity"](spark, SF_DIR).count())
+    timed2("path_analysis", lambda: QUERIES["q_path_analysis"](spark, SF_DIR).count())
+    timed2("rfm", lambda: QUERIES["q_rfm"](spark, SF_DIR).count())
+    timed2("group_sample", lambda: QUERIES["q_group_sample"](spark, SF_DIR).count())
 
     # -- streaming micro-batch latency (BASELINE.md: <= 5 s / 10k-row batch) --
     from dbsync_spark.changelog import ORDERS_PAYLOAD_SCHEMA, build_log_orders
