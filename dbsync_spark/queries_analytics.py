@@ -1812,3 +1812,61 @@ def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("values").first()[0])
     others = series.where(F.col("user_id") != 1)
     return ts.dtw_to_query(others, qvals, "user_id", radius=24)
+
+
+# ---------------------------------------------------------------------------
+# Data-quality / referential-integrity audit
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_integrity_audit",
+    """
+SELECT 'orphan_orders' AS check_name,
+       CAST(count(*) AS BIGINT) AS n_violations
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT 'orphan_lineitems',
+       CAST(count(*) AS BIGINT)
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IS NULL
+UNION ALL
+SELECT 'dup_lineitem_keys',
+       CAST(count(*) AS BIGINT)
+FROM (
+  SELECT l_orderkey, l_linenumber FROM lineitem
+  GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1
+)
+UNION ALL
+SELECT 'null_order_dates',
+       CAST(count(*) AS BIGINT)
+FROM orders WHERE o_orderdate IS NULL
+""",
+)
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity / constraint audit — the validation pass a
+    sync engine runs against its TARGETS (the reference trusts the
+    source DB's constraints; on a lake there is no enforcement, so the
+    engine provides the check): FK orphans via anti-joins (never a row
+    explosion), duplicate-key detection via HAVING, NOT NULL scans.
+    Each check is an independent aggregate; Spark runs the four branches
+    as one job over broadcast/anti-join plans."""
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    li = read_table(spark, sf_dir, "lineitem")
+
+    def one(name, cnt_df):
+        return cnt_df.select(F.lit(name).alias("check_name"),
+                             F.count("*").alias("n_violations"))
+
+    orphan_orders = orders.join(cust, orders.o_custkey == cust.c_custkey,
+                                "anti")
+    orphan_li = li.join(orders.select("o_orderkey"),
+                        li.l_orderkey == F.col("o_orderkey"), "anti")
+    dup_keys = (li.groupBy("l_orderkey", "l_linenumber")
+                .agg(F.count("*").alias("_n")).where(F.col("_n") > 1))
+    null_dates = orders.where(F.col("o_orderdate").isNull())
+    return (one("orphan_orders", orphan_orders)
+            .unionByName(one("orphan_lineitems", orphan_li))
+            .unionByName(one("dup_lineitem_keys", dup_keys))
+            .unionByName(one("null_order_dates", null_dates)))

@@ -53,6 +53,7 @@ ANALYTIC_ORACLE_BACKED = [
     "q_frame_bounds",
     "q_rolling_7d",
     "q_ts_similarity",
+    "q_integrity_audit",
 ]
 
 
