@@ -1780,6 +1780,9 @@ def q_ts_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (series.where(F.col("user_id") == 1)
          .select("bucket", F.col("v").alias("qv")))
     nq = q.agg(F.sum(F.col("qv") * F.col("qv"))).first()[0]
+    if nq is None:
+        raise ValueError("query user 1 has no events in this fixture — "
+                         "q_ts_similarity needs a non-empty query series")
     dots = (series.where(F.col("user_id") != 1)
             .join(F.broadcast(q), "bucket")
             .groupBy("user_id")

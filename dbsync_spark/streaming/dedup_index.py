@@ -63,10 +63,15 @@ class StreamingDedupIndex:
         self.shingle_fn = shingle_fn
 
     def _read(self, sub: str, schema: StructType) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
+        # PATH_NOT_FOUND only (state dir not created yet — first call
+        # before any batch); any other failure is real corruption and
+        # must propagate
         try:
             return self.spark.read.schema(schema).parquet(
                 f"{self.root}/{sub}")
-        except Exception:
+        except AnalysisException:
             return self.spark.createDataFrame([], schema)
 
     def process_batch(self, new_docs: DataFrame, epoch_id: int = 0
