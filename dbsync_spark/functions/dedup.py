@@ -219,16 +219,27 @@ def minhash_incremental_pairs(df: DataFrame, new_ids: DataFrame,
     bands = _row_local_bands(df, text_col, id_col, k, shingle_fn)
     new_bands = bands.join(F.broadcast(new_ids.select(id_col)), on=id_col,
                            how="semi")
-    probe = new_bands.select(F.col(id_col).alias("doc_x"), "band", "band_key")
-    index = bands.select(F.col(id_col).alias("doc_y"), "band", "band_key")
-    cands = (
+    cands = probe_candidates(new_bands, bands, id_col)
+    sets = _candidate_shingle_sets(df, cands, text_col, id_col, k, shingle_fn)
+    return _verify_candidates(cands, sets, id_col, threshold)
+
+
+def probe_candidates(probe_bands: DataFrame, index_bands: DataFrame,
+                     id_col: str) -> DataFrame:
+    """Candidate (doc_a < doc_b) pairs from probing an LSH band index
+    with a (usually smaller) band set — the single definition of the
+    candidate rule shared by the batch incremental operator and the
+    streaming dedup-index service."""
+    probe = probe_bands.select(F.col(id_col).alias("doc_x"),
+                               "band", "band_key")
+    index = index_bands.select(F.col(id_col).alias("doc_y"),
+                               "band", "band_key")
+    return (
         probe.join(index, on=["band", "band_key"])
         .where(F.col("doc_x") != F.col("doc_y"))
         .select(F.least("doc_x", "doc_y").alias("doc_a"),
                 F.greatest("doc_x", "doc_y").alias("doc_b"))
         .distinct())
-    sets = _candidate_shingle_sets(df, cands, text_col, id_col, k, shingle_fn)
-    return _verify_candidates(cands, sets, id_col, threshold)
 
 
 def _candidate_shingle_sets(df: DataFrame, cands: DataFrame, text_col: str,

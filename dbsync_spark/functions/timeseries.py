@@ -64,16 +64,38 @@ def _dtw_numpy(a: np.ndarray, b: np.ndarray, radius: int) -> float:
 
 
 def series_arrays(events: DataFrame, id_col: str, bucket_col,
-                  val_col) -> DataFrame:
+                  val_col, spine=None) -> DataFrame:
     """(id, values) — each key's bucket-ordered value sequence as one
-    array row. The aggregate is the only shuffle."""
-    return (events
+    array row: values are SUMMED per bucket first (one value per bucket,
+    the series contract), then collected in bucket order.
+
+    With `spine` (an array Column of all buckets, e.g. the global hourly
+    range), the series is DENSE: missing buckets fill with 0, so every
+    key's series has the same length and position i means the same
+    wall-clock bucket for everyone — which is what makes a banded-DTW
+    radius mean 'hours of shift' and keeps the DP corner inside the band
+    regardless of per-key activity counts. Sparse mode (spine=None)
+    keeps only active buckets. One shuffle either way."""
+    per_bucket = (events
+                  .groupBy(id_col, bucket_col.alias("_b"))
+                  .agg(F.sum(val_col).alias("_v")))
+    if spine is None:
+        return (per_bucket
+                .groupBy(id_col)
+                .agg(F.array_sort(F.collect_list(F.struct("_b", "_v")))
+                     .alias("_s"))
+                .select(id_col,
+                        F.expr("transform(_s, x -> CAST(x._v AS DOUBLE))")
+                        .alias("values")))
+    return (per_bucket
             .groupBy(id_col)
-            .agg(F.array_sort(F.collect_list(
-                F.struct(bucket_col.alias("b"), val_col.alias("v"))))
-                .alias("_s"))
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("_b", "_v"))).alias("_m"))
             .select(id_col,
-                    F.expr("transform(_s, x -> CAST(x.v AS DOUBLE))")
+                    F.transform(
+                        spine,
+                        lambda b: F.coalesce(F.element_at("_m", b),
+                                             F.lit(0)).cast("double"))
                     .alias("values")))
 
 
@@ -108,9 +130,13 @@ def _lb_kim(values: "pd.Series", q: np.ndarray) -> np.ndarray:
     DTW path must pay the first-cell and last-cell costs (distinct cells
     whenever either series has length > 1), so
     |a[0]-q[0]| + |a[-1]-q[-1]| <= DTW(a, q). Vectorized per batch."""
+    if len(q) == 0:
+        # DTW vs an empty query is 0 by the DP's base case; bound matches
+        return np.zeros(len(values))
     first = np.array([abs(float(v[0]) - q[0]) if len(v) else 0.0
                       for v in values])
-    last = np.array([abs(float(v[-1]) - q[-1]) if len(v) > 1 or len(q) > 1
+    last = np.array([abs(float(v[-1]) - q[-1])
+                     if len(v) and (len(v) > 1 or len(q) > 1)
                      else 0.0 for v in values])
     # when both series are length 1, first and last are the SAME cell —
     # don't double-count
@@ -145,7 +171,12 @@ def dtw_topk(series: DataFrame, query_values, id_col: str, k: int = 10,
             yield pd.DataFrame({id_col: pdf[id_col],
                                 "lb": _lb_kim(pdf["values"], q)})
 
-    lbs = series.mapInPandas(bounds, schema=lb_schema)
+    # truncate lineage once: three downstream actions (seed-id collect,
+    # seed DP, survivor DP) would otherwise each re-run the upstream
+    # series aggregation and the bound pass
+    series = series.localCheckpoint(eager=False)
+    lbs = series.mapInPandas(bounds, schema=lb_schema).localCheckpoint(
+        eager=False)
     with_lb = series.join(lbs, on=id_col)
 
     seed_ids = [r[0] for r in

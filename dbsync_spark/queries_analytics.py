@@ -1808,13 +1808,20 @@ def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbsync_spark.functions import timeseries as ts
 
     ev = read_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("hour", F.col("ts"))
+    # dense hourly spine over the global range: every user's series has
+    # one slot per wall-clock hour (0 = inactive), so the banded DP's
+    # radius means hours of shift and series lengths always match
+    b0, b1 = ev.agg(F.min(bucket), F.max(bucket)).first()
+    spine = F.sequence(F.lit(b0), F.lit(b1), F.expr("INTERVAL 1 HOUR"))
     series = ts.series_arrays(
-        ev, "user_id", F.date_trunc("hour", F.col("ts")),
-        _cents(F.col("value")))
-    qvals = (series.where(F.col("user_id") == 1)
-             .select("values").first()[0])
+        ev, "user_id", bucket, _cents(F.col("value")), spine=spine)
+    qrow = series.where(F.col("user_id") == 1).select("values").first()
+    if qrow is None:
+        raise ValueError("query user 1 has no events in this fixture — "
+                         "q_ts_dtw needs a non-empty query series")
     others = series.where(F.col("user_id") != 1)
-    return ts.dtw_to_query(others, qvals, "user_id", radius=24)
+    return ts.dtw_to_query(others, qrow[0], "user_id", radius=24)
 
 
 # ---------------------------------------------------------------------------

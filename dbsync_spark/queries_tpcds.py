@@ -29,13 +29,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dbsync_spark.queries import _register
+from dbsync_spark.queries_analytics import _CENTS, _cents
 from dbsync_spark.sources.tables import read_table
-
-_CENTS = "CAST(round({x} * 100, 0) AS BIGINT)"
-
-
-def _cents(col):
-    return F.round(col * 100, 0).cast("long")
 
 
 # ---------------------------------------------------------------------------

@@ -36,6 +36,7 @@ from dbsync_spark.functions.dedup import (
     _candidate_shingle_sets,
     _row_local_bands,
     _verify_candidates,
+    probe_candidates,
 )
 
 _BANDS_SCHEMA = StructType([
@@ -71,8 +72,10 @@ class StreamingDedupIndex:
         try:
             return self.spark.read.schema(schema).parquet(
                 f"{self.root}/{sub}")
-        except AnalysisException:
-            return self.spark.createDataFrame([], schema)
+        except AnalysisException as e:
+            if e.getCondition() == "PATH_NOT_FOUND":
+                return self.spark.createDataFrame([], schema)
+            raise
 
     def process_batch(self, new_docs: DataFrame, epoch_id: int = 0
                       ) -> DataFrame:
@@ -92,16 +95,8 @@ class StreamingDedupIndex:
 
         index = self._read("bands", _BANDS_SCHEMA)
         new_ids = new_docs.select("doc_id")
-        probe = (index.join(F.broadcast(new_ids), on="doc_id", how="semi")
-                 .select(F.col("doc_id").alias("doc_x"), "band", "band_key"))
-        cands = (
-            probe.join(index.select(F.col("doc_id").alias("doc_y"),
-                                    "band", "band_key"),
-                       on=["band", "band_key"])
-            .where(F.col("doc_x") != F.col("doc_y"))
-            .select(F.least("doc_x", "doc_y").alias("doc_a"),
-                    F.greatest("doc_x", "doc_y").alias("doc_b"))
-            .distinct())
+        new_bands = index.join(F.broadcast(new_ids), on="doc_id", how="semi")
+        cands = probe_candidates(new_bands, index, "doc_id")
         all_docs = self._read("docs", _DOCS_SCHEMA)
         sets = _candidate_shingle_sets(all_docs, cands, "text", "doc_id",
                                        self.k, self.shingle_fn)

@@ -214,9 +214,15 @@ def test_dtw_matches_reference_and_properties(spark):
                         radius=6).first()["dtw_dist"] == 0.0
 
 
-def test_q_ts_dtw_runs_and_is_nonnegative(spark, sf_dir):
+def test_q_ts_dtw_runs_finite_nonnegative(spark, sf_dir):
+    """Dense-spine series => equal lengths => the banded DP corner is
+    always reachable: every distance finite and >= 0."""
+    import math
+
     rows = entrymod.queries()["q_ts_dtw"](spark, sf_dir).collect()
-    assert rows and all(r["dtw_dist"] >= 0 for r in rows)
+    assert rows
+    assert all(r["dtw_dist"] >= 0 and math.isfinite(r["dtw_dist"])
+               for r in rows)
 
 
 def test_dtw_topk_prune_equals_bruteforce(spark, sf_dir):
