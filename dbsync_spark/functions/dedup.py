@@ -425,16 +425,27 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.999,
     Blocking: bucket on floor(first_component * scale) — exact/near copies
     share the bucket, and the self-join is linear in bucket sizes instead
     of O(n^2). floor (not round) keeps the bucketing bit-identical across
-    engines. Within-bucket pairs get the exact cosine test."""
+    engines. A near-dup pair whose first components straddle a bucket edge
+    (e.g. 0.0499 vs 0.0501) lands in ADJACENT buckets, so one side probes
+    {b-1, b, b+1} — the same multi-probe trick srp_ann_topk uses for its
+    Hamming-adjacent buckets; a pair at cosine >= threshold can differ in
+    e[0] by at most ~sqrt(2(1-threshold))*|e|, well under one bucket width
+    for the default scale, so +/-1 recovers every boundary pair. The probe
+    triples one join side's rows, not the candidate count: a pair meets in
+    exactly ONE probe (the right side keeps its single true bucket), so no
+    dedup shuffle is needed. Candidate pairs get the exact cosine test."""
     from dbsync_spark.functions.similarity import as_double, dot, norm
 
     e = emb.select(F.col(id_col),
                    as_double(F.col(vec_col)).alias("e"))
     b = e.withColumn("bucket",
                      F.floor(F.col("e")[0] * bucket_scale).cast("long"))
-    left = b.select(F.col(id_col).alias("id_a"), F.col("e").alias("ea"), "bucket")
+    left = b.select(F.col(id_col).alias("id_a"), F.col("e").alias("ea"),
+                    F.explode(F.array(F.col("bucket") - 1, F.col("bucket"),
+                                      F.col("bucket") + 1)).alias("bucket"))
     right = b.select(F.col(id_col).alias("id_b"), F.col("e").alias("eb"), "bucket")
-    pairs = left.join(right, on="bucket").where(F.col("id_a") < F.col("id_b"))
+    pairs = (left.join(right, on="bucket")
+             .where(F.col("id_a") < F.col("id_b")))
     cos = (dot(F.col("ea"), F.col("eb"))
            / (norm(F.col("ea")) * norm(F.col("eb")))).alias("cosine_sim")
     return pairs.select("id_a", "id_b", cos).where(F.col("cosine_sim") >= threshold)

@@ -738,7 +738,9 @@ pairs AS (
          list_dot_product(a.e, b2.e)
            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e)))
            AS cosine_sim
-  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+  FROM b a JOIN b b2
+    ON b2.bucket BETWEEN a.bucket - 1 AND a.bucket + 1
+   AND a.vec_id < b2.vec_id
 )
 SELECT id_a, id_b, cosine_sim FROM pairs WHERE cosine_sim >= 0.999
 """

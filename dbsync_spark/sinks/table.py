@@ -1,19 +1,38 @@
-"""Versioned parquet table — a minimal MERGE-able snapshot store.
+"""MERGE-able parquet table stores for the streaming upsert sink.
 
-Spark cannot overwrite a parquet path it is reading in the same job, and
-this environment has no Delta Lake, so the upsert sink keeps versioned
-snapshot directories (v0, v1, ...) with a _CURRENT pointer written last
-(atomic enough for a single writer — the reference is also single-writer
-per target table). On Delta this whole class collapses to MERGE INTO;
-the interface is written so that swap is trivial.
+Two layouts, one interface (`read` / `merge_changes`):
+
+- `ParquetTable`: whole-snapshot versioned directories (v0, v1, ...) with
+  a _CURRENT pointer written last. Every merge rewrites the full table —
+  O(|target|) per batch. Correct, simple, and fine for small dimension
+  targets, but the WRONG shape for a large fact target under a steady
+  change stream.
+- `BucketedTable`: the scale path. The target is hash-partitioned on the
+  merge key into `n_buckets` directory partitions (`_bucket=K/`); a batch
+  MERGE reads ONLY the partitions its keys hash into (partition pruning)
+  and rewrites ONLY those partitions (dynamic partition overwrite). Per-
+  batch cost is O(|batch| + |touched buckets|), independent of total
+  target size — the parquet-native equivalent of Delta MERGE INTO on a
+  clustered table. At 1000 executors n_buckets is sized so one bucket is
+  a few hundred MB (e.g. 100 TB / 4096 buckets); locally 64 is plenty.
+
+Spark cannot overwrite parquet partitions it is reading in the same job,
+so both layouts break lineage from the files before the swap
+(localCheckpoint for the bucketed merge — the merged touched-bucket frame
+is batch-sized, not target-sized). Crash mid-commit can leave a subset of
+partitions new — safe, because merge_snapshot is replay-idempotent
+(`_last_id` watermark): the streaming checkpoint re-runs the batch and
+re-merging is a no-op on already-updated buckets.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class ParquetTable:
@@ -48,3 +67,127 @@ class ParquetTable:
         # retention: keep current + previous snapshot (time travel depth 1)
         for old in range(nxt - 1):
             shutil.rmtree(os.path.join(self.path, f"v{old}"), ignore_errors=True)
+
+    def merge_changes(self, spark: SparkSession, changes: DataFrame,
+                      key_cols: list[str]) -> None:
+        """MERGE a change batch: read snapshot, reduce, rewrite the whole
+        table (see module docstring for why this is the small-table path)."""
+        from dbsync_spark.operators.apply import merge_snapshot
+
+        merged = merge_snapshot(self.read(spark), changes, list(key_cols))
+        self.overwrite_with(merged)
+
+    def state_fingerprint(self):
+        """Layout-agnostic token that changes iff the table data changed
+        (here: the snapshot version)."""
+        return self.current_version()
+
+
+class BucketedTable:
+    """Hash-bucket-partitioned MERGE target (see module docstring).
+
+    The bucket of a row is `pmod(xxhash64(key cols as strings), n_buckets)`
+    — deterministic across sessions, no RNG. `n_buckets` is pinned in
+    `_META.json` on first write so every later writer agrees."""
+
+    BUCKET_COL = "_bucket"
+
+    def __init__(self, path: str, key_cols: list[str], n_buckets: int = 64):
+        self.path = path
+        self.key_cols = list(key_cols)
+        os.makedirs(path, exist_ok=True)
+        meta_path = os.path.join(path, "_META.json")
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+            self.n_buckets = int(meta["n_buckets"])
+            if meta.get("key_cols") and meta["key_cols"] != self.key_cols:
+                raise ValueError(
+                    f"BucketedTable at {path} was written with keys "
+                    f"{meta['key_cols']}, asked to merge on {self.key_cols}")
+        except FileNotFoundError:
+            self.n_buckets = n_buckets
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"n_buckets": n_buckets,
+                           "key_cols": self.key_cols}, f)
+            os.replace(tmp, meta_path)
+        self.data_path = os.path.join(path, "data")
+
+    def _bucket_expr(self) -> F.Column:
+        return F.pmod(
+            F.xxhash64(*[F.col(k).cast("string") for k in self.key_cols]),
+            F.lit(self.n_buckets)).cast("int")
+
+    def _read_raw(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.isdir(self.data_path):
+            return None
+        try:
+            return spark.read.parquet(self.data_path)
+        except Exception:  # noqa: BLE001 - dir exists but no commit yet
+            return None
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        """Full snapshot (tombstones + _last_id included, like
+        ParquetTable.read); the bucket partition column is dropped."""
+        raw = self._read_raw(spark)
+        return None if raw is None else raw.drop(self.BUCKET_COL)
+
+    def merge_changes(self, spark: SparkSession, changes: DataFrame,
+                      key_cols: list[str] | None = None) -> None:
+        """MERGE a change batch touching only the buckets its keys hash to.
+
+        1. bucket the batch, collect the touched bucket ids (<= n_buckets
+           small ints — the only driver traffic);
+        2. read ONLY those partitions of the existing target (partition
+           pruning on the directory layout);
+        3. merge_snapshot over that slice, re-bucket the result (every
+           output key hashes back into a touched bucket);
+        4. dynamic-partition-overwrite: untouched partitions are not even
+           opened, touched ones are atomically replaced per-partition.
+        """
+        from dbsync_spark.operators.apply import merge_snapshot
+
+        if key_cols is not None and list(key_cols) != self.key_cols:
+            raise ValueError(f"table is bucketed on {self.key_cols}, "
+                             f"cannot merge on {list(key_cols)}")
+        # batch is micro-batch-sized: pin it so the bucket scan, the
+        # distinct, and the merge don't recompute the upstream lineage
+        changes = changes.localCheckpoint()
+        bucketed = changes.withColumn(self.BUCKET_COL, self._bucket_expr())
+        touched = [r[0] for r in
+                   bucketed.select(self.BUCKET_COL).distinct().collect()]
+        if not touched:
+            return
+        existing = self._read_raw(spark)
+        if existing is not None:
+            existing = (existing
+                        .where(F.col(self.BUCKET_COL).isin(touched))
+                        .drop(self.BUCKET_COL))
+        merged = merge_snapshot(existing, bucketed.drop(self.BUCKET_COL),
+                                self.key_cols)
+        out = (merged.withColumn(self.BUCKET_COL, self._bucket_expr())
+               # one shuffle of touched-slice-sized data -> ~1 file/bucket
+               .repartition(len(touched), F.col(self.BUCKET_COL))
+               # break lineage from the files we are about to overwrite
+               .localCheckpoint())
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (out.write.mode("overwrite")
+             .partitionBy(self.BUCKET_COL).parquet(self.data_path))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def state_fingerprint(self):
+        """Layout-agnostic token that changes iff the table data changed
+        (here: the sorted (file, size, mtime) set of data files)."""
+        out = []
+        for root, _dirs, files in os.walk(self.data_path):
+            for fn in files:
+                p = os.path.join(root, fn)
+                st = os.stat(p)
+                out.append((os.path.relpath(p, self.data_path),
+                            st.st_size, st.st_mtime_ns))
+        return tuple(sorted(out))

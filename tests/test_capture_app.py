@@ -143,12 +143,12 @@ def test_app_reload_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     log.where(F.col("operation") == "I").write.mode("append").parquet(
         app.pipelines[0].log_path)
     app.run_all_available()
-    v_before = app.pipelines[0].target.current_version()
+    v_before = app.pipelines[0].target.state_fingerprint()
 
     app.reload(parse_config(APP_YAML))
     # no new data: drain must be a no-op (checkpoint preserved)
     app.run_all_available()
-    assert app.pipelines[0].target.current_version() == v_before
+    assert app.pipelines[0].target.state_fingerprint() == v_before
 
     # increment applies after reload
     log.where(F.col("operation") != "I").write.mode("append").parquet(

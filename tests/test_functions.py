@@ -32,6 +32,23 @@ def test_exact_dedup_keeps_min_id(spark):
     assert kept == [1, 2]
 
 
+def test_embed_dedup_finds_bucket_boundary_pair(spark):
+    """A near-dup pair whose first components straddle a bucket edge
+    (floor(e0*50) differs by 1) must still be found — the adjacent-bucket
+    probe exists exactly for this case."""
+    from dbsync_spark.functions.dedup import embedding_dup_pairs
+
+    a = [0.0399] + [0.1] * 7   # floor(0.0399*50) = bucket 1
+    b = [0.0401] + [0.1] * 7   # floor(0.0401*50) = bucket 2 (straddles)
+    far = [0.9] + [0.1] * 7
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, far)], ["vec_id", "embedding"])
+    pairs = {(r["id_a"], r["id_b"]): r["cosine_sim"]
+             for r in embedding_dup_pairs(df, threshold=0.999).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.999
+    assert all(k == (1, 2) for k in pairs)  # far vector pairs with nothing
+
+
 def test_minhash_finds_planted_near_dups(spark):
     base = "the quick brown fox jumps over the lazy dog again and again today"
     rows = [

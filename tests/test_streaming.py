@@ -36,11 +36,11 @@ def test_streaming_incremental_and_restart(spark, sf_dir):
     after_first = live_rows(pipe.target.read(spark))
     n_orders = first.count()
     assert after_first.count() == n_orders  # all inserts live
-    v1 = pipe.target.current_version()
+    v1 = pipe.target.state_fingerprint()
 
-    # restart with no new data -> no new snapshot version
+    # restart with no new data -> no write to the target at all
     pipe.run_to_completion()
-    assert pipe.target.current_version() == v1
+    assert pipe.target.state_fingerprint() == v1
 
     # append U/D legs -> incremental apply equals full batch LWW
     second.repartition(2).write.mode("append").parquet(f"{workdir}/log")
@@ -251,7 +251,6 @@ def test_corrupt_payloads_dead_letter_not_merged(spark, sf_dir):
     assert target.where(F.col("o_orderkey").isNull()).count() == 0
 
     # retry must not merge the malformed rows either
-    v = pipe.target.current_version()
     assert pipe.retry_pass() is True  # ERRs exist -> a pass runs
     target2 = live_rows(pipe.target.read(spark))
     assert target2.where(F.col("o_orderkey").isNull()).count() == 0
