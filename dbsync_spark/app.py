@@ -12,6 +12,7 @@ from __future__ import annotations
 import json
 import os
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import SparkSession
@@ -57,6 +58,8 @@ class DbSyncApp:
         self.pipelines: list[SyncPipeline] = []
         self._http: ThreadingHTTPServer | None = None
         self._listener = None
+        self._started = time.time()
+        self.restart_reason: str | None = None
 
     # -- bootstrap ----------------------------------------------------------
     def bootstrap(self) -> None:
@@ -84,6 +87,9 @@ class DbSyncApp:
                 # to the same path corrupt each other's committer temp files
                 ack_lock=ack_locks.setdefault(status_path, threading.Lock()),
             )
+            from dbsync_spark.operators.retention import recover_sweep
+
+            recover_sweep(pipe.log_path)  # crashed retention sweep, if any
             os.makedirs(pipe.log_path, exist_ok=True)
             self.pipelines.append(pipe)
             self.registry.register(f"pipeline:{key}->{tgt_key}",
@@ -146,21 +152,24 @@ class DbSyncApp:
         return any([p.retry_pass() for p in self.pipelines])
 
     def retention_pass(self, now=None) -> None:
-        """O8 sweep of each database's change log."""
+        """O8 sweep of each database's change log — ONE staged write per
+        log + directory swap, crash-recovered by recover_sweep (see
+        operators/retention.py)."""
+        from dbsync_spark.operators.retention import (recover_sweep,
+                                                      sweep_into_place)
+
         cutoff_expr = F.lit(now) if now is not None else F.current_timestamp()
         cutoff = cutoff_expr - F.expr(
             f"INTERVAL {self.config.sys.dataKeepHours} HOURS")
         for db in {r.source_db for r in self.config.syncs}:
             log_path = os.path.join(self.base_dir, "log", db)
+            recover_sweep(log_path)
             try:
                 log = self.spark.read.schema(SYNC_DATA_SCHEMA).parquet(log_path)
             except Exception:  # noqa: BLE001
                 continue
             kept = sweep(log, self._status_df(db), cutoff)
-            tmp = log_path + ".sweeping"
-            kept.write.mode("overwrite").parquet(tmp)
-            final = self.spark.read.parquet(tmp)
-            final.write.mode("overwrite").parquet(log_path)
+            sweep_into_place(kept, log_path)
 
     # -- SQL surface over the synced state ------------------------------------
     def register_views(self) -> list[str]:
@@ -187,15 +196,40 @@ class DbSyncApp:
 
     # -- endpoints (M4) -------------------------------------------------------
     def endpoint_payloads(self) -> dict[str, dict]:
-        return status_endpoints(self.sync_state(), self.registry,
-                                queries=self.pipelines)
+        payloads = status_endpoints(self.sync_state(), self.registry,
+                                    queries=self.pipelines,
+                                    config=self.config)
+        # the reference's /status/sys fields (Endpoints.scala:28-37)
+        payloads["/status/sys"].update({
+            "uptime": time.time() - self._started,
+            "running": any(getattr(p, "last_query", None) is not None
+                           and p.last_query.isActive for p in self.pipelines),
+            "restartReason": self.restart_reason,
+        })
+        return payloads
 
     def serve_endpoints(self, port: int = 0) -> int:
-        """Start the /status HTTP server; returns the bound port."""
+        """Start the HTTP server with the reference's full 7-route surface
+        (monitor/Endpoints.scala:27-96): 5 GET snapshots
+        (/status/{sync,component,sys,datasource}, /config) plus the 2
+        action routes (/control/restart, /config/reload) — both GET in
+        the reference too, both mapping to reload-is-restart (M5).
+        Returns the bound port."""
         app = self
 
         class Handler(BaseHTTPRequestHandler):
             def do_GET(self):  # noqa: N802
+                if self.path in ("/control/restart", "/config/reload"):
+                    reason = ("Restart by restart api"
+                              if self.path == "/control/restart"
+                              else "Restart by reload config")
+                    app.restart_reason = reason
+                    app.reload(app.config)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain")
+                    self.end_headers()
+                    self.wfile.write(b"OK")
+                    return
                 payloads = app.endpoint_payloads()
                 if self.path in payloads:
                     body = json.dumps(payloads[self.path]).encode()

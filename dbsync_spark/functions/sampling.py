@@ -129,7 +129,13 @@ def group_sample(df: DataFrame, key: str, group: str, k: int) -> DataFrame:
     One shuffle on the group column; the rank window sorts within each
     group partition. For groups with heavy skew (one group = most of the
     corpus) pre-filter with hash_sample to a few-x-k-per-group superset
-    first — the hash order is shared, so the composition is exact."""
+    first — the hash order is shared, so the composition is exact.
+
+    Precondition: `key` must be unique within each group (like
+    pack_sequences' id contract). Rows sharing a key value tie completely
+    in the (hash, key) sort, so row_number picks arbitrarily among them
+    at the k boundary and reproducibility is lost. Dedup or add a
+    tiebreaker column to the key first if keys can repeat."""
     w = Window.partitionBy(group).orderBy(
         h15(F.col(key).cast("string")), F.col(key))
     return (df.withColumn("_rn", F.row_number().over(w))

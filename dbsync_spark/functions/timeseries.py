@@ -131,7 +131,9 @@ def _lb_kim(values: "pd.Series", q: np.ndarray) -> np.ndarray:
     whenever either series has length > 1), so
     |a[0]-q[0]| + |a[-1]-q[-1]| <= DTW(a, q). Vectorized per batch."""
     if len(q) == 0:
-        # DTW vs an empty query is 0 by the DP's base case; bound matches
+        # DTW vs an empty query is inf for any non-empty series (the DP's
+        # (n>0, 0) corner is unreachable; 0 only when both are empty), so
+        # a zero lower bound is trivially valid either way
         return np.zeros(len(values))
     first = np.array([abs(float(v[0]) - q[0]) if len(v) else 0.0
                       for v in values])

@@ -122,16 +122,58 @@ class ActionDispatcher:
 
 
 def status_endpoints(sync_state: SyncState, registry: ComponentRegistry,
-                     queries=()) -> dict[str, dict]:
-    """The M4 endpoint payloads (/status/sync, /status/component, ...)."""
-    return {
+                     queries=(), config=None) -> dict[str, dict]:
+    """The M4 GET payloads — all 5 read routes of the reference
+    (monitor/Endpoints.scala:27-96): /status/sync, /status/component,
+    /status/sys, /status/datasource, /config. The two action routes
+    (/control/restart, /config/reload) live in app.serve_endpoints."""
+    payloads = {
         "/status/sync": vars(sync_state).copy(),
-        "/status/component": registry.statuses(),
+        "/status/component": dict(sorted(registry.statuses().items())),
         "/status/sys": {
             "queries": [getattr(q, "name", str(q)) for q in queries],
             "ts": time.time(),
         },
     }
+    if config is not None:
+        payloads["/config"] = config_payload(config)
+        payloads["/status/datasource"] = datasource_payload(config)
+    return payloads
+
+
+def config_payload(config) -> dict:
+    """The /config snapshot (Endpoints.scala:81-91): sys + db + sync,
+    with db passwords scrubbed before serialization."""
+    return {
+        "sys": vars(config.sys).copy(),
+        "db": [{k: v for k, v in vars(d).items() if k != "password"}
+               for d in config.dbs],
+        "sync": [vars(r).copy() for r in config.syncs],
+    }
+
+
+def datasource_payload(config) -> dict:
+    """The /status/datasource snapshot (Endpoints.scala:52-74): per-db
+    pool config + live counters from this process's pool registry (pools
+    on executors are per-worker and not visible here — the driver-side
+    registry covers the control-plane connections, and the counter
+    vocabulary matches the reference's Druid fields)."""
+    from dbsync_spark.sinks.pool import pool_stats
+
+    live = pool_stats()
+    out = {}
+    for d in config.dbs:
+        s = live.get(d.name) or {
+            "maxActive": d.maxPoolSize, "activeCount": 0,
+            "errorCount": 0, "poolingCount": 0, "waitCount": 0,
+        }
+        out[d.name] = {
+            "name": d.name, "url": d.url, "user": d.user,
+            "maxActive": s["maxActive"], "activeCount": s["activeCount"],
+            "errorCount": s["errorCount"],
+            "poolingCount": s["poolingCount"], "waitCount": s["waitCount"],
+        }
+    return dict(sorted(out.items()))
 
 
 def webhook_action(reason: str, url: str, timeout: float = 5.0,

@@ -34,3 +34,50 @@ def sweep(log: DataFrame, status: DataFrame, cutoff: Column,
     return joined.where(
         ~(F.coalesce(F.col("_ok"), F.lit(False)) & (F.col("createTime") < cutoff))
     ).drop("_ok")
+
+
+SWEEP_SUFFIX = ".sweeping"
+
+
+def sweep_into_place(kept: DataFrame, log_path: str) -> None:
+    """Commit a sweep with ONE data write: write the kept rows to a
+    sibling staging dir, then swap directories (delete old, rename new).
+    The old double-rewrite (staging write + read-back + second overwrite
+    of the original path) paid 2x the log in write amplification AND had
+    a corruption window — a crash between the two overwrites lost the
+    log. Here the only unsafe window is between rmtree and rename, and
+    `recover_sweep` closes it: the staging dir is complete (parquet
+    _SUCCESS committed) before the old dir is touched."""
+    import os
+    import shutil
+
+    tmp = log_path.rstrip("/") + SWEEP_SUFFIX
+    shutil.rmtree(tmp, ignore_errors=True)  # stale staging from a crash
+    kept.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(log_path)
+    os.replace(tmp, log_path)
+
+
+def recover_sweep(log_path: str) -> str | None:
+    """Crash recovery for sweep_into_place, run before any read of the
+    log. Returns the action taken (or None).
+
+    - crash after staging write, before rmtree: log intact, staging is an
+      orphan -> drop the staging dir (the sweep simply re-runs later);
+    - crash after rmtree, before rename: log gone, staging complete
+      (_SUCCESS present) -> rename staging into place."""
+    import os
+    import shutil
+
+    tmp = log_path.rstrip("/") + SWEEP_SUFFIX
+    if not os.path.isdir(tmp):
+        return None
+    committed = os.path.exists(os.path.join(tmp, "_SUCCESS"))
+    if os.path.isdir(log_path):
+        shutil.rmtree(tmp)
+        return "dropped-stale-staging"
+    if committed:
+        os.replace(tmp, log_path)
+        return "promoted-staging"
+    shutil.rmtree(tmp)  # incomplete staging AND no log: nothing usable
+    return "dropped-incomplete-staging"

@@ -139,11 +139,23 @@ def sqlite_connect_factory(path: str):
 
 def write_upserts(df, dialect: str, url: str, schema: str, table: str,
                   keys: list[str], batch_size: int = 1000,
-                  connect=None) -> None:
-    """Distributed JDBC-style upsert: each Spark partition opens one
+                  connect=None, pool_name: str | None = None,
+                  max_active: int = 15, acquire_timeout: float = 30.0,
+                  connect_retries: int = 3,
+                  statement_timeout_ms: int = 0) -> None:
+    """Distributed JDBC-style upsert: each Spark partition takes one
     connection and executes batched upserts (deletes for operation='D').
     `connect` is a zero-arg factory returning a DB-API connection —
-    injectable for tests; defaults to raising (no JDBC driver here)."""
+    injectable for tests; defaults to raising (no JDBC driver here).
+
+    Pooling (reference DatasourcePools.scala:16-42): with `pool_name`,
+    connections come from a per-worker-process bounded pool —
+    `max_active` concurrent connections (DbConfig.maxPoolSize), bounded
+    connect retries with backoff, acquire timeout, reuse across
+    partitions, and a session query timeout (`statement_timeout_ms`,
+    DbConfig.queryTimeout) issued on every fresh connection so a wedged
+    statement cannot pin the pool. Without it, one connection is opened
+    and closed per partition (still retried)."""
     columns = [c for c in df.columns if c != "operation"]
     up_sql = upsert_sql(dialect, schema, table, columns, keys)
     del_sql = delete_by_keys(schema, table, keys, dialect)
@@ -154,13 +166,30 @@ def write_upserts(df, dialect: str, url: str, schema: str, table: str,
             "no live JDBC driver in this environment; pass a DB-API "
             "`connect` factory (e.g. psycopg2.connect)")
 
+    from dbsync_spark.sinks.pool import (ConnectionPool, get_pool,
+                                         timeout_statement)
+
+    tmo = timeout_statement(dialect, statement_timeout_ms)
+
+    def on_checkout(conn):
+        if tmo is not None:
+            conn.cursor().execute(tmo)
+
     def apply_partition(rows: Iterable) -> None:
         # run-length batching: adjacent rows with the same statement shape
         # go into one executemany, flushed whenever the op flips — preserves
         # row order within the partition (the reference's order-preserving
         # adjacent grouping, DataSyncer.scala:86-111, done set-based)
-        conn = connect()
-        try:
+        if pool_name is not None:
+            pool = get_pool(pool_name, connect, max_active=max_active,
+                            acquire_timeout=acquire_timeout,
+                            connect_retries=connect_retries,
+                            on_checkout=on_checkout)
+        else:  # unpooled: still gets bounded connect retries
+            pool = ConnectionPool(connect, max_active=1,
+                                  connect_retries=connect_retries,
+                                  on_checkout=on_checkout)
+        with pool.connection() as conn:
             cur = conn.cursor()
             cur_op, buf = None, []
 
@@ -180,7 +209,7 @@ def write_upserts(df, dialect: str, url: str, schema: str, table: str,
                     flush()
             flush()
             conn.commit()
-        finally:
-            conn.close()
+        if pool_name is None:
+            pool.close_all()
 
     df.foreachPartition(apply_partition)

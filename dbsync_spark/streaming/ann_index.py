@@ -66,6 +66,11 @@ class StreamingIvfIndex:
         self._centroids = c
 
     def centroids(self) -> np.ndarray:
+        """Frozen routing centroids. Cached in memory for the lifetime of
+        this object: a re-fit by ANOTHER process writing the same root
+        goes unnoticed here by design — centroids are immutable for an
+        index generation (a re-fit is a rebuild under a new root; see
+        module docstring), so the cache can never be legitimately stale."""
         if self._centroids is None:
             if not os.path.exists(self._centroid_path):
                 raise RuntimeError(
@@ -92,9 +97,27 @@ class StreamingIvfIndex:
 
     def query(self, queries: DataFrame, k: int = 10,
               nprobe: int = 2) -> DataFrame:
-        """Approximate cosine top-k against the stored lists. Requires at
-        least one processed batch."""
-        lists = self.spark.read.parquet(f"{self.root}/lists")
+        """Approximate cosine top-k against the stored lists. Before any
+        processed batch the index is empty, so the answer is the empty
+        top-k frame (same PATH_NOT_FOUND-only handling as
+        StreamingDedupIndex._read; real corruption propagates)."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            lists = self.spark.read.parquet(f"{self.root}/lists")
+        except AnalysisException as e:
+            if e.getCondition() != "PATH_NOT_FOUND":
+                raise
+            from pyspark.sql.types import (DoubleType, IntegerType,
+                                           LongType, StructField,
+                                           StructType)
+
+            return self.spark.createDataFrame([], StructType([
+                StructField("query_id", LongType()),
+                StructField("vec_id", LongType()),
+                StructField("cosine_sim", DoubleType()),
+                StructField("rank", IntegerType()),
+            ]))
         qb = _assign_clusters(
             queries.select(self.id_col, self.vec_col), self.centroids(),
             self.id_col, self.vec_col, nprobe=nprobe, keep_vec=True)

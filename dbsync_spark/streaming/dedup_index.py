@@ -114,4 +114,20 @@ class StreamingDedupIndex:
         return handle
 
     def all_pairs(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.root}/pairs")
+        """Every near-dup pair persisted so far (empty frame before the
+        first batch — same PATH_NOT_FOUND-only handling as _read; real
+        corruption still propagates)."""
+        from pyspark.errors import AnalysisException
+        from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                       StructType)
+
+        try:
+            return self.spark.read.parquet(f"{self.root}/pairs")
+        except AnalysisException as e:
+            if e.getCondition() == "PATH_NOT_FOUND":
+                return self.spark.createDataFrame([], StructType([
+                    StructField("doc_a", LongType()),
+                    StructField("doc_b", LongType()),
+                    StructField("jaccard", DoubleType()),
+                ]))
+            raise
