@@ -146,14 +146,47 @@ def _lb_kim(values: "pd.Series", q: np.ndarray) -> np.ndarray:
     return np.where(both1, first, first + last)
 
 
+def _keogh_envelope(q: np.ndarray, radius: int) -> tuple[np.ndarray, np.ndarray]:
+    """(U, L) sliding max/min envelope of the query within the band."""
+    n = len(q)
+    U = np.array([q[max(0, i - radius):i + radius + 1].max() for i in range(n)])
+    L = np.array([q[max(0, i - radius):i + radius + 1].min() for i in range(n)])
+    return U, L
+
+
+def _lb_keogh(a: np.ndarray, U: np.ndarray, L: np.ndarray) -> float:
+    """LB_Keogh envelope bound — valid for EQUAL-length series under the
+    same Sakoe-Chiba radius as the DP: every row i of `a` must match some
+    q[j] with |i-j| <= radius, and the cheapest such cost is at least
+    (a[i]-U[i])+ + (L[i]-a[i])+; summing over i lower-bounds any path's
+    L1 cost. Much tighter than LB_Kim on dense same-spine series (the
+    series_arrays spine mode guarantees equal lengths)."""
+    return float((np.clip(a - U, 0, None) + np.clip(L - a, 0, None)).sum())
+
+
+def _lb_best(values: "pd.Series", q: np.ndarray, radius: int) -> np.ndarray:
+    """Per-row best available lower bound: max(LB_Kim, LB_Keogh) for
+    rows whose length equals the query's (both bounds valid -> their max
+    is valid), LB_Kim alone otherwise (Keogh needs equal lengths)."""
+    kim = _lb_kim(values, q)
+    if len(q) == 0:
+        return kim
+    U, L = _keogh_envelope(q, radius)
+    keogh = np.array([
+        _lb_keogh(np.asarray(v, dtype=np.float64), U, L)
+        if len(v) == len(q) else 0.0
+        for v in values])
+    return np.maximum(kim, keogh)
+
+
 def dtw_topk(series: DataFrame, query_values, id_col: str, k: int = 10,
              radius: int = 24) -> DataFrame:
     """Exact DTW top-k with lower-bound pruning — the scale path for
     similarity SEARCH (vs dtw_to_query, which scores everything):
 
-    1. a cheap vectorized lower bound (LB_Kim first+last cells, valid
-       for unequal lengths) is computed for every candidate — one narrow
-       map, no DP;
+    1. a cheap vectorized lower bound (max of LB_Kim first+last cells and
+       the LB_Keogh envelope bound on equal-length series) is computed
+       for every candidate — one narrow map, no DP;
     2. exact DTW runs for the k candidates with the smallest bounds,
        fixing a provisional threshold t = kth best exact distance;
     3. exact DTW runs ONLY for remaining candidates with bound <= t —
@@ -171,7 +204,7 @@ def dtw_topk(series: DataFrame, query_values, id_col: str, k: int = 10,
     def bounds(batches):
         for pdf in batches:
             yield pd.DataFrame({id_col: pdf[id_col],
-                                "lb": _lb_kim(pdf["values"], q)})
+                                "lb": _lb_best(pdf["values"], q, radius)})
 
     # truncate lineage once: three downstream actions (seed-id collect,
     # seed DP, survivor DP) would otherwise each re-run the upstream

@@ -1824,6 +1824,39 @@ def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.dtw_to_query(others, qrow[0], "user_id", radius=24)
 
 
+@_register("q_streaming_dtw")  # rows-only: stateful streaming DP; the
+# batch==stream invariance contract is pytest-pinned (test_dtw_monitor)
+def q_streaming_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window DTW maintained INCREMENTALLY from a 3-micro-batch
+    event stream (streaming/dtw_monitor.py): per batch, only the touched
+    keys' last-24h dense series are re-scored against a fixed pattern;
+    the per-key anchor makes every stored score current. Final distances
+    equal the single-batch run (pinned in tests)."""
+    import tempfile
+
+    from dbsync_spark.streaming.dtw_monitor import StreamingDtwMonitor
+
+    ev = (read_table(spark, sf_dir, "events")
+          .where(F.col("user_id") < 50)
+          .select("user_id", "ts", _cents(F.col("value")).alias("value")))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    pattern = [float((i * 7) % 13) for i in range(24)]
+    mon = StreamingDtwMonitor(
+        spark, tempfile.mkdtemp(prefix="dbsync_dtwmon_q_"), pattern,
+        id_col="user_id", ts_col="ts", val_col=F.col("value"),
+        radius=6, window_buckets=24, bucket="hour")
+    batches = [
+        ev.where(F.col("ts") < F.lit(lo + span)),
+        ev.where((F.col("ts") >= F.lit(lo + span))
+                 & (F.col("ts") < F.lit(lo + 2 * span))),
+        ev.where(F.col("ts") >= F.lit(lo + 2 * span)),
+    ]
+    for i, b in enumerate(batches):
+        mon.process_batch(b, epoch_id=i)
+    return mon.distances()
+
+
 # ---------------------------------------------------------------------------
 # Data-quality / referential-integrity audit
 # ---------------------------------------------------------------------------

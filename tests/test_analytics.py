@@ -225,6 +225,38 @@ def test_q_ts_dtw_runs_finite_nonnegative(spark, sf_dir):
                for r in rows)
 
 
+def test_lb_bounds_sound_vs_reference_dp():
+    """max(LB_Kim, LB_Keogh) must lower-bound the banded DP for every
+    series (equal AND unequal lengths, empty included), and Keogh must
+    be tighter than Kim somewhere on equal-length data (it's the point)."""
+    import numpy as np
+    import pandas as pd
+
+    from dbsync_spark.functions.timeseries import (_lb_best, _lb_kim,
+                                                   dtw_reference)
+
+    rng = np.random.RandomState(11)
+    radius = 4
+    q = np.arange(24, dtype=float)  # smooth ramp: tight envelope
+    series = [rng.randint(0, 100, size=n).astype(float)
+              for n in [24] * 5 + [1, 3, 17, 30, 24]]
+    # vertically shifted copies of the ramp: Kim pays only the two end
+    # cells (2c) while Keogh pays every cell above the envelope (~n(c-r))
+    series += [q + c for c in (8.0, 10.0, 15.0, 20.0, 30.0)]
+    series.append(np.array([]))
+    vals = pd.Series([list(s) for s in series])
+    lbs = _lb_best(vals, q, radius)
+    kims = _lb_kim(vals, q)
+    tighter = 0
+    for s, lb, kim in zip(series, lbs, kims):
+        exact = dtw_reference(list(s), list(q), radius)
+        assert lb <= exact + 1e-9, (len(s), lb, exact)
+        assert lb >= kim - 1e-9  # max() never loosens
+        if len(s) == len(q) and lb > kim + 1e-9:
+            tighter += 1
+    assert tighter >= 5  # Keogh genuinely prunes harder on dense series
+
+
 def test_dtw_topk_prune_equals_bruteforce(spark, sf_dir):
     """LB pruning must never change the answer: dtw_topk == sort of
     dtw_to_query over everything. Also check the bound is sound
