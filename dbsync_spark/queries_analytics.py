@@ -1913,3 +1913,45 @@ def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(one("orphan_lineitems", orphan_li))
             .unionByName(one("dup_lineitem_keys", dup_keys))
             .unionByName(one("null_order_dates", null_dates)))
+
+
+# ---------------------------------------------------------------------------
+# Approximate sketches (rows-only by nature: sketch internals are
+# engine-specific, so no cross-engine hash parity exists; accuracy vs the
+# exact answers is pytest-pinned instead — test_analytics.py)
+# ---------------------------------------------------------------------------
+
+@_register("q_hll_distinct")  # rows-only: HLL register layouts differ per
+# engine; |approx-exact|/exact <= rsd bound pytest-pinned
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct users per event type
+    (approx_count_distinct, rsd=2%) next to the exact count — the
+    cardinality sketch every 100 TB profiling pass starts with: one pass,
+    fixed memory per group, mergeable across partitions (the partial
+    sketches combine in the map-side aggregate, so the shuffle carries
+    one sketch per group per task, not the values)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", rsd=0.02)
+                 .alias("approx_users"),
+                 F.countDistinct("user_id").alias("exact_users"))
+            .orderBy("event_type"))
+
+
+@_register("q_quantile_sketch")  # rows-only: quantile-sketch
+# interpolation differs per engine; rank-error bound pytest-pinned
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 of integer-cents event value per event type
+    (percentile_approx, accuracy 10000 -> rank error <= 1/10000) — the
+    distribution profile for quality gating (e.g. token-length cutoffs)
+    at a fixed memory budget; sketches merge across partitions like HLL."""
+    ev = read_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.percentile_approx(cents, [0.5, 0.9, 0.99], 10000)
+                 .alias("p50_p90_p99"))
+            .select("event_type",
+                    F.col("p50_p90_p99")[0].alias("p50_cents"),
+                    F.col("p50_p90_p99")[1].alias("p90_cents"),
+                    F.col("p50_p90_p99")[2].alias("p99_cents"))
+            .orderBy("event_type"))

@@ -69,9 +69,11 @@ class ParquetTable:
             shutil.rmtree(os.path.join(self.path, f"v{old}"), ignore_errors=True)
 
     def merge_changes(self, spark: SparkSession, changes: DataFrame,
-                      key_cols: list[str]) -> None:
+                      key_cols: list[str], pinned: bool = False) -> None:
         """MERGE a change batch: read snapshot, reduce, rewrite the whole
-        table (see module docstring for why this is the small-table path)."""
+        table (see module docstring for why this is the small-table path).
+        `pinned` is accepted for interface parity with BucketedTable (a
+        single-pass rewrite gains nothing from pre-pinned input)."""
         from dbsync_spark.operators.apply import merge_snapshot
 
         merged = merge_snapshot(self.read(spark), changes, list(key_cols))
@@ -134,8 +136,11 @@ class BucketedTable:
         return None if raw is None else raw.drop(self.BUCKET_COL)
 
     def merge_changes(self, spark: SparkSession, changes: DataFrame,
-                      key_cols: list[str] | None = None) -> None:
+                      key_cols: list[str] | None = None,
+                      pinned: bool = False) -> None:
         """MERGE a change batch touching only the buckets its keys hash to.
+        Pass pinned=True when `changes` is already materialized
+        (localCheckpoint/cache) to skip the redundant pin job.
 
         1. bucket the batch, collect the touched bucket ids (<= n_buckets
            small ints — the only driver traffic);
@@ -164,7 +169,8 @@ class BucketedTable:
                              f"cannot merge on {list(key_cols)}")
         # batch is micro-batch-sized: pin it so the bucket distinct and
         # the merge don't recompute the upstream lineage twice
-        changes = changes.localCheckpoint()
+        if not pinned:
+            changes = changes.localCheckpoint()
         bucketed = changes.withColumn(self.BUCKET_COL, self._bucket_expr())
         touched = [r[0] for r in
                    bucketed.select(self.BUCKET_COL).distinct().collect()]

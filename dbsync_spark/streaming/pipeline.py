@@ -113,8 +113,10 @@ class SyncPipeline:
         has_tries = "_tries0" in changes.columns
         payload = changes.drop("_tries0") if has_tries else changes
         if self.failure_policy is None:
+            # payload is (a narrow drop over) the checkpointed batch
             self.target.merge_changes(self.spark, payload,
-                                      list(self.rule.source_keys))
+                                      list(self.rule.source_keys),
+                                      pinned=True)
             self._write_acks(payload.select(
                 F.col("id").alias("dataId"), F.lit("OK").alias("status"),
                 F.lit("").alias("message"), F.lit(0).alias("retry"),

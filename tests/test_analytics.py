@@ -225,6 +225,35 @@ def test_q_ts_dtw_runs_finite_nonnegative(spark, sf_dir):
                for r in rows)
 
 
+def test_sketch_queries_accuracy_bounds(spark, sf_dir, duck):
+    """Rows-only sketch queries carry pytest-pinned accuracy: HLL within
+    its 2% rsd (x3 safety) of the exact count; approx percentiles within
+    rank error 1/10000 of the exact order statistics."""
+    qs = entrymod.queries()
+    for r in qs["q_hll_distinct"](spark, sf_dir).collect():
+        err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
+        assert err <= 0.06, (r["event_type"], err)
+
+    rows = {r["event_type"]: r for r in
+            qs["q_quantile_sketch"](spark, sf_dir).collect()}
+    for ch, r in rows.items():
+        vals = sorted(v[0] for v in duck.execute(
+            "SELECT CAST(round(value*100) AS BIGINT) FROM events "
+            "WHERE event_type = ?", [ch]).fetchall())
+        n = len(vals)
+        for p, col in ((0.5, "p50_cents"), (0.9, "p90_cents"),
+                       (0.99, "p99_cents")):
+            # rank-error contract: the sketch answer's RANK must sit
+            # within n/10000 (+1 slack) of the target rank
+            import bisect
+
+            lo = bisect.bisect_left(vals, r[col])
+            hi = bisect.bisect_right(vals, r[col])
+            target = p * n
+            slack = n / 10000 + 1
+            assert lo - slack <= target <= hi + slack, (ch, col, lo, hi, target)
+
+
 def test_lb_bounds_sound_vs_reference_dp():
     """max(LB_Kim, LB_Keogh) must lower-bound the banded DP for every
     series (equal AND unequal lengths, empty included), and Keogh must

@@ -14,7 +14,7 @@ import __spark_entry__ as entrymod
 
 # queries whose *driver-side setup* runs streaming/multi-job work; their
 # final DataFrame is a read of materialized output, not the operator plan
-SETUP_HEAVY = {"q_streaming_apply", "q_retry_replay"}
+SETUP_HEAVY = {"q_streaming_apply", "q_retry_replay", "q_streaming_dtw"}
 
 # intentional 1-row / tiny-side broadcast nested loops (scalar joins)
 BNLJ_ALLOWED = {

@@ -62,6 +62,7 @@ def main() -> int:
 
     queries, oracles = mod.queries(), mod.oracle_sql()
     fails = []
+    results: dict[str, dict] = {}
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -95,13 +96,27 @@ def main() -> int:
             else:
                 status, detail = "ROWS-ONLY", f"rows={len(spdf)}"
             print(f"  {name:28s} {status:9s} {detail}  {time.time()-t0:.1f}s")
+            results[name] = {"status": status, "detail": detail,
+                             "secs": round(time.time() - t0, 2)}
             if status == "MISMATCH":
                 fails.append(name)
         except Exception as e:  # noqa: BLE001
             print(f"  {name:28s} ERROR     {type(e).__name__}: {e}")
+            results[name] = {"status": "ERROR",
+                             "detail": f"{type(e).__name__}: {e}"}
             fails.append(name)
     spark.stop()
     print("FAILURES:", fails if fails else "none")
+    import os
+
+    out = os.environ.get("CONTRACT_JSON")
+    if out:
+        import json
+
+        with open(out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_queries": len(results),
+                       "failures": fails, "results": results}, f, indent=1)
+        print(f"wrote {out}")
     return 1 if fails else 0
 
 
