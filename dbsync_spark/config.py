@@ -34,6 +34,12 @@ class SysConfig:
     workDirectory: str = "."
     stateDirectory: str = "state"
     endpointPort: int = 8080
+    # engine-side extensions (no reference equivalent): physical layout
+    # of parquet targets — "bucketed" (hash-partitioned MERGE, the scale
+    # default) or "snapshot" (versioned full rewrite), and the bucket
+    # count (size well above the expected per-batch key count)
+    targetLayout: str = "bucketed"
+    targetBuckets: int = 64
 
 
 @dataclass

@@ -31,6 +31,33 @@ def token_count(df: DataFrame, text_col: str = "text",
     return df.select(id_col, F.size(tokens(F.col(text_col))).alias("n_tokens"))
 
 
+def chunk_documents(df: DataFrame, chunk_tokens: int = 32,
+                    stride: int = 24, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Sliding-window document chunking: each document becomes
+    ceil(n_tokens/stride) overlapping chunks of up to `chunk_tokens`
+    whitespace tokens (overlap = chunk_tokens - stride) — the standard
+    context-window preparation step (embedding indexing, long-doc
+    training samples). Returns (id, chunk_id, chunk_text, n_tokens).
+
+    All JVM built-ins: split -> posexplode of the stride start sequence
+    -> slice + array_join. One narrow explode, no shuffle, no Python —
+    runs at scan speed and scales with output chunks, never with
+    documents' length squared."""
+    t = tokens(F.col(text_col))
+    starts = F.sequence(F.lit(0),
+                        F.greatest(F.size("_t") - 1, F.lit(0)),
+                        F.lit(stride))
+    chunk = F.slice("_t", F.col("_start") + 1, chunk_tokens)
+    return (df.select(id_col, t.alias("_t"))
+            .select(id_col, "_t",
+                    F.posexplode(starts).alias("chunk_id", "_start"))
+            .select(id_col,
+                    F.col("chunk_id").cast("int").alias("chunk_id"),
+                    F.array_join(chunk, " ").alias("chunk_text"),
+                    F.size(chunk).alias("n_tokens")))
+
+
 # BPE-style pre-tokenizer classes: letter runs, digit runs, single
 # non-alnum marks. Kept RE2-compatible so the DuckDB oracle can mirror it.
 BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"

@@ -118,6 +118,35 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_chunk_docs",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks) - 1, 0) + 1, 24)) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST(start // 24 AS INT) AS chunk_id,
+       array_to_string(list_slice(toks, start + 1, start + 32), ' ')
+         AS chunk_text,
+       CAST(len(list_slice(toks, start + 1, start + 32)) AS INT)
+         AS n_tokens
+FROM s
+""",
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking of every document into 32-token windows
+    with stride 24 (8-token overlap) — the context-window prep step for
+    embedding indexes and long-doc training samples. Pure JVM explode
+    (functions/text.py::chunk_documents), exact relational oracle."""
+    from dbsync_spark.functions.text import chunk_documents
+
+    docs = read_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, stride=24)
+
+
+@_register(
     "q_udtf_tokenize",
     """
 SELECT doc_id,

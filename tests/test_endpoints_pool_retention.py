@@ -95,6 +95,29 @@ def test_all_seven_routes(spark, sf_dir, tmp_path):
         app.stop()
 
 
+def test_config_selects_target_layout(spark, tmp_path):
+    """sys.targetLayout/targetBuckets flow from YAML into the pipelines."""
+    from dbsync_spark.changelog import ORDERS_PAYLOAD_SCHEMA
+    from dbsync_spark.sinks.table import BucketedTable, ParquetTable
+
+    snap_yaml = APP_YAML.replace(
+        "sys: {maxPollWait: 5000, dataKeepHours: 24}",
+        "sys: {maxPollWait: 5000, targetLayout: snapshot}")
+    app = DbSyncApp(spark, parse_config(snap_yaml), str(tmp_path / "a"),
+                    {"db1.public.orders": ORDERS_PAYLOAD_SCHEMA})
+    app.bootstrap()
+    assert isinstance(app.pipelines[0].target, ParquetTable)
+
+    buck_yaml = APP_YAML.replace(
+        "sys: {maxPollWait: 5000, dataKeepHours: 24}",
+        "sys: {maxPollWait: 5000, targetBuckets: 8}")
+    app2 = DbSyncApp(spark, parse_config(buck_yaml), str(tmp_path / "b"),
+                     {"db1.public.orders": ORDERS_PAYLOAD_SCHEMA})
+    app2.bootstrap()
+    assert isinstance(app2.pipelines[0].target, BucketedTable)
+    assert app2.pipelines[0].target.n_buckets == 8
+
+
 # -- connection pool ---------------------------------------------------------
 
 
