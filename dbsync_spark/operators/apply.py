@@ -117,10 +117,16 @@ def merge_snapshot(existing: DataFrame | None, changes: DataFrame,
     payload_cols = [c for c in changes.columns if c not in (id_col, op_col)]
     incoming = changes.select(id_col, op_col, *payload_cols)
     if existing is not None:
+        # additive schema evolution: a payload column the stored snapshot
+        # predates reads as NULL for existing rows (the reference's
+        # schema-less JSON payload degrades the same way); columns the
+        # new payload dropped simply stop being carried forward
         base = existing.select(
             F.col(LAST_ID_COL).alias(id_col),
             F.when(F.col(DELETED_COL), OP_DELETE).otherwise(OP_INSERT).alias(op_col),
-            *payload_cols,
+            *[F.col(c) if c in existing.columns
+              else F.lit(None).cast(changes.schema[c].dataType).alias(c)
+              for c in payload_cols],
         )
         incoming = base.unionByName(incoming)
     winner = incoming.groupBy(*key_cols).agg(

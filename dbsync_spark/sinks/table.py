@@ -125,7 +125,13 @@ class BucketedTable:
         if not os.path.isdir(self.data_path):
             return None
         try:
-            return spark.read.parquet(self.data_path)
+            # mergeSchema: after additive payload evolution, touched
+            # buckets carry the widened schema while untouched ones keep
+            # the old — the union-by-name read null-fills the difference
+            # (footer merge across n_buckets files is driver-side, cheap
+            # next to the scan)
+            return spark.read.option("mergeSchema", "true").parquet(
+                self.data_path)
         except Exception:  # noqa: BLE001 - dir exists but no commit yet
             return None
 

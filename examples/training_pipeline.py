@@ -12,6 +12,7 @@ into one deterministic pipeline, the way a pretraining-data job would):
                              keep the canonical doc per cluster)
   4. Stratified sampling    (functions/sampling.stratified_sample)
   5. Sequence packing       (functions/sampling.pack_sequences)
+  6. Context-window chunks  (functions/text.chunk_documents)
 
 Every stage is hash-deterministic: rerunning the pipeline on the same
 fixture produces byte-identical output (no RNG anywhere). Stage row
@@ -64,8 +65,14 @@ def run_pipeline(spark, sf_dir: str, budget: int = 2048) -> dict[str, DataFrame]
     packed = pack_sequences(sampled, "doc_id", "n_chars", budget,
                             stream_col="lang")
 
+    # 6. sliding-window chunks of the sampled docs (embedding-index prep)
+    from dbsync_spark.functions.text import chunk_documents
+
+    chunks = chunk_documents(sampled, chunk_tokens=32, stride=24)
+
     return {"input": docs, "pii": pii, "cleaned": cleaned,
-            "canonical": canonical, "sampled": sampled, "packed": packed}
+            "canonical": canonical, "sampled": sampled, "packed": packed,
+            "chunks": chunks}
 
 
 def main() -> int:
@@ -78,7 +85,8 @@ def main() -> int:
 
     funnel = {name: df.count() for name, df in stages.items()}
     print("stage funnel:")
-    for name in ("input", "cleaned", "canonical", "sampled", "packed"):
+    for name in ("input", "cleaned", "canonical", "sampled", "packed",
+                 "chunks"):
         print(f"  {name:10s} {funnel[name]:6d} rows")
     n_pii = (stages["pii"]
              .where((F.col("n_email") > 0) | (F.col("n_ipv4") > 0)

@@ -113,6 +113,29 @@ def test_meta_pins_bucket_count_and_keys(spark, sf_dir, tmp_path):
         BucketedTable(str(tmp_path / "bt"), ["o_custkey"])
 
 
+def test_additive_schema_evolution(spark, tmp_path):
+    """A payload column added mid-stream: existing rows read as NULL for
+    it (touched or not — untouched buckets keep the old file schema and
+    the mergeSchema read null-fills), new rows carry values, and the
+    snapshot layout behaves identically."""
+    old = spark.createDataFrame(
+        [(1, "I", 10, "a"), (2, "I", 20, "b"), (3, "I", 30, "c")],
+        "id LONG, operation STRING, k LONG, v STRING")
+    new = spark.createDataFrame(
+        [(4, "U", 10, "a2", 7.5), (5, "I", 40, "d", 9.0)],
+        "id LONG, operation STRING, k LONG, v STRING, w DOUBLE")
+    for cls, path in ((BucketedTable, "bt"), (ParquetTable, "pt")):
+        tbl = (cls(str(tmp_path / path), ["k"], n_buckets=4)
+               if cls is BucketedTable else cls(str(tmp_path / path)))
+        tbl.merge_changes(spark, old, ["k"])
+        tbl.merge_changes(spark, new, ["k"])
+        rows = {r["k"]: r for r in live_rows(tbl.read(spark)).collect()}
+        assert set(rows) == {10, 20, 30, 40}
+        assert rows[10]["v"] == "a2" and rows[10]["w"] == 7.5
+        assert rows[20]["w"] is None and rows[30]["w"] is None  # null-filled
+        assert rows[40]["w"] == 9.0
+
+
 def test_empty_batch_is_a_no_op(spark, sf_dir, tmp_path):
     ch = _changes(spark, sf_dir)
     bt = BucketedTable(str(tmp_path / "bt"), ["o_orderkey"], n_buckets=8)

@@ -27,6 +27,14 @@ def test_pipeline_funnel_invariants(spark, sf_dir):
     assert bad.count() == 0
     # pii stage covers every input doc
     assert stages["pii"].count() == n["input"]
+    # chunk stage: >= one chunk per sampled doc, every chunk within the
+    # 32-token budget, and chunk_ids start at 0 per doc
+    chunks = stages["chunks"]
+    assert n["chunks"] >= n["sampled"]
+    assert chunks.where((F.col("n_tokens") < 1)
+                        | (F.col("n_tokens") > 32)).count() == 0
+    first = chunks.groupBy("doc_id").agg(F.min("chunk_id").alias("m"))
+    assert first.where(F.col("m") != 0).count() == 0
 
 
 def test_pipeline_deterministic(spark, sf_dir):

@@ -104,6 +104,40 @@ def main() -> int:
             k: round(rn["doc_ops_sec"][k] / max(r1["doc_ops_sec"][k], 1e-9), 2)
             for k in r1["doc_ops_sec"]},
     }))
+
+    # -- trickle MERGE vs target size (the BucketedTable scale property) ----
+    # a fixed 200-row batch merged into a 1x and an Nx target, both
+    # layouts: the snapshot layout's per-batch cost must track target
+    # size (O(|target|) rewrite); the bucketed layout's must stay flat
+    # (touched-buckets bound). This is where the bucketed default EARNS
+    # its local fixed floor.
+    from dbsync_spark.sinks.table import BucketedTable, ParquetTable
+
+    keys = ["l_orderkey", "l_linenumber"]
+    trickle = {}
+    for scale in (1, n):
+        stored = spark.read.parquet(f"{workdir}/log{scale}")
+        big = parse_changes(stored, li_schema).localCheckpoint()
+        small = big.orderBy("id").limit(200).localCheckpoint()
+        pt = ParquetTable(f"{workdir}/tr_snap{scale}")
+        bt = BucketedTable(f"{workdir}/tr_buck{scale}", keys, n_buckets=256)
+        pt.merge_changes(spark, big, keys)
+        bt.merge_changes(spark, big, keys)
+        for label, tbl in (("snapshot", pt), ("bucketed", bt)):
+            best = None
+            for _ in range(2):  # idempotent replay: timing-only rerun
+                t0 = time.time()
+                tbl.merge_changes(spark, small, keys)
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            trickle[f"{label}_{scale}x"] = round(best, 2)
+    print(json.dumps({
+        "metric": "trickle_merge_sec", **trickle,
+        "snapshot_growth": round(
+            trickle[f"snapshot_{n}x"] / max(trickle["snapshot_1x"], 1e-9), 2),
+        "bucketed_growth": round(
+            trickle[f"bucketed_{n}x"] / max(trickle["bucketed_1x"], 1e-9), 2),
+    }))
     return 0
 
 
