@@ -267,6 +267,11 @@ class DbSyncApp:
         restarting a pipeline while its old query still runs would launch
         a second query on the same checkpoint location, which Spark
         rejects."""
+        # flag FIRST: main()'s relaunch loop checks _reloaded the moment
+        # awaitTermination returns from the stops below — setting it
+        # after bootstrap would race that check and turn a restart
+        # request into a shutdown
+        self._reloaded = True
         for pipe in self.pipelines:
             q = getattr(pipe, "last_query", None)
             if q is not None and q.isActive:
@@ -277,9 +282,6 @@ class DbSyncApp:
         if self._listener is not None:
             self._listener.registry = self.registry
         self.bootstrap()
-        # signal run loops (main's continuous mode) that the stopped
-        # queries ended because of a restart, not a shutdown
-        self._reloaded = True
 
 
 def main(argv: list[str] | None = None) -> int:

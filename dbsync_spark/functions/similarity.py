@@ -210,11 +210,12 @@ def srp_ann_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     cb = srp_bucket_ids(corpus, dim, n_planes, id_col, vec_col, keep_vec=True)
     qb = srp_bucket_ids(queries, dim, n_planes, id_col, vec_col, keep_vec=True)
     if probe_hamming >= 1:
-        masks = [0] + [1 << b for b in range(n_planes)]
-        if probe_hamming >= 2:
-            masks += [(1 << b1) | (1 << b2)
-                      for b1 in range(n_planes)
-                      for b2 in range(b1 + 1, n_planes)]
+        from itertools import combinations
+
+        masks = [0]
+        for h in range(1, min(probe_hamming, n_planes) + 1):
+            masks += [sum(1 << b for b in bits)
+                      for bits in combinations(range(n_planes), h)]
         flips = [F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
         qb = qb.withColumn("bucket", F.explode(F.array(*flips)))
 

@@ -43,11 +43,20 @@ def chunk_documents(df: DataFrame, chunk_tokens: int = 32,
     All JVM built-ins: split -> posexplode of the stride start sequence
     -> slice + array_join. One narrow explode, no shuffle, no Python —
     runs at scan speed and scales with output chunks, never with
-    documents' length squared."""
+    documents' length squared.
+
+    A start whose chunk would add no new tokens (the PREVIOUS chunk
+    already reached the document end, i.e. start + chunk_tokens - stride
+    >= n) is dropped: without this, any doc with stride < n <=
+    chunk_tokens gets a trailing chunk that is a strict subset of the
+    one before it — duplicate content in the downstream index."""
     t = tokens(F.col(text_col))
-    starts = F.sequence(F.lit(0),
-                        F.greatest(F.size("_t") - 1, F.lit(0)),
-                        F.lit(stride))
+    starts = F.filter(
+        F.sequence(F.lit(0),
+                   F.greatest(F.size("_t") - 1, F.lit(0)),
+                   F.lit(stride)),
+        lambda s: (s == 0)
+        | (s + F.lit(chunk_tokens - stride) < F.size("_t")))
     chunk = F.slice("_t", F.col("_start") + 1, chunk_tokens)
     return (df.select(id_col, t.alias("_t"))
             .select(id_col, "_t",

@@ -769,7 +769,7 @@ def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # emitted recall_at_k column vs brute force IS the graded quality number
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10: deterministic k-means inverted lists,
-    nprobe=2 — the partition-pruned ANN path at scale — each row carrying
+    nprobe=3 — the partition-pruned ANN path at scale — each row carrying
     its query's recall@10 against the exact brute-force top-10."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)

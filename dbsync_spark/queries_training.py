@@ -133,6 +133,7 @@ SELECT doc_id,
        CAST(len(list_slice(toks, start + 1, start + 32)) AS INT)
          AS n_tokens
 FROM s
+WHERE start = 0 OR start + 8 < len(toks)
 """,
 )
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

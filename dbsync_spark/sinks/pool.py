@@ -67,7 +67,9 @@ class ConnectionPool:
     # -- core ---------------------------------------------------------------
     def _open(self):
         last = None
-        for attempt in range(self.connect_retries):
+        # at least one attempt regardless of the retry setting — a
+        # "raise None" from an empty loop would mask the misconfiguration
+        for attempt in range(max(1, self.connect_retries)):
             try:
                 return self._connect()
             except Exception as e:  # noqa: BLE001 - counted + retried

@@ -39,6 +39,10 @@ class ParquetTable:
     def __init__(self, path: str):
         self.path = path
         os.makedirs(path, exist_ok=True)
+        if os.path.exists(os.path.join(path, "_META.json")):
+            raise ValueError(
+                f"{path} holds a BucketedTable (found _META.json); "
+                "open it with BucketedTable, or migrate")
 
     def _pointer(self) -> str:
         return os.path.join(self.path, "_CURRENT")
@@ -99,6 +103,15 @@ class BucketedTable:
         self.key_cols = list(key_cols)
         os.makedirs(path, exist_ok=True)
         meta_path = os.path.join(path, "_META.json")
+        if (not os.path.exists(meta_path)
+                and os.path.exists(os.path.join(path, "_CURRENT"))):
+            # opening an existing versioned-snapshot target as bucketed
+            # would silently start from an EMPTY table (the checkpoint
+            # suppresses log replay, so the old state would be lost)
+            raise ValueError(
+                f"{path} holds a versioned snapshot (found _CURRENT); "
+                "run migrate_snapshot_to_bucketed() or keep "
+                "target_layout='snapshot' for this target")
         try:
             with open(meta_path) as f:
                 meta = json.load(f)
@@ -121,9 +134,29 @@ class BucketedTable:
             F.xxhash64(*[F.col(k).cast("string") for k in self.key_cols]),
             F.lit(self.n_buckets)).cast("int")
 
+    def _recover_buckets(self) -> None:
+        """Close the bucket-swap crash window: a kill between the two
+        renames leaves `_bucket=K.old` behind — if the live dir is
+        missing, the .old copy IS the table (restore it); if the live dir
+        exists, the swap completed and .old is garbage (drop it)."""
+        if not os.path.isdir(self.data_path):
+            return
+        for entry in os.listdir(self.data_path):
+            if not entry.endswith(".old"):
+                continue
+            old = os.path.join(self.data_path, entry)
+            live = os.path.join(self.data_path, entry[:-len(".old")])
+            if os.path.isdir(live):
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.replace(old, live)
+
     def _read_raw(self, spark: SparkSession) -> DataFrame | None:
+        self._recover_buckets()
         if not os.path.isdir(self.data_path):
             return None
+        from pyspark.errors import AnalysisException
+
         try:
             # mergeSchema: after additive payload evolution, touched
             # buckets carry the widened schema while untouched ones keep
@@ -132,8 +165,15 @@ class BucketedTable:
             # next to the scan)
             return spark.read.option("mergeSchema", "true").parquet(
                 self.data_path)
-        except Exception:  # noqa: BLE001 - dir exists but no commit yet
-            return None
+        except AnalysisException as e:
+            # ONLY not-yet-written states read as empty; a corrupt or
+            # unreadable table must propagate — treating it as empty
+            # would make the next merge silently drop every non-batch
+            # key in the touched buckets
+            if e.getCondition() in ("PATH_NOT_FOUND",
+                                    "UNABLE_TO_INFER_SCHEMA"):
+                return None
+            raise
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         """Full snapshot (tombstones + _last_id included, like
@@ -156,12 +196,16 @@ class BucketedTable:
            output key hashes back into a touched bucket);
         4. write the merged buckets to a STAGING dir (one write, reading
            the live files normally — no self-overwrite), then swap each
-           touched bucket directory into place with os.replace. Untouched
-           partitions are never opened or rewritten.
+           touched bucket in with two atomic renames (live -> .old,
+           staging -> live; .old dropped last). Untouched partitions are
+           never opened or rewritten.
 
-        Crash mid-swap leaves some buckets new and some old — safe,
-        because merge_snapshot is replay-idempotent (_last_id watermark):
-        the streaming checkpoint re-runs the batch and re-merging an
+        Crash safety: mid-swap, a bucket is always present as either its
+        live dir or its `.old` rename (never deleted before the new copy
+        is in place) — `_recover_buckets` restores/cleans on the next
+        read. Some buckets new and some old is safe because
+        merge_snapshot is replay-idempotent (_last_id watermark): the
+        streaming checkpoint re-runs the batch and re-merging an
         already-updated bucket is a no-op. (A localCheckpoint + dynamic
         partition overwrite onto the live dir gives the same semantics
         but pays a full executor-memory materialization of the merged
@@ -197,13 +241,18 @@ class BucketedTable:
         shutil.rmtree(staging, ignore_errors=True)
         (out.write.mode("overwrite")
          .partitionBy(self.BUCKET_COL).parquet(staging))
+        os.makedirs(self.data_path, exist_ok=True)
         for b in touched:
             src = os.path.join(staging, f"{self.BUCKET_COL}={b}")
             dst = os.path.join(self.data_path, f"{self.BUCKET_COL}={b}")
-            if os.path.isdir(src):
-                shutil.rmtree(dst, ignore_errors=True)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                os.replace(src, dst)
+            if not os.path.isdir(src):
+                continue
+            old = dst + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.isdir(dst):
+                os.replace(dst, old)  # atomic rename-aside, never rmtree
+            os.replace(src, dst)
+            shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(staging, ignore_errors=True)
 
     def state_fingerprint(self):
@@ -217,3 +266,42 @@ class BucketedTable:
                 out.append((os.path.relpath(p, self.data_path),
                             st.st_size, st.st_mtime_ns))
         return tuple(sorted(out))
+
+
+def migrate_snapshot_to_bucketed(spark: SparkSession, path: str,
+                                 key_cols: list[str],
+                                 n_buckets: int = 64) -> "BucketedTable":
+    """One-shot layout migration: re-home a versioned-snapshot target
+    (ParquetTable) as a BucketedTable AT THE SAME PATH, preserving the
+    snapshot's `_last_id` watermarks and tombstones so the streaming
+    checkpoint resumes exactly where it left off (an older replayed
+    change still cannot clobber a migrated row). The snapshot dirs are
+    renamed aside first and dropped only after the bucketed copy is
+    fully written — a crash mid-migration leaves either a readable
+    snapshot or a complete bucketed table, never neither."""
+    from dbsync_spark.operators.apply import DELETED_COL, LAST_ID_COL
+
+    old = ParquetTable(path)
+    snap = old.read(spark)
+    aside = path.rstrip("/") + ".migrating"
+    shutil.rmtree(aside, ignore_errors=True)
+    os.makedirs(aside)
+    if snap is not None:
+        snap = snap.localCheckpoint()  # pin before the dirs move
+    for entry in list(os.listdir(path)):
+        if entry.startswith("v") or entry == "_CURRENT":
+            os.replace(os.path.join(path, entry),
+                       os.path.join(aside, entry))
+    bt = BucketedTable(path, key_cols, n_buckets)
+    if snap is not None:
+        # replay the snapshot as changes carrying its own watermarks:
+        # id = _last_id, op = D for tombstones (merge_snapshot keeps
+        # them as tombstones with the same _last_id)
+        changes = snap.select(
+            F.col(LAST_ID_COL).alias("id"),
+            F.when(F.col(DELETED_COL), "D").otherwise("I").alias("operation"),
+            *[c for c in snap.columns
+              if c not in (LAST_ID_COL, DELETED_COL)])
+        bt.merge_changes(spark, changes, key_cols, pinned=True)
+    shutil.rmtree(aside, ignore_errors=True)
+    return bt

@@ -136,6 +136,72 @@ def test_additive_schema_evolution(spark, tmp_path):
         assert rows[40]["w"] == 9.0
 
 
+def test_layout_mismatch_refused_and_migration_works(spark, sf_dir, tmp_path):
+    """Opening a snapshot target as bucketed (or vice versa) is refused —
+    it would silently present an empty table while the checkpoint
+    suppresses replay. migrate_snapshot_to_bucketed re-homes the target
+    preserving watermarks/tombstones: replaying an OLD batch after
+    migration is still a no-op."""
+    import pytest
+
+    from dbsync_spark.sinks.table import migrate_snapshot_to_bucketed
+
+    ch = _changes(spark, sf_dir)
+    ins = ch.where(F.col("operation") == "I")
+    rest = ch.where(F.col("operation") != "I")
+    path = str(tmp_path / "t")
+    pt = ParquetTable(path)
+    pt.merge_changes(spark, ins, ["o_orderkey"])
+    pt.merge_changes(spark, rest, ["o_orderkey"])
+    cents = F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+    before = live_rows(pt.read(spark))
+    n, tot = before.count(), before.agg(cents).first()[0]
+
+    with pytest.raises(ValueError, match="versioned snapshot"):
+        BucketedTable(path, ["o_orderkey"])
+
+    bt = migrate_snapshot_to_bucketed(spark, path, ["o_orderkey"],
+                                      n_buckets=8)
+    after = live_rows(bt.read(spark))
+    assert after.count() == n
+    assert after.agg(cents).first()[0] == tot
+    # watermarks survived: replaying the oldest batch changes nothing
+    bt.merge_changes(spark, ins, ["o_orderkey"])
+    again = live_rows(bt.read(spark))
+    assert again.count() == n
+    assert again.agg(cents).first()[0] == tot
+    # and the migrated dir now refuses the snapshot API
+    with pytest.raises(ValueError, match="BucketedTable"):
+        ParquetTable(path)
+
+
+def test_bucket_swap_crash_recovery(spark, sf_dir, tmp_path):
+    """Simulate a kill between the two swap renames: the live bucket dir
+    was renamed aside (.old) but the staged copy never landed — the next
+    read restores the .old copy; a completed swap's leftover .old is
+    dropped."""
+    import os
+    import shutil
+
+    ch = _changes(spark, sf_dir)
+    bt = BucketedTable(str(tmp_path / "bt"), ["o_orderkey"], n_buckets=4)
+    bt.merge_changes(spark, ch, ["o_orderkey"])
+    n = live_rows(bt.read(spark)).count()
+    buckets = [d for d in os.listdir(bt.data_path)
+               if d.startswith("_bucket=")]
+    victim = os.path.join(bt.data_path, buckets[0])
+
+    # window: live renamed aside, new copy never arrived
+    os.replace(victim, victim + ".old")
+    assert live_rows(bt.read(spark)).count() == n  # restored transparently
+    assert os.path.isdir(victim) and not os.path.isdir(victim + ".old")
+
+    # window: swap completed but .old cleanup was killed
+    shutil.copytree(victim, victim + ".old")
+    assert live_rows(bt.read(spark)).count() == n  # .old ignored+dropped
+    assert not os.path.isdir(victim + ".old")
+
+
 def test_empty_batch_is_a_no_op(spark, sf_dir, tmp_path):
     ch = _changes(spark, sf_dir)
     bt = BucketedTable(str(tmp_path / "bt"), ["o_orderkey"], n_buckets=8)

@@ -144,6 +144,51 @@ def test_ann_recall_against_bruteforce(spark, sf_dir):
             assert abs(r["cosine_sim"] - exact_sims[key]) < 1e-12
 
 
+def test_chunk_documents_no_redundant_tail(spark):
+    """A doc with stride < n_tokens <= chunk_tokens must yield exactly
+    ONE chunk (the old formula emitted a second chunk fully contained in
+    the first); longer docs still cover every token with overlap."""
+    from dbsync_spark.functions.text import chunk_documents
+
+    doc25 = " ".join(f"t{i}" for i in range(25))   # 1 chunk, not 2
+    doc40 = " ".join(f"t{i}" for i in range(40))   # starts 0, 24
+    doc24 = " ".join(f"t{i}" for i in range(24))   # exactly one stride
+    df = spark.createDataFrame(
+        [(1, doc25), (2, doc40), (3, doc24)], ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=32, stride=24).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["n_tokens"] == 25
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_tokens"] == 24
+    c2 = sorted(by_doc[2], key=lambda r: r["chunk_id"])
+    assert [r["chunk_id"] for r in c2] == [0, 1]
+    # full coverage: union of chunk tokens == the document
+    covered = set()
+    for r in c2:
+        covered |= set(r["chunk_text"].split(" "))
+    assert covered == set(doc40.split(" "))
+
+
+def test_srp_probe_hamming_three_expands_budget(spark, sf_dir):
+    """probe_hamming=3 probes strictly more buckets than 2 (was silently
+    capped at 2): results are a superset-or-equal in recall terms."""
+    from dbsync_spark.functions.similarity import srp_ann_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3)
+    exact = cosine_topk(emb, queries, k=10)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+
+    def recall(h):
+        a = {(r["query_id"], r["vec_id"]) for r in srp_ann_topk(
+            emb, queries, dim=64, k=10, n_planes=6,
+            probe_hamming=h).collect()}
+        return len(e & a) / len(e)
+
+    assert recall(3) >= recall(2) - 1e-9  # larger budget never hurts
+
+
 def test_declared_ann_queries_pin_recall(spark, sf_dir):
     """The rows-only ANN queries emit recall_at_k vs brute force — the
     graded quality number. Pins: IVF (data-adapted partitions, nprobe=3)
