@@ -269,7 +269,10 @@ def q_streaming_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, rule, ORDERS_PAYLOAD_SCHEMA,
         log_path=f"{workdir}/log", target_path=f"{workdir}/target",
         status_path=f"{workdir}/status", checkpoint_path=f"{workdir}/ckpt",
-        max_files_per_trigger=2)
+        max_files_per_trigger=2,
+        # bucket count sized to the fixture (n_buckets >> batch keys is
+        # the 100 TB rule; at sf0.01 8 buckets keeps swap overhead small)
+        n_buckets=8)
     pipe.run_to_completion()
     return live_rows(pipe.target.read(spark))
 
