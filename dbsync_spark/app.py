@@ -207,6 +207,7 @@ class DbSyncApp:
             "running": any(getattr(p, "last_query", None) is not None
                            and p.last_query.isActive for p in self.pipelines),
             "restartReason": self.restart_reason,
+            "lastProgress": dict(sorted(self.registry.progress.items())),
         })
         return payloads
 

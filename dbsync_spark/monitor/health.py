@@ -37,10 +37,14 @@ def heartbeat_status(last_beat_ms: float, interval_ms: float,
 
 @dataclass
 class ComponentRegistry:
-    """Heartbeat registry (the reference's ComponentManager)."""
+    """Heartbeat registry (the reference's ComponentManager), plus the
+    last micro-batch progress per streaming query (batch id, input rows,
+    trigger duration) — the operational numbers an operator reads off
+    /status/sys to see whether a pipeline is keeping up."""
 
     intervals: dict[str, float] = field(default_factory=dict)
     last_beats: dict[str, float] = field(default_factory=dict)
+    progress: dict[str, dict] = field(default_factory=dict)
 
     def register(self, name: str, interval_ms: float) -> None:
         self.intervals[name] = interval_ms
@@ -48,6 +52,9 @@ class ComponentRegistry:
 
     def heartbeat(self, name: str) -> None:
         self.last_beats[name] = time.time() * 1000
+
+    def record_progress(self, name: str, info: dict) -> None:
+        self.progress[name] = info
 
     def statuses(self, now_ms: float | None = None) -> dict[str, str]:
         return {

@@ -27,10 +27,23 @@ class HeartbeatListener(StreamingQueryListener):
         self.registry.register(f"query:{event.name or event.id}", self.interval_ms)
 
     def onQueryProgress(self, event):  # noqa: N802
-        name = f"query:{event.progress.name or event.progress.id}"
+        p = event.progress
+        name = f"query:{p.name or p.id}"
         if name not in self.registry.intervals:
             self.registry.register(name, self.interval_ms)
         self.registry.heartbeat(name)
+        # last-batch operational stats for /status/sys (listener events
+        # are delivered async; the registry just keeps the latest)
+        try:
+            self.registry.record_progress(name, {
+                "batchId": p.batchId,
+                "numInputRows": p.numInputRows,
+                "triggerMs": dict(p.durationMs or {}).get(
+                    "triggerExecution"),
+                "timestamp": p.timestamp,
+            })
+        except Exception:  # noqa: BLE001 - stats are best-effort; a
+            pass           # malformed event must not kill the listener bus
 
     def onQueryIdle(self, event):  # noqa: N802
         pass

@@ -67,6 +67,17 @@ def test_all_seven_routes(spark, sf_dir, tmp_path):
         sysp = _get(port, "/status/sys")
         assert sysp["uptime"] > 0 and "restartReason" in sysp
         assert "running" in sysp and sysp["queries"]
+        # listener delivery is async: poll briefly for last-batch stats
+        import time as _t
+
+        for _ in range(40):
+            sysp = _get(port, "/status/sys")
+            if sysp["lastProgress"]:
+                break
+            _t.sleep(0.25)
+        assert sysp["lastProgress"], "no progress events delivered"
+        prog = next(iter(sysp["lastProgress"].values()))
+        assert prog["numInputRows"] > 0 and prog["batchId"] >= 0
 
         ds = _get(port, "/status/datasource")
         assert set(ds) == {"db1", "t1"}

@@ -24,3 +24,22 @@ def test_queries_survive_non_utc_session(spark, sf_dir, duck):
     finally:
         spark.conf.set("spark.sql.session.timeZone", original)
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_streaming_dtw_tz_invariant(spark, sf_dir):
+    """q_streaming_dtw is rows-only AND bucket-boundary-sensitive
+    (date_trunc hour + interval spines): its distances must be identical
+    under a hostile non-UTC session — the _register pin, not the ambient
+    session, decides the buckets. Also covers an India-style half-hour
+    offset, where an unpinned hour-truncation would shift every bucket."""
+    q = entrymod.queries()["q_streaming_dtw"]
+    ref = {r["user_id"]: r["dtw_dist"] for r in q(spark, sf_dir).collect()}
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("America/New_York", "Asia/Kolkata"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = {r["user_id"]: r["dtw_dist"]
+                   for r in q(spark, sf_dir).collect()}
+            assert got == ref, tz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
