@@ -37,6 +37,22 @@ def hash_sample(df: DataFrame, key: str, rate_bp: int) -> DataFrame:
     return df.where(hash_bucket(F.col(key)) < rate_bp)
 
 
+def data_split(df: DataFrame, key: str,
+               val_bp: int = 500, test_bp: int = 500,
+               col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment by key hash: buckets
+    [0, val_bp) -> 'val', [val_bp, val_bp+test_bp) -> 'test', the rest
+    'train'. Pure scan-side expression — no shuffle, no RNG — so the
+    split is identical across runs, engines, and cluster sizes, a row
+    never changes split when the corpus grows (its bucket depends only
+    on its own key), and the same key always lands in the same split
+    across datasets (leakage-safe joins on key)."""
+    b = hash_bucket(F.col(key))
+    return df.withColumn(col, F.when(b < val_bp, "val")
+                         .when(b < val_bp + test_bp, "test")
+                         .otherwise("train"))
+
+
 def stratified_sample(df: DataFrame, key: str, stratum: str,
                       rates_bp: dict[str, int],
                       default_bp: int = 0) -> DataFrame:

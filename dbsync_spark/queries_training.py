@@ -93,6 +93,25 @@ def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_data_split",
+    f"""
+SELECT doc_id, lang,
+       CASE WHEN {_BUCKET} < 500 THEN 'val'
+            WHEN {_BUCKET} < 1000 THEN 'test'
+            ELSE 'train' END AS split
+FROM documents
+""",
+)
+def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5 by key hash): no RNG,
+    no shuffle, identical at any parallelism; a document's split never
+    changes as the corpus grows — the leakage-safe split every training
+    pipeline needs (functions/sampling.data_split)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return smp.data_split(docs, "doc_id").select("doc_id", "lang", "split")
+
+
+@_register(
     "q_pack_sequences",
     """
 WITH t AS (

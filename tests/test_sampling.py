@@ -179,3 +179,31 @@ def test_group_sample_exact_k_and_monotone(spark, sf_dir):
     s5 = {r["doc_id"] for r in
           group_sample(docs, "doc_id", "lang", 5).collect()}
     assert s5 <= {r["doc_id"] for r in s10.collect()}
+
+
+def test_data_split_partition_and_growth_stability(spark, sf_dir):
+    """The split partitions the corpus (every row exactly one split),
+    proportions land near 90/5/5, and a row's split never changes when
+    the corpus doubles (bucket depends only on the row's own key)."""
+    from pyspark.sql import functions as F
+
+    from dbsync_spark.functions.sampling import data_split
+    from dbsync_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    split = data_split(docs, "doc_id").select("doc_id", "split").cache()
+    n = docs.count()
+    counts = {r["split"]: r["n"] for r in
+              split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == n  # partition: no row dropped/duped
+    assert counts["train"] > counts.get("val", 0)
+    assert abs(counts.get("val", 0) / n - 0.05) < 0.03
+    assert abs(counts.get("test", 0) / n - 0.05) < 0.03
+
+    grown = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 10_000_000))
+    regrown = {r["doc_id"]: r["split"] for r in
+               data_split(grown, "doc_id").select("doc_id", "split")
+               .where(F.col("doc_id") < 10_000_000).collect()}
+    orig = {r["doc_id"]: r["split"] for r in split.collect()}
+    assert regrown == orig  # growth never reassigns existing rows
