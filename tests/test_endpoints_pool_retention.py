@@ -244,7 +244,6 @@ def test_write_upserts_through_pool_with_faults(spark, tmp_path):
     import sqlite3
 
     from dbsync_spark.sinks.jdbc import write_upserts
-    from dbsync_spark.sinks.pool import get_pool
 
     db = str(tmp_path / "t.db")
     with sqlite3.connect(db) as c:
@@ -271,12 +270,10 @@ def test_write_upserts_through_pool_with_faults(spark, tmp_path):
     with sqlite3.connect(db) as c:
         rows = sorted(c.execute("SELECT k, v FROM s_t").fetchall())
     assert rows == [(1, "b")]  # upserted then deleted key 2
-    # the transient failure was counted by the worker-side pool when the
-    # worker is this process (local mode reuses the driver for py workers
-    # only sometimes) — assert via the flag file instead: it exists, so
-    # the fault path truly fired and was retried
+    # pool counters live in the executor-side python workers (separate
+    # processes in local mode) — assert via the flag file instead: it
+    # exists, so the fault path truly fired and was retried to success
     assert os.path.exists(flag)
-    get_pool  # registry import exercised
 
 
 # -- crash-safe retention ----------------------------------------------------
