@@ -305,3 +305,39 @@ def migrate_snapshot_to_bucketed(spark: SparkSession, path: str,
         bt.merge_changes(spark, changes, key_cols, pinned=True)
     shutil.rmtree(aside, ignore_errors=True)
     return bt
+
+
+def rebucket(spark: SparkSession, path: str, key_cols: list[str],
+             new_n_buckets: int) -> "BucketedTable":
+    """Resize a BucketedTable's bucket count in place (the OPTIMIZE-style
+    maintenance op for when the original n_buckets no longer fits the
+    batch key count — see the sizing rule in the class docstring).
+
+    Builds the re-bucketed copy in a sibling dir from the current
+    snapshot (watermarks/tombstones preserved, same replay guarantees as
+    migrate_snapshot_to_bucketed), then swaps directories with atomic
+    renames: a crash leaves either the old table or the new one complete
+    at `path` (plus a recoverable .old/.rebucketing sibling), never
+    neither."""
+    from dbsync_spark.operators.apply import DELETED_COL, LAST_ID_COL
+
+    old_tbl = BucketedTable(path, key_cols)
+    if old_tbl.n_buckets == new_n_buckets:
+        return old_tbl
+    snap = old_tbl.read(spark)
+    tmp = path.rstrip("/") + ".rebucketing"
+    shutil.rmtree(tmp, ignore_errors=True)
+    new_tbl = BucketedTable(tmp, key_cols, new_n_buckets)
+    if snap is not None:
+        changes = snap.select(
+            F.col(LAST_ID_COL).alias("id"),
+            F.when(F.col(DELETED_COL), "D").otherwise("I").alias("operation"),
+            *[c for c in snap.columns
+              if c not in (LAST_ID_COL, DELETED_COL)])
+        new_tbl.merge_changes(spark, changes, key_cols)
+    aside = path.rstrip("/") + ".old"
+    shutil.rmtree(aside, ignore_errors=True)
+    os.replace(path, aside)
+    os.replace(tmp, path)
+    shutil.rmtree(aside, ignore_errors=True)
+    return BucketedTable(path, key_cols, new_n_buckets)

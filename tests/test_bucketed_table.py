@@ -209,3 +209,32 @@ def test_empty_batch_is_a_no_op(spark, sf_dir, tmp_path):
     fp = bt.state_fingerprint()
     bt.merge_changes(spark, ch.where(F.lit(False)), ["o_orderkey"])
     assert bt.state_fingerprint() == fp
+
+
+def test_rebucket_resizes_preserving_state(spark, sf_dir, tmp_path):
+    """rebucket() rewrites into a new bucket count: live rows identical,
+    meta updated, watermarks preserved (old-batch replay still a no-op),
+    and the physical layout really has the new partition count."""
+    from dbsync_spark.sinks.table import rebucket
+
+    ch = _changes(spark, sf_dir)
+    ins = ch.where(F.col("operation") == "I")
+    rest = ch.where(F.col("operation") != "I")
+    path = str(tmp_path / "t")
+    bt = BucketedTable(path, ["o_orderkey"], n_buckets=4)
+    bt.merge_changes(spark, ins, ["o_orderkey"])
+    bt.merge_changes(spark, rest, ["o_orderkey"])
+    n = live_rows(bt.read(spark)).count()
+
+    bt2 = rebucket(spark, path, ["o_orderkey"], 16)
+    assert bt2.n_buckets == 16
+    assert BucketedTable(path, ["o_orderkey"]).n_buckets == 16  # meta
+    dirs = {d for d in os.listdir(bt2.data_path)
+            if d.startswith("_bucket=")}
+    assert len(dirs) > 4  # physically re-partitioned
+    assert live_rows(bt2.read(spark)).count() == n
+    # watermarks survived the resize: replaying the oldest batch is a no-op
+    bt2.merge_changes(spark, ins, ["o_orderkey"])
+    assert live_rows(bt2.read(spark)).count() == n
+    # same-size resize is a no-op object
+    assert rebucket(spark, path, ["o_orderkey"], 16).n_buckets == 16
