@@ -116,6 +116,54 @@ def quality_score(df: DataFrame, text_col: str = "text",
     )
 
 
+GOPHER_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "that")
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 min_tokens: int = 8, max_tokens: int = 100_000,
+                 min_word_len: float = 2.0, max_word_len: float = 12.0,
+                 max_symbol_ratio: float = 0.1,
+                 min_alpha_frac: float = 0.8,
+                 min_stopwords: int = 1) -> DataFrame:
+    """The Gopher-family document quality rules (Rae et al. 2021, public)
+    as one fused zero-shuffle row map: word-count bounds, mean word
+    length bounds, symbol-to-word ratio (# and ellipsis), fraction of
+    words containing an alphabetic char, and a stopword-presence check.
+    Emits each signal plus the combined `passes_gopher` flag, so callers
+    can both filter and audit WHICH rule rejected a document.
+
+    Thresholds default looser than the paper's (the synthetic fixture has
+    short docs); every signal is exact-integer or a single per-row
+    division, so results are bit-identical to the relational oracle."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    mean_wl = (F.length(F.col(text_col)) - (n - 1)).cast("double") / n
+    n_hash = F.length(F.col(text_col)) - F.length(
+        F.replace(F.col(text_col), F.lit("#"), F.lit("")))
+    n_ellipsis = (F.length(F.col(text_col)) - F.length(
+        F.replace(F.col(text_col), F.lit("..."), F.lit("")))) / 3
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    alpha_frac = n_alpha.cast("double") / n
+    n_stop = F.size(F.filter(
+        toks, lambda t: t.isin(*GOPHER_STOPWORDS)))
+    passes = ((n >= min_tokens) & (n <= max_tokens)
+              & (mean_wl >= min_word_len) & (mean_wl <= max_word_len)
+              & (symbol_ratio <= max_symbol_ratio)
+              & (alpha_frac >= min_alpha_frac)
+              & (n_stop >= min_stopwords))
+    return df.select(
+        id_col,
+        n.alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_stopwords"),
+        passes.alias("passes_gopher"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Positional rolling-hash document fingerprint:

@@ -334,6 +334,44 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_gopher_rules",
+    """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+m AS (
+  SELECT doc_id, n,
+         CAST(length(text) - (n - 1) AS DOUBLE) / n AS mean_word_len,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) / 3
+              AS DOUBLE) / n AS symbol_ratio,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+              AS DOUBLE) / n AS alpha_frac,
+         len(list_filter(toks, x -> x IN
+             ('the','and','of','to','a','in','is','that'))) AS n_stopwords
+  FROM t
+)
+SELECT doc_id, n AS n_tokens, mean_word_len, symbol_ratio, alpha_frac,
+       CAST(n_stopwords AS INT) AS n_stopwords,
+       (n >= 8 AND n <= 100000
+        AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+        AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+        AND n_stopwords >= 1) AS passes_gopher
+FROM m
+""",
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family quality rules as one fused zero-shuffle row map:
+    word-count + mean-word-length bounds, symbol ratio, alphabetic-word
+    fraction, stopword presence, and the combined pass flag — the
+    standard pretraining quality gate with per-rule auditability
+    (functions/text.py::gopher_rules)."""
+    return tx.gopher_rules(read_table(spark, sf_dir, "documents"))
+
+
+@_register(
     "q_fingerprint",
     f"""
 WITH ex AS (

@@ -580,3 +580,23 @@ def test_char_entropy_matches_python_reference(spark, sf_dir):
         assert abs(h - ref) < 1e-12, (row["doc_id"], h, ref)
         assert d == len(c)
         assert -1e-12 <= h <= math.log2(max(len(c), 2)) + 1e-12
+
+
+def test_gopher_rules_planted_documents(spark):
+    """Each rule rejects its planted violator; a normal sentence passes."""
+    from dbsync_spark.functions.text import gopher_rules
+
+    rows = [
+        (1, "the quick brown fox jumps over a lazy dog in the warm sun"),
+        (2, "#### #### #### #### #### #### #### #### #### ####"),  # symbols
+        (3, "one two"),                                     # too short
+        (4, "k9 x3 7b 2c 9z " * 4 + "the of and is to in a that"),  # ok alpha?
+        (5, "12 34 56 78 90 11 22 33 44 55 66 77"),         # no alpha words
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert got[1]["passes_gopher"] is True
+    assert got[2]["passes_gopher"] is False  # symbol wall + no stopwords
+    assert got[2]["symbol_ratio"] > 0.1 and got[2]["n_stopwords"] == 0
+    assert got[3]["passes_gopher"] is False and got[3]["n_tokens"] == 2
+    assert got[5]["passes_gopher"] is False and got[5]["alpha_frac"] == 0.0
