@@ -173,6 +173,59 @@ class DbSyncApp:
             kept = sweep(log, self._status_df(db), cutoff)
             sweep_into_place(kept, log_path)
 
+    # -- scheduled control loops (the reference's interval jobs) --------------
+    def start_control_loops(self) -> None:
+        """Drive the periodic ticks the reference schedules as jobs:
+        retry_pass every sys.retryInterval (ErrorResolver cadence),
+        retention_pass every sys.cleanInterval (CleanWorker), and
+        monitor_pass every sys.maxPollWait (SelfMonitor). One daemon
+        thread, monotonic deadlines, a tick that throws is logged-by-
+        counting and never kills the loop (an alert outage must not stop
+        retries). Idempotent: calling twice reuses the running thread."""
+        if getattr(self, "_loops_thread", None) is not None \
+                and self._loops_thread.is_alive():
+            return
+        self._loops_stop = threading.Event()
+        self.loop_stats = {"retry": 0, "retention": 0, "monitor": 0,
+                           "errors": 0}
+        ticks = [
+            ["retry", self.config.sys.retryInterval / 1000, self.retry_pass],
+            ["retention", self.config.sys.cleanInterval / 1000,
+             self.retention_pass],
+            ["monitor", (self.config.sys.maxPollWait or 60000) / 1000,
+             self.monitor_pass],
+        ]
+
+        def run():
+            import time as _t
+
+            deadlines = {name: _t.monotonic() + period
+                         for name, period, _ in ticks}
+            while not self._loops_stop.is_set():
+                now = _t.monotonic()
+                next_due = min(deadlines.values())
+                if self._loops_stop.wait(timeout=max(0.0, next_due - now)):
+                    return
+                now = _t.monotonic()
+                for name, period, fn in ticks:
+                    if deadlines[name] <= now:
+                        deadlines[name] = now + period
+                        try:
+                            fn()
+                            self.loop_stats[name] += 1
+                        except Exception:  # noqa: BLE001 - a failing tick
+                            self.loop_stats["errors"] += 1  # must not kill
+                            # the scheduler (reference jobs are isolated)
+
+        self._loops_thread = threading.Thread(target=run, daemon=True)
+        self._loops_thread.start()
+
+    def stop_control_loops(self) -> None:
+        if getattr(self, "_loops_thread", None) is not None:
+            self._loops_stop.set()
+            self._loops_thread.join(timeout=5)
+            self._loops_thread = None
+
     # -- SQL surface over the synced state ------------------------------------
     def register_views(self) -> list[str]:
         """Expose every target table's live rows as a temp view named
@@ -252,6 +305,7 @@ class DbSyncApp:
         return self._http.server_address[1]
 
     def stop(self) -> None:
+        self.stop_control_loops()
         if self._http:
             self._http.shutdown()
             self._http = None
@@ -328,6 +382,7 @@ def main(argv: list[str] | None = None) -> int:
     # reloaded the app (app._reloaded), start the rebuilt pipelines and
     # keep serving — the reference's in-process relaunch loop
     # (DbSyncLauncher.scala:31-42)
+    app.start_control_loops()  # retry/retention/monitor interval jobs
     while True:
         app._reloaded = False
         queries = [p.start(available_now=False, processing_time="5 seconds")

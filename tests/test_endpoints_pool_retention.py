@@ -330,3 +330,47 @@ def test_app_retention_still_correct(spark, sf_dir, tmp_path):
     app.retention_pass(now=dt.datetime(2030, 1, 1))
     assert spark.read.parquet(app.pipelines[0].log_path).count() == 0
     app.stop()
+
+
+def test_control_loops_tick_on_intervals(spark, tmp_path):
+    """The scheduled control loops (reference CleanWorker/ErrorResolver/
+    SelfMonitor cadences) tick each pass at its own interval, survive a
+    throwing tick, and stop cleanly."""
+    import time
+
+    from dbsync_spark.changelog import ORDERS_PAYLOAD_SCHEMA
+
+    fast_yaml = APP_YAML.replace(
+        "sys: {maxPollWait: 5000, dataKeepHours: 24}",
+        "sys: {maxPollWait: 200, retryInterval: 100, cleanInterval: 300}")
+    app = DbSyncApp(spark, parse_config(fast_yaml), str(tmp_path / "app"),
+                    {"db1.public.orders": ORDERS_PAYLOAD_SCHEMA})
+    app.bootstrap()
+    calls = {"retry": 0, "boom": 0}
+
+    def fake_retry():
+        calls["retry"] += 1
+        return False
+
+    def boom(*a, **k):
+        calls["boom"] += 1
+        raise RuntimeError("tick failure")
+
+    app.retry_pass = fake_retry
+    app.retention_pass = boom  # a failing tick must not kill the loop
+    try:
+        app.start_control_loops()
+        app.start_control_loops()  # idempotent: no second thread
+        deadline = time.time() + 10
+        while time.time() < deadline and not (
+                calls["retry"] >= 3 and calls["boom"] >= 2
+                and app.loop_stats["monitor"] >= 2):
+            time.sleep(0.05)
+        assert calls["retry"] >= 3          # fastest interval ticked most
+        assert calls["boom"] >= 2           # loop survived the raises
+        assert app.loop_stats["errors"] >= 2
+        assert app.loop_stats["monitor"] >= 2
+    finally:
+        app.stop()
+    t = app._loops_thread
+    assert t is None  # stopped and cleared
