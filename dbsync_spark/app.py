@@ -88,6 +88,7 @@ class DbSyncApp:
                 ack_lock=ack_locks.setdefault(status_path, threading.Lock()),
                 target_layout=self.config.sys.targetLayout,
                 n_buckets=self.config.sys.targetBuckets,
+                max_retry=self.config.sys.maxRetry,
             )
             from dbsync_spark.operators.retention import recover_sweep
 

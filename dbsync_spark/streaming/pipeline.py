@@ -43,7 +43,8 @@ class SyncPipeline:
                  max_files_per_trigger: int | None = None,
                  failure_policy=None, in_batch_retries: int = 1,
                  log_format: str = "parquet", ack_lock=None,
-                 target_layout: str = "bucketed", n_buckets: int = 64):
+                 target_layout: str = "bucketed", n_buckets: int = 64,
+                 max_retry: int | None = None):
         self.spark = spark
         self.rule = rule
         self.payload_schema = payload_schema
@@ -68,6 +69,10 @@ class SyncPipeline:
         # output committer's _temporary dir is per-path, and one job's
         # commit cleanup deletes the other's in-flight files
         self.ack_lock = ack_lock
+        # ErrorResolver retry budget (sys.maxRetry): ERR rows at
+        # retry >= max_retry become dead letters (still visible in the
+        # status table, never retried again); None = unbounded
+        self.max_retry = max_retry
         self.last_query = None  # most recent StreamingQuery from start()
 
     @property
@@ -169,7 +174,14 @@ class SyncPipeline:
             acks = self.spark.read.parquet(self.status_path)
         except Exception:  # noqa: BLE001 - nothing acked yet
             return False
-        bad = current_status(acks).where(F.col("status").isin("ERR", "BLK"))
+        # the reference's resolver predicate (PgOperation.scala:389-405):
+        # BLK always re-polls; ERR only while retry < maxRetry — exhausted
+        # rows are dead letters, visible but never retried again
+        retry_ok = (F.lit(True) if self.max_retry is None
+                    else F.col("retry") < self.max_retry)
+        bad = current_status(acks).where(
+            (F.col("status") == "BLK")
+            | ((F.col("status") == "ERR") & retry_ok))
         if bad.isEmpty():
             return False
         from dbsync_spark.sources.log_source import read_log

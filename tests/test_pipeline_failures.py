@@ -62,3 +62,40 @@ def test_streaming_with_failures_then_retry_converges(spark, sf_dir):
 
     # idempotence: another retry pass with nothing to do
     assert pipe.retry_pass() is False
+
+
+def test_max_retry_dead_letters(spark, sf_dir):
+    """sys.maxRetry semantics (reference PgOperation.scala:389-405): a
+    permanently-failing key is retried while retry < maxRetry, then
+    becomes a dead letter — still ERR in the status table, excluded from
+    further resolver passes (retry_pass returns False), never merged."""
+    workdir = tempfile.mkdtemp(prefix="dbsync_deadletter_")
+    log = build_log_orders(spark, sf_dir).cache()
+    log.repartition(2).write.parquet(f"{workdir}/log")
+    rule = SyncRule("db1", "public", "orders", ("o_orderkey",))
+
+    def always_fail(changes):
+        return F.when(F.col("o_orderkey") % 97 == 0, 10**9).otherwise(0)
+
+    pipe = SyncPipeline(
+        spark, rule, ORDERS_PAYLOAD_SCHEMA,
+        log_path=f"{workdir}/log", target_path=f"{workdir}/target",
+        status_path=f"{workdir}/status", checkpoint_path=f"{workdir}/ckpt",
+        failure_policy=always_fail, in_batch_retries=1, max_retry=2)
+    pipe.run_to_completion()
+
+    ticks = 0
+    while pipe.retry_pass():
+        ticks += 1
+        assert ticks <= 6, "dead-letter budget not enforced"
+    assert ticks >= 1  # at least one resolver pass ran
+
+    status = current_status(spark.read.parquet(f"{workdir}/status"))
+    dead = status.where(F.col("status") == "ERR")
+    assert not dead.isEmpty()                       # visible dead letters
+    assert dead.agg(F.min("retry")).first()[0] >= 2  # budget exhausted
+    # the failing keys never reached the target
+    assert live_rows(pipe.target.read(spark)).where(
+        F.col("o_orderkey") % 97 == 0).count() == 0
+    # and a fresh pass confirms nothing retryable remains
+    assert pipe.retry_pass() is False
