@@ -175,20 +175,25 @@ class DbSyncApp:
             sweep_into_place(kept, log_path)
 
     # -- scheduled control loops (the reference's interval jobs) --------------
-    def start_control_loops(self) -> None:
+    def start_control_loops(self, reconcile_fn=None) -> None:
         """Drive the periodic ticks the reference schedules as jobs:
         retry_pass every sys.retryInterval (ErrorResolver cadence),
-        retention_pass every sys.cleanInterval (CleanWorker), and
-        monitor_pass every sys.maxPollWait (SelfMonitor). One daemon
-        thread, monotonic deadlines, a tick that throws is logged-by-
-        counting and never kills the loop (an alert outage must not stop
-        retries). Idempotent: calling twice reuses the running thread."""
+        retention_pass every sys.cleanInterval (CleanWorker),
+        monitor_pass every sys.maxPollWait (SelfMonitor), and — when a
+        live-DB capture executor is injected as `reconcile_fn` — trigger
+        reconciliation every sys.syncTriggerInterval (job/SyncTrigger:
+        the DDL plans come from sources/capture.reconcile_triggers; this
+        engine has no live DB, so execution is caller-provided). One
+        daemon thread, monotonic deadlines, a tick that throws is
+        logged-by-counting and never kills the loop (an alert outage
+        must not stop retries). Idempotent: calling twice reuses the
+        running thread."""
         if getattr(self, "_loops_thread", None) is not None \
                 and self._loops_thread.is_alive():
             return
         self._loops_stop = threading.Event()
         self.loop_stats = {"retry": 0, "retention": 0, "monitor": 0,
-                           "errors": 0}
+                           "reconcile": 0, "errors": 0}
         ticks = [
             ["retry", self.config.sys.retryInterval / 1000, self.retry_pass],
             ["retention", self.config.sys.cleanInterval / 1000,
@@ -196,6 +201,10 @@ class DbSyncApp:
             ["monitor", (self.config.sys.maxPollWait or 60000) / 1000,
              self.monitor_pass],
         ]
+        if reconcile_fn is not None:
+            ticks.append(["reconcile",
+                          self.config.sys.syncTriggerInterval / 1000,
+                          reconcile_fn])
 
         def run():
             import time as _t

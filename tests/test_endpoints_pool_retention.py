@@ -342,7 +342,8 @@ def test_control_loops_tick_on_intervals(spark, tmp_path):
 
     fast_yaml = APP_YAML.replace(
         "sys: {maxPollWait: 5000, dataKeepHours: 24}",
-        "sys: {maxPollWait: 200, retryInterval: 100, cleanInterval: 300}")
+        "sys: {maxPollWait: 200, retryInterval: 100, cleanInterval: 300, "
+        "syncTriggerInterval: 150}")
     app = DbSyncApp(spark, parse_config(fast_yaml), str(tmp_path / "app"),
                     {"db1.public.orders": ORDERS_PAYLOAD_SCHEMA})
     app.bootstrap()
@@ -358,8 +359,9 @@ def test_control_loops_tick_on_intervals(spark, tmp_path):
 
     app.retry_pass = fake_retry
     app.retention_pass = boom  # a failing tick must not kill the loop
+    reconciles = []
     try:
-        app.start_control_loops()
+        app.start_control_loops(reconcile_fn=lambda: reconciles.append(1))
         app.start_control_loops()  # idempotent: no second thread
         deadline = time.time() + 10
         while time.time() < deadline and not (
@@ -370,6 +372,10 @@ def test_control_loops_tick_on_intervals(spark, tmp_path):
         assert calls["boom"] >= 2           # loop survived the raises
         assert app.loop_stats["errors"] >= 2
         assert app.loop_stats["monitor"] >= 2
+        deadline = time.time() + 5
+        while time.time() < deadline and len(reconciles) < 2:
+            time.sleep(0.05)
+        assert len(reconciles) >= 2  # SyncTrigger cadence ticked
     finally:
         app.stop()
     t = app._loops_thread
