@@ -209,6 +209,8 @@ class SyncPipeline:
                                  self.max_files_per_trigger)
         writer = (
             stream.writeStream
+            .queryName(self.name)  # progress/heartbeat entries carry the
+            # pipeline's stable name instead of a per-run UUID
             .foreachBatch(self.process_batch)
             .option("checkpointLocation", self.checkpoint_path)
         )
