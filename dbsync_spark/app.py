@@ -154,11 +154,22 @@ class DbSyncApp:
         sys.retryInterval in the reference)."""
         return any([p.retry_pass() for p in self.pipelines])
 
-    def retention_pass(self, now=None) -> None:
-        """O8 sweep of each database's change log — ONE staged write per
-        log + directory swap, crash-recovered by recover_sweep (see
-        operators/retention.py)."""
-        from dbsync_spark.operators.retention import (recover_sweep,
+    def retention_pass(self, now=None, mode: str = "segment") -> None:
+        """O8 sweep of each database's change log.
+
+        mode="segment" (default, streaming-safe): unlink only FILES whose
+        every row is OK-acked and expired — no rewrite, so a live file-
+        stream source neither re-ingests kept rows nor hits a vanishing
+        file it was about to read (unlinked files are by construction
+        already processed). File-granular, converges as segments age.
+
+        mode="rewrite" (maintenance windows / drained pipelines):
+        row-exact sweep — ONE staged write + directory swap, crash-
+        recovered by recover_sweep (operators/retention.py). Rewriting
+        produces NEW file names, which a RUNNING stream would treat as
+        fresh input; never use it under live queries."""
+        from dbsync_spark.operators.retention import (expired_segments,
+                                                      recover_sweep,
                                                       sweep_into_place)
 
         cutoff_expr = F.lit(now) if now is not None else F.current_timestamp()
@@ -171,8 +182,15 @@ class DbSyncApp:
                 log = self.spark.read.schema(SYNC_DATA_SCHEMA).parquet(log_path)
             except Exception:  # noqa: BLE001
                 continue
-            kept = sweep(log, self._status_df(db), cutoff)
-            sweep_into_place(kept, log_path)
+            if mode == "segment":
+                for f in expired_segments(log, self._status_df(db), cutoff):
+                    try:
+                        os.remove(f)
+                    except FileNotFoundError:
+                        pass  # another tick won the race; outcome identical
+            else:
+                kept = sweep(log, self._status_df(db), cutoff)
+                sweep_into_place(kept, log_path)
 
     # -- scheduled control loops (the reference's interval jobs) --------------
     def start_control_loops(self, reconcile_fn=None) -> None:
@@ -206,15 +224,21 @@ class DbSyncApp:
                           self.config.sys.syncTriggerInterval / 1000,
                           reconcile_fn])
 
+        # the thread binds ITS OWN stop event: if a long tick outlasts
+        # stop's join timeout and a later start creates a fresh event,
+        # the old thread must still see its (set) event and exit — not
+        # re-read self._loops_stop and come back as a duplicate ticker
+        stop_evt = self._loops_stop
+
         def run():
             import time as _t
 
             deadlines = {name: _t.monotonic() + period
                          for name, period, _ in ticks}
-            while not self._loops_stop.is_set():
+            while not stop_evt.is_set():
                 now = _t.monotonic()
                 next_due = min(deadlines.values())
-                if self._loops_stop.wait(timeout=max(0.0, next_due - now)):
+                if stop_evt.wait(timeout=max(0.0, next_due - now)):
                     return
                 now = _t.monotonic()
                 for name, period, fn in ticks:
@@ -270,7 +294,11 @@ class DbSyncApp:
             "running": any(getattr(p, "last_query", None) is not None
                            and p.last_query.isActive for p in self.pipelines),
             "restartReason": self.restart_reason,
-            "lastProgress": dict(sorted(self.registry.progress.items())),
+            # copy first: the listener-bus thread inserts keys
+            # concurrently, and sorted(...items()) over the live dict
+            # can raise mid-iteration (dict(d) is a GIL-atomic C copy)
+            "lastProgress": dict(sorted(dict(self.registry.progress)
+                                        .items())),
         })
         return payloads
 

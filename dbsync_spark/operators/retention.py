@@ -36,6 +36,35 @@ def sweep(log: DataFrame, status: DataFrame, cutoff: Column,
     ).drop("_ok")
 
 
+def expired_segments(log: DataFrame, status: DataFrame, cutoff: Column,
+                     id_col: str = "id") -> list[str]:
+    """Log FILES every row of which is sweep-eligible (OK-acked and past
+    the cutoff) — the Kafka-style segment retention that is safe under a
+    LIVE file-stream source: unlinking an already-processed file neither
+    creates new input (no re-ingestion) nor touches anything a future
+    micro-batch will list. Row-exact sweeping (`sweep` + sweep_into_place)
+    rewrites kept rows into NEW files, which a running stream would
+    re-ingest wholesale — use that only in maintenance windows.
+
+    Retention becomes file-granular (a file with one unexpired row is
+    kept whole), converging as segments age out — the standard log-
+    retention contract. Returns local filesystem paths."""
+    from urllib.parse import unquote, urlparse
+
+    ok = (status.where(F.col("status") == "OK")
+          .select(F.col("dataId").alias(id_col), F.lit(True).alias("_ok")))
+    tagged = (log.withColumn("_f", F.input_file_name())
+              .join(ok, on=id_col, how="left"))
+    sweepable = (F.coalesce(F.col("_ok"), F.lit(False))
+                 & (F.col("createTime") < cutoff)).cast("int")
+    stats = (tagged.groupBy("_f")
+             .agg(F.count("*").alias("_n"),
+                  F.sum(sweepable).alias("_n_sweep")))
+    uris = [r["_f"] for r in
+            stats.where(F.col("_n") == F.col("_n_sweep")).collect()]
+    return [unquote(urlparse(u).path) for u in uris]
+
+
 SWEEP_SUFFIX = ".sweeping"
 
 

@@ -35,6 +35,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _recover_table_dir(path: str) -> None:
+    """Close rebucket()'s crash windows before a table dir is opened:
+    if `path` is missing, a complete `.rebucketing` sibling (built fully
+    before the old dir moves) is promoted, else the `.old` rename-aside
+    is restored; if `path` exists, stale siblings are garbage from a
+    finished or abandoned resize and are dropped. Without this, the
+    makedirs in the constructor would mask the crash state and silently
+    open an EMPTY table."""
+    path = path.rstrip("/")
+    tmp, aside = path + ".rebucketing", path + ".old"
+    if not os.path.isdir(path):
+        if os.path.isdir(tmp):
+            os.replace(tmp, path)
+        elif os.path.isdir(aside):
+            os.replace(aside, path)
+    else:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(aside, ignore_errors=True)
+
+
 class ParquetTable:
     def __init__(self, path: str):
         self.path = path
@@ -101,6 +121,7 @@ class BucketedTable:
     def __init__(self, path: str, key_cols: list[str], n_buckets: int = 64):
         self.path = path
         self.key_cols = list(key_cols)
+        _recover_table_dir(path)
         os.makedirs(path, exist_ok=True)
         meta_path = os.path.join(path, "_META.json")
         if (not os.path.exists(meta_path)
@@ -268,6 +289,20 @@ class BucketedTable:
         return tuple(sorted(out))
 
 
+def snapshot_as_changes(snap: DataFrame) -> DataFrame:
+    """Re-encode a merge_snapshot table as the change batch that would
+    reproduce it exactly: id = the row's _last_id watermark, op = D for
+    tombstones — merging it into an empty table preserves every
+    watermark and tombstone, so later replays of OLD batches remain
+    no-ops. Shared by layout migration and rebucketing."""
+    from dbsync_spark.operators.apply import DELETED_COL, LAST_ID_COL
+
+    return snap.select(
+        F.col(LAST_ID_COL).alias("id"),
+        F.when(F.col(DELETED_COL), "D").otherwise("I").alias("operation"),
+        *[c for c in snap.columns if c not in (LAST_ID_COL, DELETED_COL)])
+
+
 def migrate_snapshot_to_bucketed(spark: SparkSession, path: str,
                                  key_cols: list[str],
                                  n_buckets: int = 64) -> "BucketedTable":
@@ -275,36 +310,25 @@ def migrate_snapshot_to_bucketed(spark: SparkSession, path: str,
     (ParquetTable) as a BucketedTable AT THE SAME PATH, preserving the
     snapshot's `_last_id` watermarks and tombstones so the streaming
     checkpoint resumes exactly where it left off (an older replayed
-    change still cannot clobber a migrated row). The snapshot dirs are
-    renamed aside first and dropped only after the bucketed copy is
-    fully written — a crash mid-migration leaves either a readable
-    snapshot or a complete bucketed table, never neither."""
-    from dbsync_spark.operators.apply import DELETED_COL, LAST_ID_COL
-
+    change still cannot clobber a migrated row). The bucketed copy is
+    built fully in a `.rebucketing` sibling while the snapshot stays
+    readable, then swapped in with the same atomic renames as
+    rebucket() — every crash window is covered by _recover_table_dir
+    (either the snapshot or the complete bucketed table is at — or restorable
+    to — `path`, never neither)."""
     old = ParquetTable(path)
     snap = old.read(spark)
-    aside = path.rstrip("/") + ".migrating"
-    shutil.rmtree(aside, ignore_errors=True)
-    os.makedirs(aside)
+    tmp = path.rstrip("/") + ".rebucketing"
+    shutil.rmtree(tmp, ignore_errors=True)
+    bt_tmp = BucketedTable(tmp, key_cols, n_buckets)
     if snap is not None:
-        snap = snap.localCheckpoint()  # pin before the dirs move
-    for entry in list(os.listdir(path)):
-        if entry.startswith("v") or entry == "_CURRENT":
-            os.replace(os.path.join(path, entry),
-                       os.path.join(aside, entry))
-    bt = BucketedTable(path, key_cols, n_buckets)
-    if snap is not None:
-        # replay the snapshot as changes carrying its own watermarks:
-        # id = _last_id, op = D for tombstones (merge_snapshot keeps
-        # them as tombstones with the same _last_id)
-        changes = snap.select(
-            F.col(LAST_ID_COL).alias("id"),
-            F.when(F.col(DELETED_COL), "D").otherwise("I").alias("operation"),
-            *[c for c in snap.columns
-              if c not in (LAST_ID_COL, DELETED_COL)])
-        bt.merge_changes(spark, changes, key_cols, pinned=True)
+        bt_tmp.merge_changes(spark, snapshot_as_changes(snap), key_cols)
+    aside = path.rstrip("/") + ".old"
     shutil.rmtree(aside, ignore_errors=True)
-    return bt
+    os.replace(path, aside)
+    os.replace(tmp, path)
+    shutil.rmtree(aside, ignore_errors=True)
+    return BucketedTable(path, key_cols, n_buckets)
 
 
 def rebucket(spark: SparkSession, path: str, key_cols: list[str],
@@ -319,8 +343,6 @@ def rebucket(spark: SparkSession, path: str, key_cols: list[str],
     renames: a crash leaves either the old table or the new one complete
     at `path` (plus a recoverable .old/.rebucketing sibling), never
     neither."""
-    from dbsync_spark.operators.apply import DELETED_COL, LAST_ID_COL
-
     old_tbl = BucketedTable(path, key_cols)
     if old_tbl.n_buckets == new_n_buckets:
         return old_tbl
@@ -329,12 +351,7 @@ def rebucket(spark: SparkSession, path: str, key_cols: list[str],
     shutil.rmtree(tmp, ignore_errors=True)
     new_tbl = BucketedTable(tmp, key_cols, new_n_buckets)
     if snap is not None:
-        changes = snap.select(
-            F.col(LAST_ID_COL).alias("id"),
-            F.when(F.col(DELETED_COL), "D").otherwise("I").alias("operation"),
-            *[c for c in snap.columns
-              if c not in (LAST_ID_COL, DELETED_COL)])
-        new_tbl.merge_changes(spark, changes, key_cols)
+        new_tbl.merge_changes(spark, snapshot_as_changes(snap), key_cols)
     aside = path.rstrip("/") + ".old"
     shutil.rmtree(aside, ignore_errors=True)
     os.replace(path, aside)

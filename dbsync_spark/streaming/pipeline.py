@@ -73,16 +73,26 @@ class SyncPipeline:
         # retry >= max_retry become dead letters (still visible in the
         # status table, never retried again); None = unbounded
         self.max_retry = max_retry
+        # one writer at a time per target: the scheduled retry tick
+        # (driver control-loop thread) and the streaming foreachBatch
+        # callback both MERGE into the same table — unserialized, their
+        # staged writes would race each other's directory swaps
+        import threading as _threading
+
+        self._merge_lock = _threading.Lock()
         self.last_query = None  # most recent StreamingQuery from start()
 
     @property
     def name(self) -> str:
-        """Stable display name for endpoints/monitoring payloads."""
+        """Stable display name for endpoints/monitoring payloads AND the
+        Spark queryName — must be unique per pipeline, so it includes the
+        target db: a 'targetDb: t1,t2' fanout rule builds one pipeline
+        per target and Spark refuses two active queries with one name."""
         r = self.rule
         tgt_schema = r.target_schema or r.source_schema
         tgt_table = r.target_table or r.source_table
         return (f"{r.source_db}.{r.source_schema}.{r.source_table}"
-                f"->{tgt_schema}.{tgt_table}")
+                f"->{r.target_db or 'target'}.{tgt_schema}.{tgt_table}")
 
     def _key(self):
         return F.concat_ws(":", *[F.col(k).cast("string")
@@ -114,6 +124,10 @@ class SyncPipeline:
         same-key followers — strict per-key order under failure (O4-O6).
         An optional `_tries0` column seeds per-row retry counters (set by
         retry_pass from the persisted status)."""
+        with self._merge_lock:
+            self._apply_changes_locked(changes)
+
+    def _apply_changes_locked(self, changes: DataFrame) -> None:
         changes = changes.localCheckpoint()
         has_tries = "_tries0" in changes.columns
         payload = changes.drop("_tries0") if has_tries else changes

@@ -238,3 +238,36 @@ def test_rebucket_resizes_preserving_state(spark, sf_dir, tmp_path):
     assert live_rows(bt2.read(spark)).count() == n
     # same-size resize is a no-op object
     assert rebucket(spark, path, ["o_orderkey"], 16).n_buckets == 16
+
+
+def test_rebucket_crash_windows_recovered(spark, sf_dir, tmp_path):
+    """Every rebucket/migration crash window leaves a recoverable state:
+    (a) path renamed aside, new copy not yet promoted -> next open
+    promotes the complete .rebucketing copy; (b) only .old remains ->
+    restored; (c) stale siblings next to a live table -> dropped."""
+    import shutil
+
+    ch = _changes(spark, sf_dir).limit(200)
+    path = str(tmp_path / "t")
+    bt = BucketedTable(path, ["o_orderkey"], n_buckets=4)
+    bt.merge_changes(spark, ch, ["o_orderkey"])
+    n = live_rows(bt.read(spark)).count()
+
+    # (a) crash between the two renames: path gone, .rebucketing complete
+    shutil.copytree(path, path + ".rebucketing")
+    shutil.move(path, path + ".old")
+    bt2 = BucketedTable(path, ["o_orderkey"])
+    assert live_rows(bt2.read(spark)).count() == n
+    assert not os.path.isdir(path + ".rebucketing")
+
+    # (b) only .old remains
+    shutil.move(path, path + ".old")
+    bt3 = BucketedTable(path, ["o_orderkey"])
+    assert live_rows(bt3.read(spark)).count() == n
+
+    # (c) stale siblings beside a live table are dropped
+    os.makedirs(path + ".rebucketing")
+    os.makedirs(path + ".old")
+    BucketedTable(path, ["o_orderkey"])
+    assert not os.path.isdir(path + ".rebucketing")
+    assert not os.path.isdir(path + ".old")

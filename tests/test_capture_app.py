@@ -117,7 +117,9 @@ def test_app_end_to_end(spark, sf_dir, tmp_path):
     # retention with a future "now": all OK rows swept
     import datetime as dt
     app.retention_pass(now=dt.datetime(2030, 1, 1))
-    remaining = spark.read.parquet(app.pipelines[0].log_path)
+    from dbsync_spark.schemas import SYNC_DATA_SCHEMA
+    remaining = spark.read.schema(SYNC_DATA_SCHEMA).parquet(
+        app.pipelines[0].log_path)  # segment sweep can empty the dir
     assert remaining.count() == 0
 
     port = app.serve_endpoints()

@@ -328,7 +328,12 @@ def test_app_retention_still_correct(spark, sf_dir, tmp_path):
     log.write.mode("append").parquet(app.pipelines[0].log_path)
     app.run_all_available()
     app.retention_pass(now=dt.datetime(2030, 1, 1))
-    assert spark.read.parquet(app.pipelines[0].log_path).count() == 0
+    from dbsync_spark.schemas import SYNC_DATA_SCHEMA
+
+    assert spark.read.schema(SYNC_DATA_SCHEMA).parquet(
+        app.pipelines[0].log_path).count() == 0
+    # the rewrite mode (maintenance windows) sweeps row-exactly too
+    app.retention_pass(now=dt.datetime(2030, 1, 1), mode="rewrite")
     app.stop()
 
 
@@ -380,3 +385,51 @@ def test_control_loops_tick_on_intervals(spark, tmp_path):
         app.stop()
     t = app._loops_thread
     assert t is None  # stopped and cleared
+
+
+def test_segment_retention_streaming_safe(spark, sf_dir, tmp_path):
+    """Default (segment) retention under a live stream: only fully
+    expired+acked FILES are unlinked, kept rows are never rewritten, and
+    a subsequent drain re-ingests NOTHING (no new files appeared)."""
+    import datetime as dt
+
+    from dbsync_spark.changelog import ORDERS_PAYLOAD_SCHEMA, build_log_orders
+
+    cfg = parse_config(APP_YAML)
+    app = DbSyncApp(spark, cfg, str(tmp_path / "app"),
+                    {"db1.public.orders": ORDERS_PAYLOAD_SCHEMA})
+    app.bootstrap()
+    pipe = app.pipelines[0]
+    log = build_log_orders(spark, sf_dir).cache()
+    lo, hi = log.agg(F.min("createTime"), F.max("createTime")).first()
+    cutpoint = lo + (hi - lo) / 2
+    old_part = log.where(F.col("createTime") < F.lit(cutpoint))
+    new_part = log.where(F.col("createTime") >= F.lit(cutpoint))
+    # two segment files with disjoint time ranges
+    old_part.coalesce(1).write.mode("append").parquet(pipe.log_path)
+    new_part.coalesce(1).write.mode("append").parquet(pipe.log_path)
+    app.run_all_available()  # everything acked OK
+
+    files_before = {f for f in os.listdir(pipe.log_path)
+                    if f.endswith(".parquet")}
+    fp_before = pipe.target.state_fingerprint()
+    # cutoff between the segments (+ keep window): old file all-expired
+    app.retention_pass(
+        now=cutpoint + dt.timedelta(hours=cfg.sys.dataKeepHours))
+    files_after = {f for f in os.listdir(pipe.log_path)
+                   if f.endswith(".parquet")}
+    assert files_after < files_before            # something was unlinked
+    remaining = spark.read.parquet(pipe.log_path)
+    assert remaining.count() == new_part.count()  # kept rows untouched
+    # no rewrite -> the surviving file is the SAME file
+    assert files_after <= files_before
+
+    # a post-sweep drain must be a no-op: no new files, nothing re-acked
+    acks_before = spark.read.parquet(
+        os.path.join(str(tmp_path / "app"), "status", "db1")).count()
+    app.run_all_available()
+    acks_after = spark.read.parquet(
+        os.path.join(str(tmp_path / "app"), "status", "db1")).count()
+    assert acks_after == acks_before
+    assert pipe.target.state_fingerprint() == fp_before
+    app.stop()
