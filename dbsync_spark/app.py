@@ -73,6 +73,9 @@ class DbSyncApp:
         import threading
 
         ack_locks: dict[str, threading.Lock] = {}
+        # shared with status_compaction_pass: compaction swaps the status
+        # dir and must hold the same lock the appenders do
+        self._ack_locks = ack_locks
         for rule in self.config.syncs:
             key = f"{rule.source_db}.{rule.source_schema}.{rule.source_table}"
             tgt_key = f"{rule.target_db}.{'.'.join(rule.resolved_target())}"
@@ -91,8 +94,10 @@ class DbSyncApp:
                 max_retry=self.config.sys.maxRetry,
             )
             from dbsync_spark.operators.retention import recover_sweep
+            from dbsync_spark.sinks.layout import recover_compaction
 
             recover_sweep(pipe.log_path)  # crashed retention sweep, if any
+            recover_compaction(status_path)  # crashed status compaction
             os.makedirs(pipe.log_path, exist_ok=True)
             self.pipelines.append(pipe)
             self.registry.register(f"pipeline:{key}->{tgt_key}",
@@ -191,6 +196,45 @@ class DbSyncApp:
             else:
                 kept = sweep(log, self._status_df(db), cutoff)
                 sweep_into_place(kept, log_path)
+        self.status_compaction_pass()
+
+    def status_compaction_pass(self, max_files: int | None = None,
+                               target_files: int = 8) -> int:
+        """Small-files maintenance for the ack/status tables: every
+        micro-batch (and every retry/dead-letter tick) APPENDS one small
+        parquet file per status dir, so a long-lived deployment
+        accumulates thousands of tiny files and every status read
+        (current_status, monitor counts, resolver scans) pays the full
+        listing. When a dir exceeds `max_files` (sys.statusCompactFiles;
+        0 disables), rewrite it to `target_files` under that dir's
+        ack_lock — the same lock the streaming appenders take, so no ack
+        written concurrently can be dropped by the swap. Row-set
+        identical before/after (pure file-count compaction; history is
+        retention_pass's job, not this one's). Runs on the retention tick
+        — the reference likewise VACUUMs its status tables after the
+        clean sweep (PgOperation.scala:378-385). Returns dirs compacted."""
+        from dbsync_spark.sinks.layout import compact
+
+        threshold = (self.config.sys.statusCompactFiles
+                     if max_files is None else max_files)
+        if threshold <= 0:
+            return 0
+        done = 0
+        for db in {r.source_db for r in self.config.syncs}:
+            path = os.path.join(self.base_dir, "status", db)
+            try:
+                n = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+            except FileNotFoundError:
+                continue
+            if n <= threshold:
+                continue
+            lock = getattr(self, "_ack_locks", {}).get(
+                path) or threading.Lock()
+            with lock:
+                compact(self.spark, path, target_files=target_files,
+                        schema=SYNC_STATUS_SCHEMA)
+            done += 1
+        return done
 
     # -- scheduled control loops (the reference's interval jobs) --------------
     def start_control_loops(self, reconcile_fn=None) -> None:

@@ -40,6 +40,9 @@ class SysConfig:
     # count (size well above the expected per-batch key count)
     targetLayout: str = "bucketed"
     targetBuckets: int = 64
+    # status-dir small-files compaction threshold (files); 0 disables.
+    # Swept on the retention tick — see SyncApp.status_compaction_pass.
+    statusCompactFiles: int = 64
 
 
 @dataclass

@@ -585,3 +585,29 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbsync_spark.functions.text import char_entropy
 
     return char_entropy(read_table(spark, sf_dir, "documents"))
+
+
+@_register(
+    "q_shard_manifest",
+    f"""
+SELECT CAST({_H15.format(s='CAST(doc_id AS VARCHAR)')} % 16 AS INTEGER) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(doc_id) AS min_key,
+       MAX(doc_id) AS max_key,
+       CAST(SUM(n_chars) AS BIGINT) AS total_size
+FROM documents
+GROUP BY 1
+""",
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard manifest: every document is assigned
+    shard = h15(doc_id) % 16 (the engine-portable hash the sampling
+    family uses), and the manifest reports per-shard row count, key
+    range, and total characters — the dataset card a training job
+    validates before reading. The assignment is exactly what
+    functions/export.py::export_shards writes as the directory layout;
+    verifying the manifest verifies the physical sharding rule."""
+    from dbsync_spark.functions.export import shard_manifest
+
+    docs = read_table(spark, sf_dir, "documents")
+    return shard_manifest(docs, "doc_id", n_shards=16, size_col="n_chars")

@@ -61,22 +61,55 @@ def write_range_clustered(df: DataFrame, path: str, order_col: str,
      .write.mode("overwrite").parquet(path))
 
 
+def recover_compaction(path: str) -> None:
+    """Close compact()'s crash windows before a dir is opened: if `path`
+    is missing, restore the `.old` rename-aside (the `.compacting` copy
+    may be half-written, so the ASIDE — complete by construction — wins);
+    if `path` exists, stale siblings are garbage from a finished or
+    abandoned compaction and are dropped."""
+    import os
+    import shutil
+
+    path = path.rstrip("/")
+    tmp, aside = path + ".compacting", path + ".old"
+    if not os.path.isdir(path):
+        if os.path.isdir(aside):
+            os.replace(aside, path)
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(aside, ignore_errors=True)
+
+
 def compact(spark: SparkSession, path: str, target_files: int = 4,
             schema=None) -> int:
     """OPTIMIZE/VACUUM equivalent for append-only parquet dirs (the
     reference runs VACUUM ANALYZE / OPTIMIZE TABLE after its retention
     sweep, PgOperation.scala:378-385): rewrite the accumulated small files
-    into `target_files` and swap. Returns the new file count."""
+    into `target_files` and swap. Returns the new file count.
+
+    Crash-safe via rename-aside (never rmtree the only copy): the live
+    dir is renamed to `.old` only after the compacted copy is fully
+    written, then the copy is renamed in and `.old` dropped last. A kill
+    at any point leaves the data recoverable by `recover_compaction`
+    (either the live dir exists, or `.old` holds the pre-compaction
+    original). Callers that share the dir with concurrent APPENDERS must
+    serialize with them (e.g. the ack_lock in SyncApp) — an append
+    landing between the read and the swap would be dropped by the swap."""
     import glob
     import os
     import shutil
 
+    recover_compaction(path)
     reader = spark.read.schema(schema) if schema else spark.read
     df = reader.parquet(path)
     tmp = path.rstrip("/") + ".compacting"
+    shutil.rmtree(tmp, ignore_errors=True)
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    aside = path.rstrip("/") + ".old"
+    os.replace(path, aside)
     os.replace(tmp, path)
+    shutil.rmtree(aside, ignore_errors=True)
     return len(glob.glob(os.path.join(path, "*.parquet")))
 
 
