@@ -57,6 +57,82 @@ def export_shards(df: DataFrame, path: str, key_col: str, n_shards: int,
      .write.mode("overwrite").partitionBy("shard").parquet(path))
 
 
+def update_shards(spark, path: str, new_df: DataFrame, key_col: str,
+                  n_shards: int, order_col: str | None = None) -> list[int]:
+    """Incremental corpus refresh: upsert `new_df` into an existing
+    export_shards layout, rewriting ONLY the shard directories the new
+    keys hash into. Same-key rows are replaced by the new version; other
+    shards are never opened — per-refresh cost is O(|new| + |touched
+    shards|), independent of corpus size (the export-side analogue of
+    BucketedTable.merge_changes, sinks/table.py).
+
+    Crash-safe via the same per-directory rename-aside swap: a touched
+    shard is always present as either its live dir or its `.old` aside;
+    re-running the refresh converges (upsert is idempotent). Returns the
+    touched shard ids."""
+    import os
+    import shutil
+
+    assigned = shard_assign(new_df, key_col, n_shards).localCheckpoint()
+    touched = sorted(r[0] for r in
+                     assigned.select("shard").distinct().collect())
+    if not touched:
+        return []
+    order = order_col or key_col
+    try:
+        existing = (spark.read.parquet(path)
+                    .where(F.col("shard").isin(touched))
+                    # new version wins on key collision
+                    .join(assigned.select(key_col), on=key_col,
+                          how="left_anti"))
+        merged = existing.unionByName(assigned)
+    except Exception as e:  # noqa: BLE001 - first refresh of an empty dir
+        from pyspark.errors import AnalysisException
+
+        if not (isinstance(e, AnalysisException) and e.getCondition() in
+                ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")):
+            raise
+        merged = assigned
+    staging = path.rstrip("/") + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    (merged.repartition(len(touched), F.col("shard"))
+     .sortWithinPartitions("shard", order)
+     .write.mode("overwrite").partitionBy("shard").parquet(staging))
+    os.makedirs(path, exist_ok=True)
+    for s in touched:
+        src = os.path.join(staging, f"shard={s}")
+        dst = os.path.join(path, f"shard={s}")
+        if not os.path.isdir(src):
+            continue
+        old = dst + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(dst):
+            os.replace(dst, old)
+        os.replace(src, dst)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    return touched
+
+
+def recover_shards(path: str) -> None:
+    """Close update_shards' crash window: restore any `shard=K.old`
+    whose live dir is missing; drop asides whose swap completed."""
+    import os
+    import shutil
+
+    if not os.path.isdir(path):
+        return
+    for entry in os.listdir(path):
+        if not entry.endswith(".old"):
+            continue
+        old = os.path.join(path, entry)
+        live = os.path.join(path, entry[:-len(".old")])
+        if os.path.isdir(live):
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.replace(old, live)
+
+
 def shard_manifest(df: DataFrame, key_col: str, n_shards: int,
                    size_col: str | None = None) -> DataFrame:
     """Per-shard manifest (the dataset card a training job validates

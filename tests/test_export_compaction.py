@@ -190,3 +190,64 @@ def test_export_shards_layout_roundtrip_determinism(spark, sf_dir, tmp_path):
                spark.read.parquet(out2).select("doc_id", "shard").collect())
     assert a == b
     shutil.rmtree(out2)
+
+
+def test_update_shards_touches_only_affected_dirs(spark, sf_dir, tmp_path):
+    """Incremental corpus refresh: new/updated docs rewrite only the
+    shards they hash into; untouched shard files are bit-identical
+    (same inode set untouched), and the result equals a full re-export."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = str(tmp_path / "inc_shards")
+    export_shards(docs, out, "doc_id", n_shards=8, order_col="doc_id")
+
+    # 3 updated docs + 2 brand-new ones
+    from dbsync_spark.functions.export import recover_shards, update_shards
+    upd = (docs.limit(3)
+           .withColumn("text", F.concat(F.col("text"), F.lit(" v2"))))
+    new = (docs.limit(2)
+           .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000)))
+    batch = upd.unionByName(new)
+    expect_touched = sorted(
+        r["shard"] for r in
+        shard_assign(batch, "doc_id", 8).select("shard").distinct().collect())
+
+    stat_before = {
+        f: os.stat(os.path.join(out, f"shard={s}", f)).st_mtime_ns
+        for s in range(8) if s not in expect_touched
+        for f in os.listdir(os.path.join(out, f"shard={s}"))
+        if f.endswith(".parquet")
+    }
+    touched = update_shards(spark, out, batch, "doc_id", 8,
+                            order_col="doc_id")
+    assert touched == expect_touched
+    stat_after = {
+        f: os.stat(os.path.join(out, f"shard={s}", f)).st_mtime_ns
+        for s in range(8) if s not in expect_touched
+        for f in os.listdir(os.path.join(out, f"shard={s}"))
+        if f.endswith(".parquet")
+    }
+    assert stat_before == stat_after  # untouched shards never rewritten
+
+    # content == full re-export of the logically-updated corpus
+    full = docs.join(batch.select("doc_id"), "doc_id", "left_anti") \
+        .unionByName(batch)
+    back = spark.read.parquet(out)
+    assert back.count() == full.count()
+    got = sorted((r["doc_id"], r["text"]) for r in
+                 back.select("doc_id", "text").collect())
+    want = sorted((r["doc_id"], r["text"]) for r in
+                  full.select("doc_id", "text").collect())
+    assert got == want
+
+    # idempotent: re-applying the same batch changes nothing
+    update_shards(spark, out, batch, "doc_id", 8, order_col="doc_id")
+    assert spark.read.parquet(out).count() == full.count()
+
+    # crash window: live dir renamed aside but staging not promoted ->
+    # recover restores the aside
+    s0 = touched[0]
+    live = os.path.join(out, f"shard={s0}")
+    os.replace(live, live + ".old")
+    recover_shards(out)
+    assert os.path.isdir(live) and not os.path.isdir(live + ".old")
+    assert spark.read.parquet(out).count() == full.count()
