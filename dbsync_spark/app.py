@@ -60,6 +60,13 @@ class DbSyncApp:
         self._listener = None
         self._started = time.time()
         self.restart_reason: str | None = None
+        self._reloaded = False
+        # main()'s relaunch loop must not read app.pipelines while a
+        # reload (HTTP/dispatcher thread) is mid-rebuild: reload() clears
+        # this before stopping queries and sets it after bootstrap — the
+        # loop waits on it before starting the rebuilt pipelines
+        self._reload_complete = threading.Event()
+        self._reload_complete.set()
 
     # -- bootstrap ----------------------------------------------------------
     def bootstrap(self) -> None:
@@ -404,21 +411,28 @@ class DbSyncApp:
         restarting a pipeline while its old query still runs would launch
         a second query on the same checkpoint location, which Spark
         rejects."""
-        # flag FIRST: main()'s relaunch loop checks _reloaded the moment
-        # awaitTermination returns from the stops below — setting it
-        # after bootstrap would race that check and turn a restart
-        # request into a shutdown
+        # order matters, twice over: _reloaded goes up FIRST (main()'s
+        # relaunch loop checks it the moment awaitTermination returns
+        # from the stops below — setting it after bootstrap would turn a
+        # restart request into a shutdown), and _reload_complete comes
+        # DOWN before any teardown so the loop cannot read half-rebuilt
+        # state (empty or stale self.pipelines) between the stops and
+        # the end of bootstrap
+        self._reload_complete.clear()
         self._reloaded = True
-        for pipe in self.pipelines:
-            q = getattr(pipe, "last_query", None)
-            if q is not None and q.isActive:
-                q.stop()
-        self.config = new_config
-        self.pipelines = []
-        self.registry = ComponentRegistry()
-        if self._listener is not None:
-            self._listener.registry = self.registry
-        self.bootstrap()
+        try:
+            for pipe in self.pipelines:
+                q = getattr(pipe, "last_query", None)
+                if q is not None and q.isActive:
+                    q.stop()
+            self.config = new_config
+            self.pipelines = []
+            self.registry = ComponentRegistry()
+            if self._listener is not None:
+                self._listener.registry = self.registry
+            self.bootstrap()
+        finally:
+            self._reload_complete.set()
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -479,6 +493,9 @@ def main(argv: list[str] | None = None) -> int:
             break
         if not app._reloaded:
             break
+        # a reload triggered the stops: wait for its bootstrap to finish
+        # before reading app.pipelines (see reload())
+        app._reload_complete.wait(timeout=300)
     return 0
 
 

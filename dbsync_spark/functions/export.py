@@ -40,10 +40,44 @@ def shard_assign(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
         "shard", (h15(F.col(key_col).cast("string")) % n_shards).cast("int"))
 
 
+def _write_meta(path: str, key_col: str, n_shards: int) -> None:
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "_META.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"n_shards": n_shards, "key_col": key_col}, f)
+    os.replace(tmp, os.path.join(path, "_META.json"))
+
+
+def _check_meta(path: str, key_col: str, n_shards: int) -> None:
+    """Refuse a refresh whose sharding rule disagrees with the layout's
+    pinned one: touched-shard ids computed under a different n_shards or
+    key would scatter new versions into the WRONG directories while the
+    old rows sit untouched — silent duplicate keys (the same hazard
+    BucketedTable pins away with its _META.json)."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(path, "_META.json")) as f:
+            meta = json.load(f)
+    except FileNotFoundError:
+        return  # pre-meta layout: accept and pin below
+    if meta["n_shards"] != n_shards or meta.get("key_col") != key_col:
+        raise ValueError(
+            f"shard layout at {path} was written with n_shards="
+            f"{meta['n_shards']}, key={meta.get('key_col')!r}; refresh "
+            f"asked for n_shards={n_shards}, key={key_col!r}")
+
+
 def export_shards(df: DataFrame, path: str, key_col: str, n_shards: int,
                   order_col: str | None = None) -> None:
     """Write `df` as `path/shard=K/` parquet, one file per shard, rows
     sorted by `order_col` (default: the shard key) within each shard.
+    The sharding rule (n_shards, key) is pinned in `_META.json` so every
+    later update_shards agrees with the physical layout.
 
     repartition(n_shards, shard) puts each shard in exactly one task —
     one output file per shard directory, the layout a data loader
@@ -55,6 +89,7 @@ def export_shards(df: DataFrame, path: str, key_col: str, n_shards: int,
      .repartition(n_shards, F.col("shard"))
      .sortWithinPartitions("shard", order_col or key_col)
      .write.mode("overwrite").partitionBy("shard").parquet(path))
+    _write_meta(path, key_col, n_shards)
 
 
 def update_shards(spark, path: str, new_df: DataFrame, key_col: str,
@@ -67,12 +102,17 @@ def update_shards(spark, path: str, new_df: DataFrame, key_col: str,
     BucketedTable.merge_changes, sinks/table.py).
 
     Crash-safe via the same per-directory rename-aside swap: a touched
-    shard is always present as either its live dir or its `.old` aside;
-    re-running the refresh converges (upsert is idempotent). Returns the
-    touched shard ids."""
+    shard is always present as either its live dir or its `.old` aside,
+    and `recover_shards` runs FIRST (before the layout is read) so a
+    re-run after a mid-swap crash sees the restored pre-crash rows — not
+    an empty shard it would then "merge" the batch into alone. The
+    sharding rule must match the layout's pinned `_META.json`. Returns
+    the touched shard ids."""
     import os
     import shutil
 
+    recover_shards(path)
+    _check_meta(path, key_col, n_shards)
     assigned = shard_assign(new_df, key_col, n_shards).localCheckpoint()
     touched = sorted(r[0] for r in
                      assigned.select("shard").distinct().collect())
@@ -98,39 +138,25 @@ def update_shards(spark, path: str, new_df: DataFrame, key_col: str,
     (merged.repartition(len(touched), F.col("shard"))
      .sortWithinPartitions("shard", order)
      .write.mode("overwrite").partitionBy("shard").parquet(staging))
+    from dbsync_spark.sinks.layout import promote_dir
+
     os.makedirs(path, exist_ok=True)
     for s in touched:
         src = os.path.join(staging, f"shard={s}")
-        dst = os.path.join(path, f"shard={s}")
-        if not os.path.isdir(src):
-            continue
-        old = dst + ".old"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(dst):
-            os.replace(dst, old)
-        os.replace(src, dst)
-        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(src):
+            promote_dir(src, os.path.join(path, f"shard={s}"))
     shutil.rmtree(staging, ignore_errors=True)
+    _write_meta(path, key_col, n_shards)  # pin on first (empty-dir) refresh
     return touched
 
 
 def recover_shards(path: str) -> None:
     """Close update_shards' crash window: restore any `shard=K.old`
-    whose live dir is missing; drop asides whose swap completed."""
-    import os
-    import shutil
+    whose live dir is missing; drop asides whose swap completed.
+    Runs automatically at the top of every update_shards."""
+    from dbsync_spark.sinks.layout import restore_asides
 
-    if not os.path.isdir(path):
-        return
-    for entry in os.listdir(path):
-        if not entry.endswith(".old"):
-            continue
-        old = os.path.join(path, entry)
-        live = os.path.join(path, entry[:-len(".old")])
-        if os.path.isdir(live):
-            shutil.rmtree(old, ignore_errors=True)
-        else:
-            os.replace(old, live)
+    restore_asides(path)
 
 
 def shard_manifest(df: DataFrame, key_col: str, n_shards: int,

@@ -47,8 +47,11 @@ class ComponentRegistry:
     progress: dict[str, dict] = field(default_factory=dict)
 
     def register(self, name: str, interval_ms: float) -> None:
-        self.intervals[name] = interval_ms
+        # beat BEFORE interval: statuses() iterates intervals and looks
+        # up last_beats — the insertion order guarantees any name a
+        # reader can see already has a beat (writers: listener thread)
         self.last_beats[name] = time.time() * 1000
+        self.intervals[name] = interval_ms
 
     def heartbeat(self, name: str) -> None:
         self.last_beats[name] = time.time() * 1000
@@ -57,9 +60,15 @@ class ComponentRegistry:
         self.progress[name] = info
 
     def statuses(self, now_ms: float | None = None) -> dict[str, str]:
+        # snapshot both dicts: the listener-bus thread register()s new
+        # queries while the monitor tick / HTTP threads iterate here —
+        # iterating the live dict raises "changed size during iteration"
+        # (same race endpoint_payloads already guards for `progress`)
+        intervals = dict(self.intervals)
+        beats = dict(self.last_beats)
         return {
-            name: heartbeat_status(self.last_beats[name], self.intervals[name], now_ms)
-            for name in self.intervals
+            name: heartbeat_status(beats.get(name, 0.0), iv, now_ms)
+            for name, iv in intervals.items()
         }
 
 

@@ -28,8 +28,13 @@ def sweep(log: DataFrame, status: DataFrame, cutoff: Column,
           id_col: str = "id") -> DataFrame:
     """The log after the retention sweep (complement of `expired`).
     Single left join — not one scan per status class."""
+    # distinct: the ack log is append-only and at-least-once (a replayed
+    # micro-batch re-acks the same dataId) — a LEFT join against the raw
+    # acks would emit one copy of every KEPT row per duplicate ack, and
+    # sweep_into_place would write the duplicates back permanently
     ok = (status.where(F.col("status") == "OK")
-          .select(F.col("dataId").alias(id_col), F.lit(True).alias("_ok")))
+          .select(F.col("dataId").alias(id_col)).distinct()
+          .withColumn("_ok", F.lit(True)))
     joined = log.join(ok, on=id_col, how="left")
     return joined.where(
         ~(F.coalesce(F.col("_ok"), F.lit(False)) & (F.col("createTime") < cutoff))
@@ -51,8 +56,13 @@ def expired_segments(log: DataFrame, status: DataFrame, cutoff: Column,
     retention contract. Returns local filesystem paths."""
     from urllib.parse import unquote, urlparse
 
+    # distinct for the same duplicate-ack reason as sweep(): here the
+    # per-file counts stay *consistent* under duplication (every copy of
+    # a row carries the same flag) but the join output would be larger
+    # than the log for no reason
     ok = (status.where(F.col("status") == "OK")
-          .select(F.col("dataId").alias(id_col), F.lit(True).alias("_ok")))
+          .select(F.col("dataId").alias(id_col)).distinct()
+          .withColumn("_ok", F.lit(True)))
     tagged = (log.withColumn("_f", F.input_file_name())
               .join(ok, on=id_col, how="left"))
     sweepable = (F.coalesce(F.col("_ok"), F.lit(False))

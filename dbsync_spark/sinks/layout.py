@@ -61,6 +61,49 @@ def write_range_clustered(df: DataFrame, path: str, order_col: str,
      .write.mode("overwrite").parquet(path))
 
 
+def promote_dir(src: str, dst: str) -> None:
+    """Install directory `src` at `dst` with the rename-aside protocol
+    shared by every directory-swap in the engine (bucketed MERGE, shard
+    refresh, compaction): the live dir is renamed to `dst + '.old'` (an
+    atomic rename, never an rmtree of the only copy), `src` renamed in,
+    and the aside dropped LAST. A kill at any point leaves the data as
+    either the live dir or its `.old` aside — `restore_asides` closes
+    the window on the next open."""
+    import os
+    import shutil
+
+    old = dst + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.isdir(dst):
+        os.replace(dst, old)
+    os.replace(src, dst)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def restore_asides(parent: str, suffix: str = ".old") -> None:
+    """Crash recovery for promote_dir swaps UNDER `parent`: any
+    `<dir>.old` whose live dir is missing IS the data (restore it);
+    where the live dir exists the swap completed and the aside is
+    garbage (drop it). Run before reading a directory whose children
+    are swapped with promote_dir."""
+    import os
+    import shutil
+
+    if not os.path.isdir(parent):
+        return
+    for entry in os.listdir(parent):
+        if not entry.endswith(suffix):
+            continue
+        old = os.path.join(parent, entry)
+        if not os.path.isdir(old):
+            continue
+        live = os.path.join(parent, entry[:-len(suffix)])
+        if os.path.isdir(live):
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.replace(old, live)
+
+
 def recover_compaction(path: str) -> None:
     """Close compact()'s crash windows before a dir is opened: if `path`
     is missing, restore the `.old` rename-aside (the `.compacting` copy
@@ -106,10 +149,7 @@ def compact(spark: SparkSession, path: str, target_files: int = 4,
     tmp = path.rstrip("/") + ".compacting"
     shutil.rmtree(tmp, ignore_errors=True)
     df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    aside = path.rstrip("/") + ".old"
-    os.replace(path, aside)
-    os.replace(tmp, path)
-    shutil.rmtree(aside, ignore_errors=True)
+    promote_dir(tmp, path.rstrip("/"))
     return len(glob.glob(os.path.join(path, "*.parquet")))
 
 

@@ -69,14 +69,18 @@ class ConnectionPool:
         last = None
         # at least one attempt regardless of the retry setting — a
         # "raise None" from an empty loop would mask the misconfiguration
-        for attempt in range(max(1, self.connect_retries)):
+        attempts = max(1, self.connect_retries)
+        for attempt in range(attempts):
             try:
                 return self._connect()
             except Exception as e:  # noqa: BLE001 - counted + retried
                 last = e
                 with self._cond:
                     self._errors += 1
-                time.sleep(self.retry_backoff * (2 ** attempt))
+                if attempt < attempts - 1:  # no pointless sleep after
+                    # the final failure — the caller should see the
+                    # error immediately
+                    time.sleep(self.retry_backoff * (2 ** attempt))
         raise last
 
     def acquire(self):

@@ -160,17 +160,9 @@ class BucketedTable:
         renames leaves `_bucket=K.old` behind — if the live dir is
         missing, the .old copy IS the table (restore it); if the live dir
         exists, the swap completed and .old is garbage (drop it)."""
-        if not os.path.isdir(self.data_path):
-            return
-        for entry in os.listdir(self.data_path):
-            if not entry.endswith(".old"):
-                continue
-            old = os.path.join(self.data_path, entry)
-            live = os.path.join(self.data_path, entry[:-len(".old")])
-            if os.path.isdir(live):
-                shutil.rmtree(old, ignore_errors=True)
-            else:
-                os.replace(old, live)
+        from dbsync_spark.sinks.layout import restore_asides
+
+        restore_asides(self.data_path)
 
     def _read_raw(self, spark: SparkSession) -> DataFrame | None:
         self._recover_buckets()
@@ -262,18 +254,15 @@ class BucketedTable:
         shutil.rmtree(staging, ignore_errors=True)
         (out.write.mode("overwrite")
          .partitionBy(self.BUCKET_COL).parquet(staging))
+        from dbsync_spark.sinks.layout import promote_dir
+
         os.makedirs(self.data_path, exist_ok=True)
         for b in touched:
             src = os.path.join(staging, f"{self.BUCKET_COL}={b}")
-            dst = os.path.join(self.data_path, f"{self.BUCKET_COL}={b}")
-            if not os.path.isdir(src):
-                continue
-            old = dst + ".old"
-            shutil.rmtree(old, ignore_errors=True)
-            if os.path.isdir(dst):
-                os.replace(dst, old)  # atomic rename-aside, never rmtree
-            os.replace(src, dst)
-            shutil.rmtree(old, ignore_errors=True)
+            if os.path.isdir(src):
+                # atomic rename-aside, never rmtree the only copy
+                promote_dir(src, os.path.join(
+                    self.data_path, f"{self.BUCKET_COL}={b}"))
         shutil.rmtree(staging, ignore_errors=True)
 
     def state_fingerprint(self):

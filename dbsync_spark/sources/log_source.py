@@ -38,13 +38,24 @@ def read_log(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
 
 
 def read_log_stream(spark: SparkSession, path: str, fmt: str = "parquet",
-                    max_files_per_trigger: int | None = None) -> DataFrame:
+                    max_files_per_trigger: int | None = None,
+                    ignore_missing: bool = True) -> DataFrame:
     if fmt not in FORMATS:
         raise ValueError(f"unsupported log format {fmt!r}; one of {FORMATS}")
     reader = (spark.readStream.format(fmt).options(**_options(fmt))
               .schema(SYNC_DATA_SCHEMA))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if ignore_missing:
+        # segment-mode retention unlinks files whose every row is
+        # OK-acked — but acks are written inside foreachBatch, BEFORE the
+        # epoch's checkpoint commit. A crash in that window makes Spark
+        # replay the batch from the offset log's recorded file list, and
+        # a strict scan would fail forever on the swept file. Skipping it
+        # is safe exactly because of the unlink precondition: every row
+        # it held was already merged (replay is a no-op under the
+        # _last_id watermark) and acked.
+        reader = reader.option("ignoreMissingFiles", "true")
     return reader.load(path)
 
 
