@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dbsync_spark.functions.text import h15, tokens
 from dbsync_spark.sources.tables import fan_out
@@ -592,3 +593,52 @@ def fuzzy_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .withColumn("dist", F.levenshtein("_pa", "_pb"))
             .where(F.col("dist") <= max_dist)
             .select("doc_a", "doc_b", "dist"))
+
+
+def substring_dup_spans(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", window_tokens: int = 6,
+                        min_docs: int = 2) -> DataFrame:
+    """Exact duplicated-substring spans — the exact-substring dedup pass
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better") re-expressed relationally: hash every
+    `window_tokens`-token sliding window of every document, count the
+    DISTINCT documents each window occurs in, keep windows seen in >=
+    `min_docs` docs, and merge each document's consecutive duplicated
+    window positions into maximal spans (gaps-and-islands over the
+    position sequence). One row per maximal span: (doc_id, span_start,
+    span_end, n_windows, span_tokens); token positions 1-based inclusive.
+
+    Scale shape: windows are produced row-locally (one transform over one
+    split; the posexplode feeds the aggregate directly), and the window
+    key on the wire is h15 — a 60-bit integer, not the window string —
+    so the two wide ops (doc-frequency aggregate, dup-window join) both
+    shuffle narrow rows with map-side combine. The span merge is a
+    per-document window function partitioned on doc_id; positions within
+    one doc are unique, so row_number is deterministic. The reference has
+    no corpus operators; this extends the engine's training-data family
+    (suffix-array semantics, inverted-index execution).
+    """
+    toks = tokens(F.col(text_col))
+    nwin = F.size(toks) - F.lit(window_tokens) + 1
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(nwin, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, window_tokens)))
+    win = (df.where(F.size(tokens(F.col(text_col))) >= window_tokens)
+           .select(F.col(id_col),
+                   F.posexplode(wins).alias("_p0", "_w"))
+           .select(F.col(id_col), (F.col("_p0") + 1).cast("long").alias("pos"),
+                   h15(F.col("_w")).alias("wh")))
+    dfreq = (win.groupBy("wh")
+             .agg(F.count_distinct(id_col).alias("wdf"))
+             .where(F.col("wdf") >= min_docs))
+    dup = win.join(dfreq.select("wh"), on="wh")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    isl = dup.select(F.col(id_col), "pos",
+                     (F.col("pos") - F.row_number().over(w)).alias("_grp"))
+    return (isl.groupBy(id_col, "_grp")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + window_tokens - 1).alias("span_end"),
+                 F.count("*").alias("n_windows"))
+            .select(id_col, "span_start", "span_end", "n_windows",
+                    (F.col("span_end") - F.col("span_start") + 1)
+                    .alias("span_tokens")))

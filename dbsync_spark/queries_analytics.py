@@ -1955,3 +1955,85 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("p50_p90_p99")[1].alias("p90_cents"),
                     F.col("p50_p90_p99")[2].alias("p99_cents"))
             .orderBy("event_type"))
+
+
+@_register(
+    "q_channel_cumulative",
+    """
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_no
+  FROM events
+),
+clicks AS (
+  SELECT user_id, day_no, CAST(count(*) AS BIGINT) AS n
+  FROM e WHERE event_type = 'click' GROUP BY user_id, day_no
+),
+views AS (
+  SELECT user_id, day_no, CAST(count(*) AS BIGINT) AS n
+  FROM e WHERE event_type = 'view' GROUP BY user_id, day_no
+),
+cc AS (
+  SELECT user_id, day_no,
+         CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY day_no
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM clicks
+),
+cv AS (
+  SELECT user_id, day_no,
+         CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY day_no
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM views
+),
+j AS (
+  SELECT COALESCE(cc.user_id, cv.user_id) AS user_id,
+         COALESCE(cc.day_no, cv.day_no) AS day_no,
+         cc.cum AS click_cum, cv.cum AS view_cum
+  FROM cc FULL OUTER JOIN cv
+    ON cc.user_id = cv.user_id AND cc.day_no = cv.day_no
+),
+f AS (
+  SELECT user_id, day_no,
+         MAX(click_cum) OVER (PARTITION BY user_id ORDER BY day_no
+                              ROWS UNBOUNDED PRECEDING) AS cum_clicks,
+         MAX(view_cum) OVER (PARTITION BY user_id ORDER BY day_no
+                             ROWS UNBOUNDED PRECEDING) AS cum_views
+  FROM j
+)
+SELECT user_id, day_no, cum_clicks, cum_views
+FROM f WHERE cum_clicks > cum_views
+""",
+)
+def q_channel_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51 shape on the event stream: per-user daily click and
+    view counts become two per-channel cumulative series, FULL OUTER
+    joined on (user, day); each channel's gaps are then filled with a
+    running MAX over the joined frame (Q51's trick — a day present in
+    only one channel inherits the other channel's last cumulative), and
+    the result keeps days where cumulative clicks exceed cumulative
+    views. Two shuffles (one per channel aggregate), a key-aligned outer
+    join, and windows all partitioned on the same user key — the join
+    and both window passes reuse one partitioning, so AQE plans a single
+    exchange chain. NULL semantics are load-bearing twice: MAX ignores
+    NULLs (gap fill), and `> NULL` filters users before their first
+    click — identical in both engines."""
+    ev = read_table(spark, sf_dir, "events")
+    day_no = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
+    e = ev.select("user_id", "event_type", day_no.alias("day_no"))
+    wc = (Window.partitionBy("user_id").orderBy("day_no")
+          .rowsBetween(Window.unboundedPreceding, 0))
+
+    def channel(tp: str, out: str) -> DataFrame:
+        daily = (e.where(F.col("event_type") == tp)
+                 .groupBy("user_id", "day_no").count())
+        return daily.select("user_id", "day_no",
+                            F.sum("count").over(wc).alias(out))
+
+    cc = channel("click", "click_cum")
+    cv = channel("view", "view_cum")
+    j = cc.join(cv, on=["user_id", "day_no"], how="full")
+    f = j.select(
+        "user_id", "day_no",
+        F.max("click_cum").over(wc).alias("cum_clicks"),
+        F.max("view_cum").over(wc).alias("cum_views"))
+    return f.where(F.col("cum_clicks") > F.col("cum_views"))

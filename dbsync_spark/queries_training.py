@@ -611,3 +611,69 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return shard_manifest(docs, "doc_id", n_shards=16, size_col="n_chars")
+
+
+@_register(
+    "q_dup_spans",
+    """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+win AS (
+  SELECT t.doc_id, CAST(u.i AS BIGINT) AS pos,
+         ('0x' || substr(md5(array_to_string(t.tk[u.i:(u.i+5)], ' ')),
+                         1, 15))::BIGINT AS wh
+  FROM t, unnest(generate_series(1, len(t.tk) - 6 + 1)) AS u(i)
+  WHERE len(t.tk) >= 6
+),
+dfreq AS (SELECT wh FROM win GROUP BY wh
+          HAVING count(DISTINCT doc_id) >= 2),
+dup AS (SELECT win.doc_id, win.pos FROM win JOIN dfreq USING (wh)),
+isl AS (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS grp
+        FROM dup)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 5 AS span_end,
+       count(*) AS n_windows,
+       max(pos) + 5 - min(pos) + 1 AS span_tokens
+FROM isl GROUP BY doc_id, grp
+""",
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2022 exact-substring
+    dedup, inverted-index execution): every 6-token sliding window seen
+    in >= 2 distinct documents, merged per document into maximal spans
+    via gaps-and-islands. The window key shuffles as h15 (60-bit int),
+    mirrored bit-exactly in the oracle
+    (functions/dedup.py::substring_dup_spans)."""
+    from dbsync_spark.functions.dedup import substring_dup_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return substring_dup_spans(docs, window_tokens=6, min_docs=2)
+
+
+@_register(
+    "q_heavy_hitters",
+    """
+WITH toks AS (
+  SELECT t.tok FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+  ) t WHERE t.tok <> ''
+),
+tot AS (SELECT count(*) AS n_total FROM toks)
+SELECT tok, CAST(count(*) AS BIGINT) AS n
+FROM toks, tot
+GROUP BY tok, tot.n_total
+HAVING count(*) * 200 > tot.n_total
+""",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (tokens with global frequency > N/200) via
+    per-partition Misra-Gries summaries + exact recount of the candidate
+    union. The output is provably identical to the exact groupBy-HAVING
+    oracle regardless of partitioning (pigeonhole superset guarantee),
+    but the shuffle carries <= 200 candidate rows per partition instead
+    of the full token cardinality — the shape that matters when distinct
+    tokens outnumber executor memory (functions/sketch.py)."""
+    from dbsync_spark.functions.sketch import heavy_hitters
+
+    docs = read_table(spark, sf_dir, "documents")
+    return heavy_hitters(docs, capacity=200)

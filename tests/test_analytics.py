@@ -54,6 +54,7 @@ ANALYTIC_ORACLE_BACKED = [
     "q_rolling_7d",
     "q_ts_similarity",
     "q_integrity_audit",
+    "q_channel_cumulative",
 ]
 
 

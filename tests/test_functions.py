@@ -15,7 +15,7 @@ ORACLE_BACKED = [
     "q_multimodal", "q_ngram_jaccard", "q_embed_dedup",
     "q_dedup_keep_best", "q_repetition", "q_contamination",
     "q_fuzzy_dedup", "q_tfidf_topk", "q_corpus_clean", "q_pii_redact",
-    "q_minhash_char", "q_outlier_gaps",
+    "q_minhash_char", "q_outlier_gaps", "q_dup_spans",
 ]
 
 
@@ -600,3 +600,106 @@ def test_gopher_rules_planted_documents(spark):
     assert got[2]["symbol_ratio"] > 0.1 and got[2]["n_stopwords"] == 0
     assert got[3]["passes_gopher"] is False and got[3]["n_tokens"] == 2
     assert got[5]["passes_gopher"] is False and got[5]["alpha_frac"] == 0.0
+
+
+class TestSubstringDupSpans:
+    def test_planted_span_boundaries(self, spark):
+        """Two docs share an exact 8-token run inside otherwise-unique
+        text: each doc reports exactly one maximal span covering the
+        shared run (window=6 -> 3 consecutive dup windows merge)."""
+        from dbsync_spark.functions.dedup import substring_dup_spans
+        shared = " ".join(f"s{i}" for i in range(8))
+        a = "a0 a1 " + shared + " a2 a3"        # span tokens 3..10
+        b = "b0 b1 b2 " + shared + " b3"        # span tokens 4..11
+        c = " ".join(f"c{i}" for i in range(12))
+        df = spark.createDataFrame(
+            [(1, a), (2, b), (3, c)], "doc_id long, text string")
+        rows = {r.doc_id: r for r in
+                substring_dup_spans(df, window_tokens=6).collect()}
+        assert set(rows) == {1, 2}
+        assert (rows[1].span_start, rows[1].span_end) == (3, 10)
+        assert (rows[2].span_start, rows[2].span_end) == (4, 11)
+        # 8-token run, 6-token window -> 3 windows per doc, merged to one
+        assert rows[1].n_windows == 3 and rows[1].span_tokens == 8
+
+    def test_two_disjoint_spans_stay_separate(self, spark):
+        """Two shared runs separated by unique tokens yield two maximal
+        spans, not one — the gaps-and-islands merge only fuses
+        CONSECUTIVE duplicated window positions."""
+        from dbsync_spark.functions.dedup import substring_dup_spans
+        r1 = " ".join(f"x{i}" for i in range(6))
+        r2 = " ".join(f"y{i}" for i in range(6))
+        a = r1 + " u1 u2 u3 " + r2
+        b = r1 + " v1 v2 v3 " + r2
+        df = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, text string")
+        out = substring_dup_spans(df, window_tokens=6).collect()
+        per_doc = {}
+        for r in out:
+            per_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+        assert sorted(per_doc[1]) == [(1, 6), (10, 15)]
+        assert sorted(per_doc[2]) == [(1, 6), (10, 15)]
+
+    def test_short_and_within_doc_repeats_excluded(self, spark):
+        """Docs shorter than the window produce no windows; a run
+        repeated only WITHIN one doc does not count (min_docs=2 distinct
+        docs)."""
+        from dbsync_spark.functions.dedup import substring_dup_spans
+        rep = " ".join(f"r{i}" for i in range(6))
+        df = spark.createDataFrame(
+            [(1, "too short"), (2, rep + " mid " + rep)],
+            "doc_id long, text string")
+        assert substring_dup_spans(df, window_tokens=6).count() == 0
+
+
+class TestHeavyHitters:
+    def test_partitioning_independent(self, spark):
+        """The OUTPUT is invariant to partitioning even though the
+        Misra-Gries candidate sets are not: 1 partition vs 16 partitions
+        yield identical (tok, n) rows."""
+        from dbsync_spark.functions.sketch import heavy_hitters
+        rows = [(i, ("hot " * 30 + f"cold{i} rare{i % 7}").strip())
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        a = sorted(map(tuple, heavy_hitters(
+            df.repartition(1), capacity=20).collect()))
+        b = sorted(map(tuple, heavy_hitters(
+            df.repartition(16), capacity=20).collect()))
+        assert a == b and len(a) >= 1
+        assert ("hot", 1200) in a
+
+    def test_matches_exact_counts(self, spark):
+        """Every reported token's count equals the exact groupBy count,
+        and every token above threshold is reported (no misses) — the
+        pigeonhole superset guarantee end-to-end."""
+        from pyspark.sql import functions as F
+        from dbsync_spark.functions.sketch import heavy_hitters
+        rows = [(i, " ".join(f"w{(i * 31 + j) % 97}" for j in range(50))
+                 + " anchor anchor")
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        cap = 50
+        got = {r.tok: r.n for r in heavy_hitters(df, capacity=cap).collect()}
+        toks = df.select(F.explode(F.split("text", " ")).alias("tok"))
+        n_total = toks.count()
+        exact = {r.tok: r.c for r in
+                 toks.groupBy("tok").agg(F.count("*").alias("c")).collect()
+                 if r.c * cap > n_total}
+        assert got == exact and "anchor" in got
+
+    def test_mg_estimate_bound(self):
+        """Unit property of the summary itself: estimate within
+        n/capacity of the true count."""
+        from dbsync_spark.functions.sketch import _misra_gries
+        import random
+        rng = random.Random(7)
+        stream = [rng.choice("abcdefghij") for _ in range(5000)] \
+            + ["hh"] * 3000
+        rng.shuffle(stream)
+        got = _misra_gries(iter(stream), capacity=12)
+        n = len(stream)
+        from collections import Counter
+        true = Counter(stream)
+        for k, est in got.items():
+            assert true[k] - n / 12 <= est <= true[k]
+        assert "hh" in got
