@@ -82,3 +82,114 @@ def heavy_hitters(df: DataFrame, text_col: str = "text",
             .crossJoin(F.broadcast(total))
             .where(F.col("n") * capacity > F.col("_n"))
             .select("tok", "n"))
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered decontamination
+# --------------------------------------------------------------------------
+
+BLOOM_SALTS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+               0x165667B19E3779F9, 0x27D4EB2F165667C5)
+
+
+def _bloom_positions(h, m: int):
+    """j deterministic bit positions per 64-bit hash: multiply-shift with
+    fixed odd salts (uint64 wraparound is defined in numpy), then mod m.
+    Pure function of the hash — identical on every executor/platform."""
+    import numpy as np
+    h = h.astype(np.uint64)
+    return [((h * np.uint64(s)) >> np.uint64(13)) % np.uint64(m)
+            for s in BLOOM_SALTS]
+
+
+def _build_bloom(hashes: DataFrame, m: int) -> bytes:
+    """Distributed Bloom build: each partition sets bits into a local
+    m/8-byte bitmap (vectorized numpy inside one Arrow mapInPandas pass),
+    and the driver ORs the per-partition bitmaps. Driver state is
+    bounded at n_partitions x m/8 bytes — the mergeable-sketch shape
+    (cf. the k-means C x dim aggregate), never the raw hash set."""
+    import numpy as np
+
+    def build(batches):
+        bm = np.zeros(m // 8, dtype=np.uint8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h = pdf["shash"].to_numpy(dtype="int64").astype("uint64")
+            for pos in _bloom_positions(h, m):
+                idx = (pos >> np.uint64(3)).astype(np.int64)
+                bit = np.left_shift(
+                    np.uint8(1), (pos & np.uint64(7)).astype(np.uint8))
+                np.bitwise_or.at(bm, idx, bit)
+        yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    parts = hashes.mapInPandas(build, schema="bm binary").collect()
+    acc = np.zeros(m // 8, dtype=np.uint8)
+    for row in parts:
+        acc |= np.frombuffer(row["bm"], dtype=np.uint8)
+    return acc.tobytes()
+
+
+def decontaminate(df: DataFrame, test_filter, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3,
+                  bloom_bits: int = 1 << 20) -> DataFrame:
+    """Training-corpus decontamination with a Bloom prefilter: return the
+    train documents (>= k tokens) sharing NO k-gram shingle with the test
+    split, as (doc_id, n_shingles distinct).
+
+    Two-phase, exact output: (1) a Bloom filter over the test split's
+    distinct shingle hashes (built distributed, broadcast as an m/8-byte
+    bitmap) prefilters train shingles in a vectorized Arrow pandas_udf —
+    bit tests over numpy arrays, no per-row Python (justified Python
+    path: the filter is a closure over an immutable bitmap, membership is
+    pure array math); (2) only the flagged shingles — expected
+    |true overlaps| + a tiny false-positive tail — enter the exact
+    semi-join against the test set, whose hits mark dirty docs. Bloom
+    has no false negatives, and false positives are removed by the exact
+    verify, so the output equals the plain anti-join semantics the
+    oracle states.
+
+    Why this shape at 100 TB: the naive decontamination join shuffles
+    EVERY train shingle (trillions of rows) against the test set; here
+    the wide join input shrinks to near-zero while the broadcast is a
+    fixed 128 KB bitmap regardless of test-set cardinality. Same
+    two-phase summary+verify topology as LSH dedup and heavy_hitters.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    from dbsync_spark.functions.dedup import shingles
+    from dbsync_spark.functions.text import h15
+    from dbsync_spark.sources.tables import fan_out
+
+    m = bloom_bits
+    marked = fan_out(df).withColumn("_is_test", test_filter)
+    sh = (marked
+          .select(F.col(id_col), F.col("_is_test"),
+                  F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+          .select(id_col, "_is_test", h15(F.col("shingle")).alias("shash"))
+          .distinct())
+    test_hashes = sh.where(F.col("_is_test")).select("shash").distinct()
+    bitmap = _build_bloom(test_hashes, m)
+    bc = df.sparkSession.sparkContext.broadcast(bitmap)
+
+    @F.pandas_udf("boolean")
+    def maybe_in_test(col: pd.Series) -> pd.Series:
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        h = col.to_numpy(dtype="int64").astype("uint64")
+        res = np.ones(len(h), dtype=bool)
+        for pos in _bloom_positions(h, m):
+            idx = (pos >> np.uint64(3)).astype(np.int64)
+            off = (pos & np.uint64(7)).astype(np.uint8)
+            res &= ((bm[idx] >> off) & np.uint8(1)).astype(bool)
+        return pd.Series(res)
+
+    train_sh = (sh.where(~F.col("_is_test"))
+                .select(id_col, "shash")
+                .withColumn("_maybe", maybe_in_test(F.col("shash"))))
+    per_doc = train_sh.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"))
+    dirty = (train_sh.where(F.col("_maybe"))
+             .join(test_hashes, on="shash", how="semi")
+             .select(id_col).distinct())
+    return per_doc.join(dirty, on=id_col, how="anti")

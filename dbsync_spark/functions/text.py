@@ -473,3 +473,50 @@ def char_entropy(df: DataFrame, text_col: str = "text",
                               "* log2(CAST(c AS DOUBLE)))") / F.col("_n"))
                     .alias("entropy_bits"),
                     F.size("_cnt").alias("n_distinct_chars")))
+
+
+def lm_surprisal(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", alpha: float = 1.0) -> DataFrame:
+    """Self-trained bigram language-model surprisal per document — the
+    CCNet/Gopher perplexity-filter stage without an external model: train
+    add-alpha-smoothed bigram statistics on the corpus itself, then score
+    every document with mean -ln P(w_i | w_{i-1}) where
+    P = (c(w1,w2) + alpha) / (c(w1) + alpha * V).
+
+    Returns (doc_id, n_bigrams, surprisal). Boilerplate and templated
+    text scores LOW (its bigrams are corpus-frequent), lexically odd or
+    garbled text scores HIGH — the standard band-filter signal (CCNet
+    keeps the middle percentiles).
+
+    Scale shape: bigram/unigram counts are two shuffled aggregates with
+    map-side combine; scoring joins each bigram occurrence to its two
+    count tables on the token keys (at 100 TB those keys would be h15
+    hashes); V is a 1-row broadcast. All arithmetic is JVM built-ins
+    (ln/avg in codegen) — no Python anywhere. Float aggregate => declared
+    rows-only; exactness vs a Python reference is pytest-pinned.
+    """
+    toks = tokens(F.col(text_col))
+    base = (df.where(F.size(tokens(F.col(text_col))) >= 2)
+            .select(F.col(id_col), toks.alias("_tk")))
+    bg = (base.select(
+        F.col(id_col),
+        F.explode(F.zip_with(
+            F.slice(F.col("_tk"), 1, F.size(F.col("_tk")) - 1),
+            F.slice(F.col("_tk"), 2, F.size(F.col("_tk")) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))).alias("_b"))
+        .select(id_col, F.col("_b.w1").alias("w1"),
+                F.col("_b.w2").alias("w2")))
+    uni = (df.select(F.explode(tokens(F.col(text_col))).alias("w1"))
+           .groupBy("w1").agg(F.count("*").alias("c_x")))
+    vocab = uni.agg(F.count("*").alias("_v"))
+    bgc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    scored = (bg.join(bgc, on=["w1", "w2"])
+              .join(uni, on="w1")
+              .crossJoin(F.broadcast(vocab))
+              .select(id_col,
+                      (-F.log((F.col("c_xy") + F.lit(alpha))
+                              / (F.col("c_x") + F.lit(alpha) * F.col("_v"))))
+                      .alias("_nll")))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.avg("_nll").alias("surprisal")))

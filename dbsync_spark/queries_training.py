@@ -677,3 +677,56 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return heavy_hitters(docs, capacity=200)
+
+
+@_register(
+    "q_decontaminate",
+    """
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+              FROM documents),
+shs AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, len(t) - 2),
+                i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS shingle
+  FROM toks WHERE len(t) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, source,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS shash
+  FROM shs
+),
+test_set AS (SELECT DISTINCT shash FROM sh WHERE source = 'src19'),
+train AS (SELECT doc_id, shash FROM sh WHERE source <> 'src19'),
+per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+            FROM train GROUP BY doc_id),
+dirty AS (SELECT DISTINCT t.doc_id FROM train t JOIN test_set USING (shash))
+SELECT p.doc_id, p.n_shingles
+FROM per_doc p
+WHERE p.doc_id NOT IN (SELECT doc_id FROM dirty)
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminated training corpus: train documents sharing NO 3-gram
+    shingle with the held-out split (source 'src19'), found via a
+    broadcast Bloom prefilter (128 KB bitmap over test shingle hashes)
+    with exact semi-join verification of the flagged residue only —
+    Bloom false positives are removed by the verify, false negatives
+    cannot exist, so the result equals the oracle's plain anti-join
+    (functions/sketch.py::decontaminate)."""
+    from dbsync_spark.functions.sketch import decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    return decontaminate(docs, F.col("source") == "src19", k=3)
+
+
+@_register("q_lm_surprisal")  # rows-only: ln + float mean are not
+# cross-engine bit-exact; exactness vs a Python reference is pytest-pinned
+def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal per document (self-trained, add-1 smoothing) —
+    the perplexity band-filter stage of CCNet-style pipelines: mean
+    -ln P(w_i | w_{i-1}) under corpus bigram statistics; low = templated/
+    boilerplate, high = garbled (functions/text.py::lm_surprisal)."""
+    from dbsync_spark.functions.text import lm_surprisal
+
+    docs = read_table(spark, sf_dir, "documents")
+    return lm_surprisal(docs)

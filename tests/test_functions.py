@@ -15,7 +15,7 @@ ORACLE_BACKED = [
     "q_multimodal", "q_ngram_jaccard", "q_embed_dedup",
     "q_dedup_keep_best", "q_repetition", "q_contamination",
     "q_fuzzy_dedup", "q_tfidf_topk", "q_corpus_clean", "q_pii_redact",
-    "q_minhash_char", "q_outlier_gaps", "q_dup_spans",
+    "q_minhash_char", "q_outlier_gaps", "q_dup_spans", "q_decontaminate",
 ]
 
 
@@ -703,3 +703,75 @@ class TestHeavyHitters:
         for k, est in got.items():
             assert true[k] - n / 12 <= est <= true[k]
         assert "hh" in got
+
+
+class TestDecontaminate:
+    def test_removes_exactly_overlapping_docs(self, spark):
+        """A train doc sharing one 3-gram with the test split is dropped;
+        a disjoint train doc survives with its distinct-shingle count."""
+        from dbsync_spark.functions.sketch import decontaminate
+        test_doc = "alpha beta gamma delta epsilon"
+        dirty = "x1 x2 beta gamma delta x3"       # shares 'beta gamma delta'
+        clean = "y1 y2 y3 y4 y5 y6"               # 4 distinct shingles
+        short = "z1 z2"                           # < k tokens: no shingles
+        df = spark.createDataFrame(
+            [(1, test_doc, "test"), (2, dirty, "train"),
+             (3, clean, "train"), (4, short, "train")],
+            "doc_id long, text string, source string")
+        out = {r.doc_id: r.n_shingles for r in decontaminate(
+            df, F.col("source") == "test", k=3).collect()}
+        assert out == {3: 4}
+
+    def test_bloom_has_no_false_negatives(self, spark):
+        """Every hash inserted into the Bloom bitmap tests positive —
+        the property the exactness argument rests on."""
+        import numpy as np
+        from dbsync_spark.functions.sketch import (_bloom_positions,
+                                                   _build_bloom)
+        hashes = [(h,) for h in range(0, 4_000_000, 4099)]
+        hdf = spark.createDataFrame(hashes, "shash long").repartition(8)
+        m = 1 << 16
+        bm = np.frombuffer(_build_bloom(hdf, m), dtype=np.uint8)
+        h = np.array([x[0] for x in hashes], dtype=np.uint64)
+        hit = np.ones(len(h), dtype=bool)
+        for pos in _bloom_positions(h, m):
+            idx = (pos >> np.uint64(3)).astype(np.int64)
+            off = (pos & np.uint64(7)).astype(np.uint8)
+            hit &= ((bm[idx] >> off) & np.uint8(1)).astype(bool)
+        assert hit.all()
+
+
+class TestLmSurprisal:
+    def test_matches_python_reference(self, spark):
+        """Spark's bigram-LM surprisal equals the Counter-math reference
+        to 1e-9 (same add-1 smoothing, same vocab definition)."""
+        import math
+        from collections import Counter
+        from dbsync_spark.functions.text import lm_surprisal
+        corpus = [(1, "a b c a b"), (2, "a b a b"), (3, "q r s t")]
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        got = {r.doc_id: (r.n_bigrams, r.surprisal)
+               for r in lm_surprisal(df).collect()}
+        uni = Counter(t for _, s in corpus for t in s.split())
+        bgc = Counter((w[i], w[i + 1]) for _, s in corpus
+                      for w in [s.split()] for i in range(len(w) - 1))
+        V = len(uni)
+        for doc_id, s in corpus:
+            w = s.split()
+            nll = [-math.log((bgc[(w[i], w[i + 1])] + 1)
+                             / (uni[w[i]] + V))
+                   for i in range(len(w) - 1)]
+            n, surp = got[doc_id]
+            assert n == len(nll)
+            assert abs(surp - sum(nll) / len(nll)) < 1e-9
+
+    def test_boilerplate_scores_lower_than_garbled(self, spark):
+        """Template text repeated across docs has corpus-frequent bigrams
+        (low surprisal); a lexically unique doc scores high."""
+        from dbsync_spark.functions.text import lm_surprisal
+        rows = [(i, "click here to subscribe to our newsletter today")
+                for i in range(10)]
+        rows.append((99, "zq xv jk wm pf lr bd tg"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.surprisal for r in lm_surprisal(df).collect()}
+        assert got[99] > got[0] * 2

@@ -33,6 +33,7 @@ BNLJ_ALLOWED = {
     "q_important_parts",     # 1-row total-value scalar broadcast (Q11)
     "q_global_sales_opportunity",  # 1-row avg-balance scalar broadcast (Q22)
     "q_heavy_hitters",     # 1-row token-total broadcast (threshold filter)
+    "q_lm_surprisal",      # 1-row vocab-size broadcast (smoothing denom)
 }
 
 # global-sort windows over dimension-sized inputs (documented exceptions)
