@@ -239,6 +239,17 @@ def main() -> None:
     timed2("rfm", lambda: QUERIES["q_rfm"](spark, SF_DIR).count())
     timed2("group_sample", lambda: QUERIES["q_group_sample"](spark, SF_DIR).count())
 
+    # -- corpus-ops additions (substring dedup, sketch + bloom family) --------
+    timed2("dup_spans", lambda: QUERIES["q_dup_spans"](spark, SF_DIR).count())
+    timed2("decontaminate",
+           lambda: QUERIES["q_decontaminate"](spark, SF_DIR).count())
+    timed2("heavy_hitters",
+           lambda: QUERIES["q_heavy_hitters"](spark, SF_DIR).count())
+    timed2("lm_surprisal",
+           lambda: QUERIES["q_lm_surprisal"](spark, SF_DIR).count())
+    timed2("channel_cumulative",
+           lambda: QUERIES["q_channel_cumulative"](spark, SF_DIR).count())
+
     # -- streaming micro-batch latency (BASELINE.md: <= 5 s / 10k-row batch) --
     from dbsync_spark.changelog import ORDERS_PAYLOAD_SCHEMA, build_log_orders
     from dbsync_spark.operators.route import SyncRule

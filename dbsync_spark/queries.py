@@ -1502,3 +1502,46 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("text_key")
             .agg(F.min("doc_id").alias("doc_id"),
                  F.count("*").alias("n_copies")))
+
+
+def _ensemble_oracle() -> str:
+    plain = "near_corpus AS (SELECT doc_id, text FROM documents)"
+    mh = _minhash_oracle(corpus_cte=plain).strip()
+    cos = ("list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e))"
+           " * sqrt(list_dot_product(b.e, b.e)))")
+    return f"""
+WITH m AS ({mh}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT m.doc_a, m.doc_b, m.jaccard,
+       {cos} AS cosine_sim,
+       ({cos} >= 0.9) AS embed_agrees
+FROM m
+JOIN e a ON a.vec_id = m.doc_a
+JOIN e b ON b.vec_id = m.doc_b
+"""
+
+
+@_register("q_ensemble_dedup", _ensemble_oracle())
+def q_ensemble_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble near-dup verification: MinHash-LSH text candidates
+    (exact-Jaccard >= 0.5) cross-checked against the documents' embedding
+    cosine — the two signals a production dedup pass reconciles before
+    destructive removal (lexical near-dups with divergent embeddings are
+    template pages, not true dups). The embedding join is key-aligned on
+    doc id; cosine is the verified bit-exact fold (cf. q_array_funcs), so
+    the boolean agreement flag hash-matches too."""
+    import dbsync_spark.functions.dedup as dd
+    from dbsync_spark.functions.similarity import as_double, dot, norm
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_near_dups(docs, threshold=0.5)
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    ea = e.select(F.col("vec_id").alias("doc_a"), F.col("e").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("doc_b"), F.col("e").alias("eb"))
+    cos = dot(F.col("ea"), F.col("eb")) / (norm(F.col("ea"))
+                                           * norm(F.col("eb")))
+    return (pairs.join(ea, on="doc_a").join(eb, on="doc_b")
+            .select("doc_a", "doc_b", "jaccard",
+                    cos.alias("cosine_sim"),
+                    (cos >= 0.9).alias("embed_agrees")))

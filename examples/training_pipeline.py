@@ -8,11 +8,19 @@ into one deterministic pipeline, the way a pretraining-data job would):
 
   1. PII redaction          (functions/text.pii_redact)
   2. Quality + exact dedup  (functions/text.corpus_clean — fused gates)
-  3. Near-dup clustering    (minhash LSH -> connected components ->
+  3. Decontamination        (functions/sketch.decontaminate — Bloom
+                             prefilter + exact verify vs the held-out
+                             split, source 'src19')
+  4. Surprisal band filter  (functions/text.lm_surprisal — drop the
+                             top-5% bigram-LM surprisal = garbled tail;
+                             exact percentile here, approx at scale)
+  5. Near-dup clustering    (minhash LSH -> connected components ->
                              keep the canonical doc per cluster)
-  4. Stratified sampling    (functions/sampling.stratified_sample)
-  5. Sequence packing       (functions/sampling.pack_sequences)
-  6. Context-window chunks  (functions/text.chunk_documents)
+  6. Dup-span audit         (functions/dedup.substring_dup_spans —
+                             reports residual cross-doc 6-token spans)
+  7. Stratified sampling    (functions/sampling.stratified_sample)
+  8. Sequence packing       (functions/sampling.pack_sequences)
+  9. Context-window chunks  (functions/text.chunk_documents)
 
 Every stage is hash-deterministic: rerunning the pipeline on the same
 fixture produces byte-identical output (no RNG anywhere). Stage row
@@ -49,8 +57,29 @@ def run_pipeline(spark, sf_dir: str, budget: int = 2048) -> dict[str, DataFrame]
     # 2. quality gates + exact dedup (one fused plan)
     cleaned = corpus_clean(docs)
 
-    # 3. near-dup canonicalization on the cleaned survivors
-    survivors = docs.join(cleaned.select("doc_id"), "doc_id", "semi")
+    # 3. decontamination: drop cleaned docs overlapping the held-out
+    #    split (source 'src19'); the held-out docs themselves leave the
+    #    training funnel here too
+    from dbsync_spark.functions.sketch import decontaminate
+
+    decon_clean = decontaminate(docs, F.col("source") == "src19", k=3)
+    decon = (docs.join(cleaned.select("doc_id"), "doc_id", "semi")
+             .join(decon_clean.select("doc_id"), "doc_id", "semi"))
+
+    # 4. surprisal band filter: drop the top-5% bigram-LM surprisal tail
+    #    (garbled text). Exact percentile over the per-doc score frame —
+    #    one value per doc, so the global agg is bounded; at 100 TB use
+    #    percentile_approx with a pinned accuracy instead.
+    from dbsync_spark.functions.text import lm_surprisal
+
+    scores = lm_surprisal(decon)
+    p95 = scores.agg(F.expr("percentile(surprisal, 0.95)").alias("p"))
+    keep = (scores.crossJoin(F.broadcast(p95))
+            .where(F.col("surprisal") <= F.col("p")).select("doc_id"))
+    banded = decon.join(keep, "doc_id", "semi")
+
+    # 5. near-dup canonicalization on the surviving band
+    survivors = banded
     pairs = minhash_near_dups(survivors, threshold=0.5)
     clusters = dedup_clusters(survivors.select("doc_id"), pairs)
     canonical = (survivors.join(
@@ -70,9 +99,16 @@ def run_pipeline(spark, sf_dir: str, budget: int = 2048) -> dict[str, DataFrame]
 
     chunks = chunk_documents(sampled, chunk_tokens=32, stride=24)
 
+    # audit (non-filtering): residual exact duplicated 6-token spans
+    # among the canonical set — should shrink vs the input corpus
+    from dbsync_spark.functions.dedup import substring_dup_spans
+
+    spans = substring_dup_spans(canonical, window_tokens=6)
+
     return {"input": docs, "pii": pii, "cleaned": cleaned,
-            "canonical": canonical, "sampled": sampled, "packed": packed,
-            "chunks": chunks}
+            "decontaminated": decon, "banded": banded,
+            "canonical": canonical, "spans": spans, "sampled": sampled,
+            "packed": packed, "chunks": chunks}
 
 
 def main() -> int:
@@ -85,8 +121,8 @@ def main() -> int:
 
     funnel = {name: df.count() for name, df in stages.items()}
     print("stage funnel:")
-    for name in ("input", "cleaned", "canonical", "sampled", "packed",
-                 "chunks"):
+    for name in ("input", "cleaned", "decontaminated", "banded",
+                 "canonical", "sampled", "packed", "chunks"):
         print(f"  {name:10s} {funnel[name]:6d} rows")
     n_pii = (stages["pii"]
              .where((F.col("n_email") > 0) | (F.col("n_ipv4") > 0)
@@ -96,6 +132,7 @@ def main() -> int:
              .agg(F.countDistinct("pack_id").alias("n_packs")).collect())
     print("  packs per language:",
           {r["lang"]: r["n_packs"] for r in packs})
+    print(f"  residual dup spans in canonical set: {funnel['spans']}")
     spark.stop()
     return 0
 
