@@ -618,20 +618,36 @@ def substring_dup_spans(df: DataFrame, text_col: str = "text",
     no corpus operators; this extends the engine's training-data family
     (suffix-array semantics, inverted-index execution).
     """
+    win = _span_windows(df, text_col, id_col, window_tokens)
+    dfreq = (win.groupBy("wh")
+             .agg(F.count_distinct(id_col).alias("wdf"))
+             .where(F.col("wdf") >= min_docs))
+    dup = win.join(dfreq.select("wh"), on="wh")
+    return _spans_from_dup_positions(dup, id_col, window_tokens)
+
+
+def _span_windows(df: DataFrame, text_col: str, id_col: str,
+                  window_tokens: int) -> DataFrame:
+    """(doc_id, pos, wh) sliding-window hash index rows for `df` — the
+    row-local window production shared by the batch and incremental
+    substring-dedup paths."""
     toks = tokens(F.col(text_col))
     nwin = F.size(toks) - F.lit(window_tokens) + 1
     wins = F.transform(
         F.sequence(F.lit(1), F.greatest(nwin, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, window_tokens)))
-    win = (df.where(F.size(tokens(F.col(text_col))) >= window_tokens)
-           .select(F.col(id_col),
-                   F.posexplode(wins).alias("_p0", "_w"))
-           .select(F.col(id_col), (F.col("_p0") + 1).cast("long").alias("pos"),
-                   h15(F.col("_w")).alias("wh")))
-    dfreq = (win.groupBy("wh")
-             .agg(F.count_distinct(id_col).alias("wdf"))
-             .where(F.col("wdf") >= min_docs))
-    dup = win.join(dfreq.select("wh"), on="wh")
+    return (df.where(F.size(tokens(F.col(text_col))) >= window_tokens)
+            .select(F.col(id_col),
+                    F.posexplode(wins).alias("_p0", "_w"))
+            .select(F.col(id_col),
+                    (F.col("_p0") + 1).cast("long").alias("pos"),
+                    h15(F.col("_w")).alias("wh")))
+
+
+def _spans_from_dup_positions(dup: DataFrame, id_col: str,
+                              window_tokens: int) -> DataFrame:
+    """Gaps-and-islands merge of duplicated window positions into maximal
+    spans — shared final stage of the substring-dedup paths."""
     w = Window.partitionBy(id_col).orderBy("pos")
     isl = dup.select(F.col(id_col), "pos",
                      (F.col("pos") - F.row_number().over(w)).alias("_grp"))
@@ -642,3 +658,73 @@ def substring_dup_spans(df: DataFrame, text_col: str = "text",
             .select(id_col, "span_start", "span_end", "n_windows",
                     (F.col("span_end") - F.col("span_start") + 1)
                     .alias("span_tokens")))
+
+
+def dup_spans_state(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", window_tokens: int = 6,
+                    min_docs: int = 2):
+    """Bootstrap the incremental substring-dedup state from a corpus:
+    returns (index, dfreq, spans) where index = (doc_id, pos, wh) window
+    rows, dfreq = (wh, wdf) distinct-doc counts per window hash, and
+    spans = the maximal duplicated spans (same contract as
+    substring_dup_spans). In a deployment each would be a persisted
+    BucketedTable (index/dfreq hashed on wh, spans on doc_id)."""
+    index = _span_windows(df, text_col, id_col, window_tokens)
+    dfreq = index.groupBy("wh").agg(
+        F.count_distinct(id_col).alias("wdf"))
+    dup = index.join(
+        dfreq.where(F.col("wdf") >= min_docs).select("wh"), on="wh")
+    spans = _spans_from_dup_positions(dup, id_col, window_tokens)
+    return index, dfreq, spans
+
+
+def dup_spans_upsert(state, new_docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", window_tokens: int = 6,
+                     min_docs: int = 2):
+    """Incremental substring dedup (IVM): ingest `new_docs` (doc ids not
+    present in the state — append-only corpus precondition) and return
+    the updated (index, dfreq, spans) such that `spans` equals a full
+    recompute over old ∪ new (property-tested).
+
+    What gets touched — and, critically, what does NOT:
+    - dfreq: only window hashes occurring in the new batch change
+      (old count + distinct new docs); every other (wh, wdf) row carries
+      over untouched. The aggregate runs over the NEW windows only.
+    - spans: recomputed only for the new docs plus the old docs holding
+      at least one affected hash whose dup status could flip (wdf
+      crossing min_docs) — their window rows come from the stored index
+      via a semi-join, never from re-shingling. All other docs' span
+      rows carry over by anti-join.
+    Old-old document pairs are never revisited: the same
+    touched-keys-only topology as minhash_incremental_pairs and the
+    streaming DTW monitor, which is what makes a daily increment O(batch
+    + touched) instead of O(corpus)."""
+    index, dfreq, spans = state
+    new_win = _span_windows(new_docs, text_col, id_col, window_tokens)
+
+    delta = new_win.groupBy("wh").agg(
+        F.count_distinct(id_col).alias("_new_docs"))
+    # merged distinct-doc counts for affected hashes (append-only ids =>
+    # old and new doc sets are disjoint, counts add)
+    merged = (delta.join(dfreq, on="wh", how="left")
+              .select("wh", (F.coalesce(F.col("wdf"), F.lit(0))
+                             + F.col("_new_docs")).alias("wdf")))
+    dfreq2 = dfreq.join(merged.select("wh"), on="wh", how="anti") \
+        .unionByName(merged)
+
+    # docs needing a rescore: the new batch + old docs holding an
+    # affected hash that is (now) duplicated
+    hot = merged.where(F.col("wdf") >= min_docs).select("wh")
+    old_touched = (index.join(hot, on="wh")
+                   .select(id_col).distinct())
+    new_ids = new_docs.select(id_col).distinct()
+    rescore = old_touched.unionByName(new_ids).distinct()
+
+    index2 = index.unionByName(new_win)
+    dup = (index2.join(rescore, on=id_col, how="semi")
+           .join(dfreq2.where(F.col("wdf") >= min_docs).select("wh"),
+                 on="wh"))
+    new_spans = _spans_from_dup_positions(dup, id_col, window_tokens)
+    spans2 = spans.join(rescore, on=id_col, how="anti") \
+        .unionByName(new_spans)
+    return index2, dfreq2, spans2

@@ -613,9 +613,7 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_manifest(docs, "doc_id", n_shards=16, size_col="n_chars")
 
 
-@_register(
-    "q_dup_spans",
-    """
+_DUP_SPANS_ORACLE = """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
 win AS (
   SELECT t.doc_id, CAST(u.i AS BIGINT) AS pos,
@@ -635,8 +633,10 @@ SELECT doc_id, min(pos) AS span_start, max(pos) + 5 AS span_end,
        count(*) AS n_windows,
        max(pos) + 5 - min(pos) + 1 AS span_tokens
 FROM isl GROUP BY doc_id, grp
-""",
-)
+"""
+
+
+@_register("q_dup_spans", _DUP_SPANS_ORACLE)
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring spans (Lee et al. 2022 exact-substring
     dedup, inverted-index execution): every 6-token sliding window seen
@@ -730,3 +730,22 @@ def q_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return lm_surprisal(docs)
+
+
+@_register("q_dup_spans_incremental", _DUP_SPANS_ORACLE)
+def q_dup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring dedup (IVM): the corpus is split 80/20 by
+    doc id; the 80% bootstraps the (index, dfreq, spans) state and the
+    20% arrives as an increment that recomputes only affected documents
+    — yet the span table must equal (and hash-match) the full-recompute
+    oracle over the whole corpus. Old-old documents are never revisited
+    (functions/dedup.py::dup_spans_upsert)."""
+    from dbsync_spark.functions.dedup import (dup_spans_state,
+                                              dup_spans_upsert)
+
+    docs = read_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 5 != 4)
+    new = docs.where(F.col("doc_id") % 5 == 4)
+    state = dup_spans_state(old, window_tokens=6, min_docs=2)
+    _, _, spans = dup_spans_upsert(state, new, window_tokens=6, min_docs=2)
+    return spans

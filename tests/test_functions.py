@@ -16,6 +16,7 @@ ORACLE_BACKED = [
     "q_dedup_keep_best", "q_repetition", "q_contamination",
     "q_fuzzy_dedup", "q_tfidf_topk", "q_corpus_clean", "q_pii_redact",
     "q_minhash_char", "q_outlier_gaps", "q_dup_spans", "q_decontaminate",
+    "q_dup_spans_incremental",
 ]
 
 
@@ -775,3 +776,46 @@ class TestLmSurprisal:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         got = {r.doc_id: r.surprisal for r in lm_surprisal(df).collect()}
         assert got[99] > got[0] * 2
+
+
+class TestDupSpansIncremental:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_incremental_equals_full_recompute(self, spark):
+        """IVM contract: bootstrap(old) + upsert(new) produces the same
+        span table as bootstrap(old ∪ new), including the case where a
+        NEW doc flips an OLD doc's window to duplicated."""
+        from dbsync_spark.functions.dedup import (dup_spans_state,
+                                                  dup_spans_upsert)
+        run = " ".join(f"s{i}" for i in range(8))
+        other = " ".join(f"o{i}" for i in range(8))
+        old = [(1, "a0 a1 " + run + " a2"),       # dup only once new #4 lands
+               (2, " ".join(f"b{i}" for i in range(12))),
+               (3, other + " c0 " + other)]        # within-doc repeat only
+        new = [(4, "n0 " + run + " n1 n2"),        # flips doc 1
+               (5, " ".join(f"m{i}" for i in range(10)))]
+        st = dup_spans_state(self._mk(spark, old))
+        st2 = dup_spans_upsert(st, self._mk(spark, new))
+        full = dup_spans_state(self._mk(spark, old + new))
+        inc_spans = sorted(map(tuple, st2[2].collect()))
+        full_spans = sorted(map(tuple, full[2].collect()))
+        assert inc_spans == full_spans
+        assert any(r[0] == 1 for r in inc_spans)   # old doc gained a span
+        assert any(r[0] == 4 for r in inc_spans)
+        # dfreq state also converges to the full recompute
+        assert sorted(map(tuple, st2[1].collect())) \
+            == sorted(map(tuple, full[1].collect()))
+
+    def test_untouched_docs_carry_over_without_rescore(self, spark):
+        """A batch with no hash overlap leaves prior span rows identical
+        (anti-join carry-over) and adds none for the disjoint docs."""
+        from dbsync_spark.functions.dedup import (dup_spans_state,
+                                                  dup_spans_upsert)
+        run = " ".join(f"s{i}" for i in range(8))
+        old = [(1, "a0 " + run), (2, "b0 " + run)]
+        st = dup_spans_state(self._mk(spark, old))
+        before = sorted(map(tuple, st[2].collect()))
+        new = [(9, " ".join(f"z{i}" for i in range(10)))]
+        st2 = dup_spans_upsert(st, self._mk(spark, new))
+        assert sorted(map(tuple, st2[2].collect())) == before

@@ -26,6 +26,10 @@ QUERIES = [
     "q_apply_upsert", "q_minhash_dedup", "q_contamination", "q_ann_srp",
     "q_quality", "q_pricing_summary",
     "q_rolling_7d", "q_dedup_cluster", "q_shard_manifest",
+    # corpus-ops additions: substring-span index, bloom decontamination,
+    # MG sketch, bigram-LM scoring, ensemble verify
+    "q_dup_spans", "q_decontaminate", "q_heavy_hitters",
+    "q_lm_surprisal", "q_ensemble_dedup",
 ]
 
 
