@@ -2037,3 +2037,30 @@ def q_channel_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("click_cum").over(wc).alias("cum_clicks"),
         F.max("view_cum").over(wc).alias("cum_views"))
     return f.where(F.col("cum_clicks") > F.col("cum_views"))
+
+
+def _profile_oracle() -> str:
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    parts = [
+        f"""SELECT '{c}' AS col, count(*) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_value,
+       CAST(max({c}) AS VARCHAR) AS max_value FROM orders"""
+        for c in cols]
+    return "\nUNION ALL\n".join(parts)
+
+
+@_register("q_profile", _profile_oracle())
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the orders table (row count,
+    nulls, exact distinct, min/max as strings) — ONE scan with parallel
+    aggregate expressions, unpivoted via stack; the dataset-card
+    validation step before training or migration
+    (functions/profile.py::profile_table)."""
+    from dbsync_spark.functions.profile import profile_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    return profile_table(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority"])

@@ -55,6 +55,7 @@ ANALYTIC_ORACLE_BACKED = [
     "q_ts_similarity",
     "q_integrity_audit",
     "q_channel_cumulative",
+    "q_profile",
 ]
 
 
@@ -311,3 +312,19 @@ def test_dtw_topk_prune_equals_bruteforce(spark, sf_dir):
              ts.dtw_to_query(others, qvals, "user_id", radius=12)
              .orderBy("dtw_dist", "user_id").limit(5).collect()]
     assert pruned == brute and len(pruned) == 5
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    """Planted nulls/dups: the profile reports them exactly, and nulls
+    are excluded from the distinct count."""
+    from dbsync_spark.functions.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, "b"), (None, "b")],
+        "k long, s string")
+    got = {r.col: r for r in profile_table(df, ["k", "s"]).collect()}
+    assert got["k"].n_rows == 5 and got["k"].n_null == 1
+    assert got["k"].n_distinct == 4
+    assert (got["k"].min_value, got["k"].max_value) == ("1", "4")
+    assert got["s"].n_null == 1 and got["s"].n_distinct == 2
+    assert (got["s"].min_value, got["s"].max_value) == ("a", "b")

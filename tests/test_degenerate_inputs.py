@@ -150,3 +150,69 @@ def test_char_entropy_empty_and_uniform(spark):
     rows = {r["doc_id"]: r for r in char_entropy(df).collect()}
     assert set(rows) == {2}
     assert rows[2]["entropy_bits"] == 0.0
+
+
+def test_dup_spans_empty_and_all_identical(spark):
+    """Empty corpus -> no spans; an all-identical corpus -> every doc is
+    one wall-to-wall span."""
+    from dbsync_spark.functions.dedup import substring_dup_spans
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert substring_dup_spans(empty).count() == 0
+
+    txt = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(i, txt) for i in range(3)], "doc_id long, text string")
+    rows = substring_dup_spans(df, window_tokens=6).collect()
+    assert len(rows) == 3
+    assert all((r.span_start, r.span_end) == (1, 10) for r in rows)
+
+
+def test_dup_spans_upsert_empty_increment(spark):
+    """An empty batch is a no-op on all three state tables."""
+    from dbsync_spark.functions.dedup import dup_spans_state, dup_spans_upsert
+
+    run = " ".join(f"s{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, "a " + run), (2, "b " + run)], "doc_id long, text string")
+    st = dup_spans_state(df)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    st2 = dup_spans_upsert(st, empty)
+    for before, after in zip(st, st2):
+        assert sorted(map(tuple, before.collect())) \
+            == sorted(map(tuple, after.collect()))
+
+
+def test_heavy_hitters_empty_and_single_token(spark):
+    from dbsync_spark.functions.sketch import heavy_hitters
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert heavy_hitters(empty).count() == 0
+    one = spark.createDataFrame([(1, "only")], "doc_id long, text string")
+    got = heavy_hitters(one, capacity=10).collect()
+    assert [(r.tok, r.n) for r in got] == [("only", 1)]
+
+
+def test_decontaminate_empty_test_split(spark):
+    """No test docs -> nothing is contaminated, every train doc with
+    >= k tokens survives."""
+    from dbsync_spark.functions.sketch import decontaminate
+
+    df = spark.createDataFrame(
+        [(1, "a b c d", "train"), (2, "e f g h", "train")],
+        "doc_id long, text string, source string")
+    out = decontaminate(df, F.col("source") == "test", k=3)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2]
+
+
+def test_lm_surprisal_single_doc_and_no_bigrams(spark):
+    """One-token docs have no bigrams (excluded); the remaining doc
+    scores -ln((c+1)/(c_x+V)) = -ln(2/4) with V=3 (a,b,c), c=1, c_x=1."""
+    import math
+    from dbsync_spark.functions.text import lm_surprisal
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "c")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in lm_surprisal(df).collect()}
+    assert set(rows) == {1}
+    assert abs(rows[1].surprisal - (-math.log(2 / 4))) < 1e-12
