@@ -9,7 +9,8 @@ swap in approx_count_distinct per column (single pass, no Expand, HLL
 merge across partitions) and keep this exact path for audits. min/max
 are rendered as strings so heterogeneous column types share one output
 schema; only types with engine-portable string renderings (integers,
-strings, dates at day precision) belong in a hash-checked profile.
+plain strings) should be listed in `minmax_cols` for a hash-checked
+profile — the rest emit NULL.
 
 Reference has no profiling surface; this is engine-completeness for the
 data-validation step of a training pipeline (cf. shard_manifest, which
@@ -22,24 +23,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
-    """One row per profiled column: (col, n_rows, n_null, n_distinct,
-    min_value, max_value) — nulls excluded from distinct, min and max
-    rendered as strings."""
-    aggs = []
+def profile_table(df: DataFrame, cols: list[str],
+                  minmax_cols: list[str] | None = None) -> DataFrame:
+    """One row per profiled column: (col_name, n_rows, n_nulls,
+    n_distinct, min_value, max_value). min/max are emitted (as strings)
+    only for columns in `minmax_cols` (default: all), NULL otherwise."""
+    mm = set(cols if minmax_cols is None else minmax_cols)
+    aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
-        aggs += [
-            F.count(F.col(c)).alias(f"_nn_{c}"),
-            F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
-        ]
-    row = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
-    stacked = ", ".join(
-        f"'{c}', _n - _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols)
-    return row.selectExpr(
-        "_n AS n_rows",
-        f"stack({len(cols)}, {stacked}) AS "
-        "(col, n_null, n_distinct, min_value, max_value)",
-    ).select("col", "n_rows", "n_null", "n_distinct",
+        aggs += [F.count(c).alias(f"{c}__nn"),
+                 F.count_distinct(c).alias(f"{c}__nd")]
+        if c in mm:
+            aggs += [F.min(c).cast("string").alias(f"{c}__mn"),
+                     F.max(c).cast("string").alias(f"{c}__mx")]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n - {c}__nn, {c}__nd, "
+        + (f"{c}__mn, {c}__mx" if c in mm
+           else "CAST(NULL AS STRING), CAST(NULL AS STRING)")
+        for c in cols)
+    return row.select(
+        F.expr(f"stack({len(cols)}, {stack_args})")
+        .alias("col_name", "n_nulls", "n_distinct", "min_value",
+               "max_value"),
+        F.col("__n").alias("n_rows"),
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct",
              "min_value", "max_value")

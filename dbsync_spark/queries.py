@@ -43,6 +43,10 @@ def _register(name: str, oracle: str | None = None):
             spark.conf.set("spark.sql.adaptive.enabled", "true")
             return fn(spark, sf_dir)
 
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} (a second "
+                "@_register would silently shadow the first)")
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle

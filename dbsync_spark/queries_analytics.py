@@ -1283,36 +1283,44 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus",
                  "o_totalprice", "o_orderdate", "o_orderpriority"]
+# min/max rendered only where CAST-to-string is bit-identical across
+# engines (integers + plain strings); double/timestamp renderings differ
+_PROFILE_MINMAX = ["o_orderkey", "o_custkey", "o_orderstatus",
+                   "o_orderpriority"]
 
 
-@_register(
-    "q_profile",
-    "\nUNION ALL\n".join(
-        f"SELECT '{c}' AS col_name, count(*) AS n_rows,"
-        f" count(*) - count({c}) AS n_nulls,"
-        f" count(DISTINCT {c}) AS n_distinct FROM orders"
-        for c in _PROFILE_COLS),
-)
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        if c in _PROFILE_MINMAX:
+            mn = f"CAST(min({c}) AS VARCHAR)"
+            mx = f"CAST(max({c}) AS VARCHAR)"
+        else:
+            mn = mx = "CAST(NULL AS VARCHAR)"
+        parts.append(
+            f"SELECT '{c}' AS col_name, count(*) AS n_rows,"
+            f" count(*) - count({c}) AS n_nulls,"
+            f" count(DISTINCT {c}) AS n_distinct,"
+            f" {mn} AS min_value, {mx} AS max_value FROM orders")
+    return "\nUNION ALL\n".join(parts)
+
+
+@_register("q_profile", _profile_oracle())
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table profiling (ANALYZE-style column statistics): per column, the
-    row count, null count, and exact distinct count, computed in ONE scan
+    row count, null count, exact distinct count, and min/max (rendered as
+    strings for the engine-portable types; NULL for double/timestamp whose
+    string renderings are not cross-engine stable), computed in ONE scan
     as parallel aggregate expressions and unpivoted to long form. At
     100 TB the exact count_distinct expressions (which expand the
     aggregate input n_cols-fold) would flip to approx_count_distinct —
-    same plan shape, sketch merge instead of expand."""
+    same plan shape, sketch merge instead of expand
+    (functions/profile.py::profile_table)."""
+    from dbsync_spark.functions.profile import profile_table
+
     orders = read_table(spark, sf_dir, "orders")
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in _PROFILE_COLS:
-        aggs += [F.count(c).alias(f"{c}__nn"),
-                 F.count_distinct(c).alias(f"{c}__nd")]
-    row = orders.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{c}', __n - {c}__nn, {c}__nd" for c in _PROFILE_COLS)
-    return row.select(
-        F.expr(f"stack({len(_PROFILE_COLS)}, {stack_args})")
-        .alias("col_name", "n_nulls", "n_distinct"),
-        F.col("__n").alias("n_rows"),
-    ).select("col_name", "n_rows", "n_nulls", "n_distinct")
+    return profile_table(orders, _PROFILE_COLS,
+                         minmax_cols=_PROFILE_MINMAX)
 
 
 @_register(
@@ -2038,29 +2046,3 @@ def q_channel_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("view_cum").over(wc).alias("cum_views"))
     return f.where(F.col("cum_clicks") > F.col("cum_views"))
 
-
-def _profile_oracle() -> str:
-    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
-    parts = [
-        f"""SELECT '{c}' AS col, count(*) AS n_rows,
-       CAST(count(*) - count({c}) AS BIGINT) AS n_null,
-       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
-       CAST(min({c}) AS VARCHAR) AS min_value,
-       CAST(max({c}) AS VARCHAR) AS max_value FROM orders"""
-        for c in cols]
-    return "\nUNION ALL\n".join(parts)
-
-
-@_register("q_profile", _profile_oracle())
-def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANALYZE-style column profile of the orders table (row count,
-    nulls, exact distinct, min/max as strings) — ONE scan with parallel
-    aggregate expressions, unpivoted via stack; the dataset-card
-    validation step before training or migration
-    (functions/profile.py::profile_table)."""
-    from dbsync_spark.functions.profile import profile_table
-
-    orders = read_table(spark, sf_dir, "orders")
-    return profile_table(
-        orders, ["o_orderkey", "o_custkey", "o_orderstatus",
-                 "o_orderpriority"])

@@ -322,9 +322,11 @@ def test_profile_counts_nulls_and_distincts(spark):
     df = spark.createDataFrame(
         [(1, "a"), (2, "a"), (3, None), (4, "b"), (None, "b")],
         "k long, s string")
-    got = {r.col: r for r in profile_table(df, ["k", "s"]).collect()}
-    assert got["k"].n_rows == 5 and got["k"].n_null == 1
+    got = {r.col_name: r for r in profile_table(
+        df, ["k", "s"], minmax_cols=["k"]).collect()}
+    assert got["k"].n_rows == 5 and got["k"].n_nulls == 1
     assert got["k"].n_distinct == 4
     assert (got["k"].min_value, got["k"].max_value) == ("1", "4")
-    assert got["s"].n_null == 1 and got["s"].n_distinct == 2
-    assert (got["s"].min_value, got["s"].max_value) == ("a", "b")
+    assert got["s"].n_nulls == 1 and got["s"].n_distinct == 2
+    # s not in minmax_cols -> NULL rendering
+    assert (got["s"].min_value, got["s"].max_value) == (None, None)

@@ -10,7 +10,7 @@ from tests.compare import assert_matches
 
 TZ_SENSITIVE = ["q_window_count", "q_date_funcs", "q_rollup", "q_sessionize",
                 "q_gap_fill", "q_hopping_window", "q_session_window",
-                "q_attribution", "q_changed_columns"]
+                "q_attribution", "q_changed_columns", "q_channel_cumulative"]
 
 
 def test_queries_survive_non_utc_session(spark, sf_dir, duck):
