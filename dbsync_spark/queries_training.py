@@ -749,3 +749,26 @@ def q_dup_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = dup_spans_state(old, window_tokens=6, min_docs=2)
     _, _, spans = dup_spans_upsert(state, new, window_tokens=6, min_docs=2)
     return spans
+
+
+@_register("q_streaming_spans", _DUP_SPANS_ORACLE)
+def q_streaming_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming exact-substring dedup SERVICE, hash-checked against
+    SQL: the corpus arrives in three micro-batches through
+    StreamingSpanIndex (epoch-scoped parquet state, touched-docs-only
+    rescoring, latest-epoch-wins span versioning) and the resulting
+    current_spans() table must equal — and hash-match — the one-shot
+    full-recompute oracle over the whole corpus
+    (streaming/span_index.py)."""
+    import tempfile
+
+    from dbsync_spark.streaming.span_index import StreamingSpanIndex
+
+    docs = read_table(spark, sf_dir, "documents")
+    idx = StreamingSpanIndex(
+        spark, tempfile.mkdtemp(prefix="dbsync_spanidx_q_"),
+        window_tokens=6, min_docs=2)
+    for epoch in range(3):
+        idx.process_batch(docs.where(F.col("doc_id") % 3 == epoch),
+                          epoch_id=epoch)
+    return idx.current_spans()

@@ -1,0 +1,148 @@
+"""Streaming exact-substring dedup: a persisted window index driven from
+foreachBatch, maintaining the duplicated-span table incrementally.
+
+The batch operator pair (functions/dedup.py::dup_spans_state/_upsert)
+defines the math; this module runs it as a SERVICE: documents arrive in
+micro-batches, each batch appends its window rows, rescans NOTHING but
+the touched subset, and persists the recomputed spans for exactly the
+affected documents. `current_spans()` then equals a full recompute over
+everything ingested so far (tested).
+
+Storage layout (plain parquet dirs, epoch-scoped like
+StreamingDedupIndex — replaying a failed epoch overwrites its own files
+instead of double-appending):
+- <root>/windows/epoch=N  : (doc_id, pos, wh) — append-only index
+- <root>/spans/epoch=N    : span rows for every doc RESCORED in epoch N
+- <root>/rescored/epoch=N : (doc_id) list of docs rescored in epoch N
+
+Span versioning is latest-epoch-wins: a doc's current spans are the rows
+of its highest rescore epoch; a doc rescored to ZERO spans appears in
+`rescored` with no span rows, correctly shadowing older spans (absence
+alone could not shadow in an append-only store).
+
+Scale shape per batch: the windows of the batch are row-local; the only
+wide work keys on (a) the batch's window hashes (distinct-doc counts),
+(b) the rescored docs' window rows, (c) the rescored docs' hashes'
+doc-frequency — all proportional to the increment and its duplication
+neighborhood, never the corpus. Old-old documents with no hash in the
+batch are untouched. The full-index reads are scans (I/O-parallel);
+production state would be a wh-bucketed / doc_id-bucketed table so those
+scans prune to touched buckets (sinks/table.BucketedTable), exactly as
+the apply path does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from dbsync_spark.functions.dedup import (_span_windows,
+                                          _spans_from_dup_positions)
+
+_WINDOWS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("pos", LongType()),
+    StructField("wh", LongType()),
+])
+_SPANS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("span_start", LongType()),
+    StructField("span_end", LongType()),
+    StructField("n_windows", LongType()),
+    StructField("span_tokens", LongType()),
+])
+_RESCORED_SCHEMA = StructType([StructField("doc_id", LongType())])
+
+
+class StreamingSpanIndex:
+    """Incremental exact-substring dedup over parquet state dirs. Call
+    `process_batch` per micro-batch (directly, or via
+    `foreach_batch_handler()` from a writeStream). Batch doc_ids must be
+    globally unique across epochs (the CDC id contract)."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 window_tokens: int = 6, min_docs: int = 2):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.window_tokens = window_tokens
+        self.min_docs = min_docs
+
+    def _read(self, sub: str, schema: StructType) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
+        # PATH_NOT_FOUND only (state dir not created yet); any other
+        # failure is real corruption and must propagate
+        try:
+            return self.spark.read.schema(schema).parquet(
+                f"{self.root}/{sub}")
+        except AnalysisException as e:
+            if e.getCondition() == "PATH_NOT_FOUND":
+                return self.spark.createDataFrame([], schema)
+            raise
+
+    def process_batch(self, new_docs: DataFrame, epoch_id: int = 0
+                      ) -> DataFrame:
+        """Ingest a (doc_id, text) batch; persist and return the span
+        rows of every document rescored by this batch."""
+        new_docs = new_docs.select("doc_id", "text")
+        new_win = _span_windows(new_docs, "text", "doc_id",
+                                self.window_tokens)
+        new_win.write.mode("overwrite").parquet(
+            f"{self.root}/windows/epoch={epoch_id}")
+        index = self._read("windows", _WINDOWS_SCHEMA)  # incl. this epoch
+
+        # docs to rescore: the batch itself + any doc sharing a window
+        # hash with the batch where that hash is (now) duplicated
+        touched = new_win.select("wh").distinct()
+        tdf = (index.join(touched, on="wh", how="semi")
+               .groupBy("wh")
+               .agg(F.count_distinct("doc_id").alias("wdf")))
+        hot = tdf.where(F.col("wdf") >= self.min_docs).select("wh")
+        rescore = (index.join(hot, on="wh", how="semi")
+                   .select("doc_id")
+                   .unionByName(new_docs.select("doc_id"))
+                   .distinct())
+
+        # a rescored doc's OTHER windows may be duplicated via hashes the
+        # batch never touched: doc-frequency over the rescored docs'
+        # hash set, not just the touched set
+        rwin = index.join(rescore, on="doc_id", how="semi")
+        rdf = (index.join(rwin.select("wh").distinct(), on="wh", how="semi")
+               .groupBy("wh")
+               .agg(F.count_distinct("doc_id").alias("wdf")))
+        dup = rwin.join(
+            rdf.where(F.col("wdf") >= self.min_docs).select("wh"), on="wh")
+        spans = _spans_from_dup_positions(dup, "doc_id", self.window_tokens)
+
+        spans.write.mode("overwrite").parquet(
+            f"{self.root}/spans/epoch={epoch_id}")
+        rescore.write.mode("overwrite").parquet(
+            f"{self.root}/rescored/epoch={epoch_id}")
+        return self.spark.read.parquet(
+            f"{self.root}/spans/epoch={epoch_id}")
+
+    def foreach_batch_handler(self):
+        """Adapter for `writeStream.foreachBatch` over a (doc_id, text)
+        stream."""
+        def handle(batch_df: DataFrame, epoch_id: int) -> None:
+            self.process_batch(batch_df, epoch_id)
+
+        return handle
+
+    def current_spans(self) -> DataFrame:
+        """The span table as of the latest processed epoch: each doc's
+        rows from its HIGHEST rescore epoch (latest-epoch-wins; empty
+        frame before the first batch)."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            res = self.spark.read.parquet(f"{self.root}/rescored")
+            spans = self.spark.read.parquet(f"{self.root}/spans")
+        except AnalysisException as e:
+            if e.getCondition() == "PATH_NOT_FOUND":
+                return self.spark.createDataFrame([], _SPANS_SCHEMA)
+            raise
+        latest = res.groupBy("doc_id").agg(F.max("epoch").alias("epoch"))
+        return (spans.join(latest, on=["doc_id", "epoch"])
+                .drop("epoch"))

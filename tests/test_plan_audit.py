@@ -14,7 +14,8 @@ import __spark_entry__ as entrymod
 
 # queries whose *driver-side setup* runs streaming/multi-job work; their
 # final DataFrame is a read of materialized output, not the operator plan
-SETUP_HEAVY = {"q_streaming_apply", "q_retry_replay", "q_streaming_dtw"}
+SETUP_HEAVY = {"q_streaming_apply", "q_retry_replay", "q_streaming_dtw",
+               "q_streaming_spans"}
 
 # intentional 1-row / tiny-side broadcast nested loops (scalar joins)
 BNLJ_ALLOWED = {

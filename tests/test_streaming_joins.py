@@ -179,3 +179,63 @@ def test_streaming_ivf_requires_fit(spark, tmp_path):
         raise AssertionError("expected RuntimeError")
     except RuntimeError as e:
         assert "fit()" in str(e)
+
+
+class TestStreamingSpanIndex:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_stream_equals_full_recompute(self, spark, tmp_path):
+        """Three micro-batches through the service == dup_spans_state
+        over the whole corpus, including an old doc whose span only
+        appears once a LATER batch lands (cross-epoch flip)."""
+        from dbsync_spark.functions.dedup import dup_spans_state
+        from dbsync_spark.streaming.span_index import StreamingSpanIndex
+
+        run = " ".join(f"s{i}" for i in range(8))
+        other = " ".join(f"t{i}" for i in range(7))
+        b1 = [(1, "a0 a1 " + run), (2, " ".join(f"u{i}" for i in range(9)))]
+        b2 = [(3, other + " z9"), (4, "b0 " + run + " b1")]   # 4 flips 1
+        b3 = [(5, "c0 c1 " + other)]                           # 5 flips 3
+        idx = StreamingSpanIndex(spark, str(tmp_path / "span_idx"))
+        for epoch, batch in enumerate((b1, b2, b3)):
+            idx.process_batch(self._docs(spark, batch), epoch_id=epoch)
+        got = sorted(map(tuple, idx.current_spans().collect()))
+        _, _, full_spans = dup_spans_state(
+            self._docs(spark, b1 + b2 + b3))
+        want = sorted(map(tuple, full_spans.collect()))
+        assert got == want
+        assert {r[0] for r in got} == {1, 3, 4, 5}  # cross-epoch flips
+
+    def test_epoch_replay_idempotent(self, spark, tmp_path):
+        """Re-running a failed epoch overwrites its own files: state and
+        current_spans are identical after a replay."""
+        from dbsync_spark.streaming.span_index import StreamingSpanIndex
+
+        run = " ".join(f"s{i}" for i in range(8))
+        b1 = [(1, "a " + run)]
+        b2 = [(2, "b " + run)]
+        idx = StreamingSpanIndex(spark, str(tmp_path / "replay_idx"))
+        idx.process_batch(self._docs(spark, b1), epoch_id=0)
+        idx.process_batch(self._docs(spark, b2), epoch_id=1)
+        before = sorted(map(tuple, idx.current_spans().collect()))
+        idx.process_batch(self._docs(spark, b2), epoch_id=1)  # replay
+        after = sorted(map(tuple, idx.current_spans().collect()))
+        assert before == after and len(before) == 2
+
+    def test_rescore_to_zero_spans_shadows(self, spark, tmp_path):
+        """current_spans before any batch is empty; a doc rescored in a
+        later epoch keeps exactly its latest rows (no stale union)."""
+        from dbsync_spark.streaming.span_index import StreamingSpanIndex
+
+        idx = StreamingSpanIndex(spark, str(tmp_path / "empty_idx"))
+        assert idx.current_spans().count() == 0
+        run = " ".join(f"s{i}" for i in range(8))
+        idx.process_batch(self._docs(spark, [(1, "a " + run)]), 0)
+        assert idx.current_spans().count() == 0     # df=1: no dups yet
+        idx.process_batch(self._docs(spark, [(2, "b " + run)]), 1)
+        got = idx.current_spans().collect()
+        assert sorted(r.doc_id for r in got) == [1, 2]
+        # every current row came from the doc's LATEST rescore epoch:
+        # doc 1 was rescored in epoch 1, so no epoch-0 leftovers exist
+        assert all(r.n_windows == 3 for r in got)
