@@ -67,6 +67,17 @@ class DbSyncApp:
         # loop waits on it before starting the rebuilt pipelines
         self._reload_complete = threading.Event()
         self._reload_complete.set()
+        # app-LIFETIME lock tables: reload() rebuilds pipelines but must
+        # never replace these — an old pipeline's in-flight tick and a
+        # rebuilt pipeline append to the SAME status dir, and two "locks"
+        # for one path is no lock at all. Keyed by status path.
+        self._ack_locks: dict[str, threading.Lock] = {}
+        # serializes control-loop ticks against reload(): a tick runs on
+        # an entirely-old or entirely-new pipeline set, never on a
+        # half-rebuilt one, and an old tick's bucket merges finish before
+        # reload tears the pipelines down (same target dirs, different
+        # per-object merge locks otherwise)
+        self._control_lock = threading.RLock()
 
     # -- bootstrap ----------------------------------------------------------
     def bootstrap(self) -> None:
@@ -77,12 +88,8 @@ class DbSyncApp:
             self._listener = HeartbeatListener(
                 self.registry, interval_ms=self.config.sys.maxPollWait or 60000)
             self.spark.streams.addListener(self._listener)
-        import threading
-
-        ack_locks: dict[str, threading.Lock] = {}
-        # shared with status_compaction_pass: compaction swaps the status
-        # dir and must hold the same lock the appenders do
-        self._ack_locks = ack_locks
+        # app-lifetime dict (see __init__): reload keeps lock identity
+        ack_locks = self._ack_locks
         for rule in self.config.syncs:
             key = f"{rule.source_db}.{rule.source_schema}.{rule.source_table}"
             tgt_key = f"{rule.target_db}.{'.'.join(rule.resolved_target())}"
@@ -235,8 +242,10 @@ class DbSyncApp:
                 continue
             if n <= threshold:
                 continue
-            lock = getattr(self, "_ack_locks", {}).get(
-                path) or threading.Lock()
+            # setdefault: if compaction reaches this dir before any
+            # pipeline registered it, future appenders still share THIS
+            # lock (a private fallback lock would exclude nobody)
+            lock = self._ack_locks.setdefault(path, threading.Lock())
             with lock:
                 compact(self.spark, path, target_files=target_files,
                         schema=SYNC_STATUS_SCHEMA)
@@ -296,7 +305,8 @@ class DbSyncApp:
                     if deadlines[name] <= now:
                         deadlines[name] = now + period
                         try:
-                            fn()
+                            with self._control_lock:
+                                fn()
                             self.loop_stats[name] += 1
                         except Exception:  # noqa: BLE001 - a failing tick
                             self.loop_stats["errors"] += 1  # must not kill
@@ -421,6 +431,7 @@ class DbSyncApp:
         self._reload_complete.clear()
         self._reloaded = True
         try:
+            self._control_lock.acquire()
             for pipe in self.pipelines:
                 q = getattr(pipe, "last_query", None)
                 if q is not None and q.isActive:
@@ -432,6 +443,7 @@ class DbSyncApp:
                 self._listener.registry = self.registry
             self.bootstrap()
         finally:
+            self._control_lock.release()
             self._reload_complete.set()
 
 

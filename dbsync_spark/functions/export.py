@@ -119,20 +119,18 @@ def update_shards(spark, path: str, new_df: DataFrame, key_col: str,
     if not touched:
         return []
     order = order_col or key_col
-    try:
-        existing = (spark.read.parquet(path)
+    from dbsync_spark.sources.tables import read_state
+
+    prior = read_state(spark, path)  # None on first refresh of an empty
+    if prior is None:                # dir; real corruption propagates
+        merged = assigned
+    else:
+        existing = (prior
                     .where(F.col("shard").isin(touched))
                     # new version wins on key collision
                     .join(assigned.select(key_col), on=key_col,
                           how="left_anti"))
         merged = existing.unionByName(assigned)
-    except Exception as e:  # noqa: BLE001 - first refresh of an empty dir
-        from pyspark.errors import AnalysisException
-
-        if not (isinstance(e, AnalysisException) and e.getCondition() in
-                ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")):
-            raise
-        merged = assigned
     staging = path.rstrip("/") + ".staging"
     shutil.rmtree(staging, ignore_errors=True)
     (merged.repartition(len(touched), F.col("shard"))

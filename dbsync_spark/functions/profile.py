@@ -27,21 +27,29 @@ def profile_table(df: DataFrame, cols: list[str],
                   minmax_cols: list[str] | None = None) -> DataFrame:
     """One row per profiled column: (col_name, n_rows, n_nulls,
     n_distinct, min_value, max_value). min/max are emitted (as strings)
-    only for columns in `minmax_cols` (default: all), NULL otherwise."""
+    only for columns in `minmax_cols` (default: all), NULL otherwise.
+    Internal aggregate aliases are positional (_c0_nn, ...) and the
+    stack() arguments reference only those plus an escaped label
+    literal, so column names with spaces/quotes/keywords profile
+    correctly (F.col handles them without SQL parsing)."""
     mm = set(cols if minmax_cols is None else minmax_cols)
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
-        aggs += [F.count(c).alias(f"{c}__nn"),
-                 F.count_distinct(c).alias(f"{c}__nd")]
+    for i, c in enumerate(cols):
+        aggs += [F.count(F.col(c)).alias(f"_c{i}_nn"),
+                 F.count_distinct(F.col(c)).alias(f"_c{i}_nd")]
         if c in mm:
-            aggs += [F.min(c).cast("string").alias(f"{c}__mn"),
-                     F.max(c).cast("string").alias(f"{c}__mx")]
+            aggs += [F.min(F.col(c)).cast("string").alias(f"_c{i}_mn"),
+                     F.max(F.col(c)).cast("string").alias(f"_c{i}_mx")]
     row = df.agg(*aggs)
+
+    def lbl(c: str) -> str:
+        return "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     stack_args = ", ".join(
-        f"'{c}', __n - {c}__nn, {c}__nd, "
-        + (f"{c}__mn, {c}__mx" if c in mm
+        f"{lbl(c)}, __n - _c{i}_nn, _c{i}_nd, "
+        + (f"_c{i}_mn, _c{i}_mx" if c in mm
            else "CAST(NULL AS STRING), CAST(NULL AS STRING)")
-        for c in cols)
+        for i, c in enumerate(cols))
     return row.select(
         F.expr(f"stack({len(cols)}, {stack_args})")
         .alias("col_name", "n_nulls", "n_distinct", "min_value",

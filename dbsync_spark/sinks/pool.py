@@ -52,6 +52,13 @@ class ConnectionPool:
                  retry_backoff: float = 0.2, name: str = "",
                  on_checkout=None):
         self._connect = connect
+        # config snapshot for get_pool's replace-on-change comparison
+        self._config_kwargs = {
+            k: v for k, v in (("max_active", max_active),
+                              ("acquire_timeout", acquire_timeout),
+                              ("connect_retries", connect_retries),
+                              ("retry_backoff", retry_backoff),
+                              ("on_checkout", on_checkout))}
         self.max_active = max_active
         self.acquire_timeout = acquire_timeout
         self.connect_retries = connect_retries
@@ -165,7 +172,14 @@ _REGISTRY_LOCK = threading.Lock()
 
 def get_pool(name: str, connect=None, **kwargs) -> ConnectionPool:
     """Per-process pool registry (one pool per datasource name, reused
-    across foreachPartition calls within a worker)."""
+    across foreachPartition calls within a worker).
+
+    A repeat call for an existing name must not silently hand back the
+    old configuration: a changed connect factory (credentials rotation)
+    or changed limits/timeouts REPLACES the pool — the old one's idle
+    connections are closed and in-flight checkouts drain against the
+    old object harmlessly. Passing no factory reuses as-is (the common
+    per-partition fast path)."""
     with _REGISTRY_LOCK:
         pool = _REGISTRY.get(name)
         if pool is None:
@@ -173,6 +187,23 @@ def get_pool(name: str, connect=None, **kwargs) -> ConnectionPool:
                 raise KeyError(f"no pool named {name!r} and no factory given")
             pool = ConnectionPool(connect, name=name, **kwargs)
             _REGISTRY[name] = pool
+            return pool
+        import inspect
+
+        defaults = {
+            k: v.default for k, v in inspect.signature(
+                ConnectionPool.__init__).parameters.items()
+            if v.default is not inspect.Parameter.empty and k != "name"}
+        wanted = {**defaults, **kwargs}
+        if connect is not None and (
+                connect is not pool._connect
+                or wanted != pool._config_kwargs):
+            replacement = ConnectionPool(connect, name=name, **kwargs)
+            _REGISTRY[name] = replacement
+            old_pool = pool
+            pool = replacement
+            # close outside nothing: close_all only touches idle conns
+            old_pool.close_all()
         return pool
 
 

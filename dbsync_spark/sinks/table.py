@@ -168,25 +168,18 @@ class BucketedTable:
         self._recover_buckets()
         if not os.path.isdir(self.data_path):
             return None
-        from pyspark.errors import AnalysisException
+        from dbsync_spark.sources.tables import read_state
 
-        try:
-            # mergeSchema: after additive payload evolution, touched
-            # buckets carry the widened schema while untouched ones keep
-            # the old — the union-by-name read null-fills the difference
-            # (footer merge across n_buckets files is driver-side, cheap
-            # next to the scan)
-            return spark.read.option("mergeSchema", "true").parquet(
-                self.data_path)
-        except AnalysisException as e:
-            # ONLY not-yet-written states read as empty; a corrupt or
-            # unreadable table must propagate — treating it as empty
-            # would make the next merge silently drop every non-batch
-            # key in the touched buckets
-            if e.getCondition() in ("PATH_NOT_FOUND",
-                                    "UNABLE_TO_INFER_SCHEMA"):
-                return None
-            raise
+        # mergeSchema: after additive payload evolution, touched buckets
+        # carry the widened schema while untouched ones keep the old —
+        # the union-by-name read null-fills the difference (footer merge
+        # across n_buckets files is driver-side, cheap next to the scan).
+        # read_state: only not-yet-written states read as empty (None);
+        # a corrupt table propagates — treating it as empty would make
+        # the next merge silently drop every non-batch key in the
+        # touched buckets
+        return read_state(spark, self.data_path,
+                          options={"mergeSchema": "true"})
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         """Full snapshot (tombstones + _last_id included, like

@@ -49,6 +49,24 @@ def _scan(sql: str):
                 ctx = None
                 i += 2
                 continue
+            if c == "'":
+                # a string literal INSIDE the procedural body (e.g. a
+                # user condition `note = 'foo('`): its content is data,
+                # not code — parens/keywords in it must not count
+                ctx = "$$'"
+        elif ctx == "$$'":
+            if c == "'":
+                if i + 1 < n and sql[i + 1] == "'":  # '' escape
+                    yield from ((c, "'"), (c, "'"))
+                    i += 2
+                    continue
+                ctx = "$$"
+                yield (c, ctx)
+                i += 1
+                continue
+            yield (c, "'")
+            i += 1
+            continue
         else:
             if c in ("'", '"', "`"):
                 ctx = c
@@ -79,7 +97,7 @@ def strip_quoted(sql: str) -> str:
         elif ctx == "$$":
             out.append(c)  # dollar-quoted body is procedural code: keep
         else:
-            out.append(" ")
+            out.append(" ")  # string data, incl. literals inside $$
     return "".join(out)
 
 

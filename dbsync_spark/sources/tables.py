@@ -61,3 +61,31 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def read_state(spark: SparkSession, path: str, *, read_schema=None,
+               empty_schema=None, options: dict | None = None):
+    """Read a parquet STATE directory that may legitimately not exist yet
+    (first call before any batch wrote it). On PATH_NOT_FOUND /
+    UNABLE_TO_INFER_SCHEMA — the two "no data yet" conditions — returns
+    an empty frame typed as `empty_schema`, or None when no empty_schema
+    is given. Any other failure propagates: a corrupt state read as
+    empty would silently drop data downstream. Single definition for the
+    pattern previously copy-pasted across the streaming indexes,
+    BucketedTable, and the shard exporter (with drifting condition
+    sets)."""
+    from pyspark.errors import AnalysisException
+
+    reader = spark.read
+    if read_schema is not None:
+        reader = reader.schema(read_schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    try:
+        return reader.parquet(path)
+    except AnalysisException as e:
+        if e.getCondition() in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            if empty_schema is None:
+                return None
+            return spark.createDataFrame([], empty_schema)
+        raise

@@ -40,6 +40,9 @@ from dbsync_spark.functions.similarity import (
 )
 
 
+from dbsync_spark.sources.tables import read_state
+from dbsync_spark.streaming.state import next_epoch
+
 class StreamingIvfIndex:
     def __init__(self, spark: SparkSession, root: str, dim: int,
                  n_clusters: int = 16, id_col: str = "vec_id",
@@ -79,9 +82,11 @@ class StreamingIvfIndex:
             self._centroids = np.load(self._centroid_path)
         return self._centroids
 
-    def process_batch(self, vectors: DataFrame, epoch_id: int = 0) -> None:
+    def process_batch(self, vectors: DataFrame, epoch_id: int | None = None) -> None:
         """Assign a batch of (id, vector) rows to their inverted lists and
         append (epoch-scoped overwrite — replays are idempotent)."""
+        if epoch_id is None:
+            epoch_id = next_epoch(self.root, "lists")
         assigned = _assign_clusters(
             vectors.select(self.id_col, self.vec_col), self.centroids(),
             self.id_col, self.vec_col, nprobe=1, keep_vec=True)
@@ -99,15 +104,10 @@ class StreamingIvfIndex:
               nprobe: int = 2) -> DataFrame:
         """Approximate cosine top-k against the stored lists. Before any
         processed batch the index is empty, so the answer is the empty
-        top-k frame (same PATH_NOT_FOUND-only handling as
-        StreamingDedupIndex._read; real corruption propagates)."""
-        from pyspark.errors import AnalysisException
-
-        try:
-            lists = self.spark.read.parquet(f"{self.root}/lists")
-        except AnalysisException as e:
-            if e.getCondition() != "PATH_NOT_FOUND":
-                raise
+        top-k frame ("no data yet" only — read_state; real corruption
+        propagates)."""
+        lists = read_state(self.spark, f"{self.root}/lists")
+        if lists is None:
             from pyspark.sql.types import (DoubleType, IntegerType,
                                            LongType, StructField,
                                            StructType)

@@ -39,6 +39,9 @@ from dbsync_spark.functions.dedup import (
     probe_candidates,
 )
 
+from dbsync_spark.sources.tables import read_state
+from dbsync_spark.streaming.state import next_epoch
+
 _BANDS_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("band", LongType()),
@@ -64,24 +67,18 @@ class StreamingDedupIndex:
         self.shingle_fn = shingle_fn
 
     def _read(self, sub: str, schema: StructType) -> DataFrame:
-        from pyspark.errors import AnalysisException
+        # "no data yet" reads as empty; real corruption propagates
+        # (sources/tables.read_state, shared fleet-wide)
+        return read_state(self.spark, f"{self.root}/{sub}",
+                          read_schema=schema, empty_schema=schema)
 
-        # PATH_NOT_FOUND only (state dir not created yet — first call
-        # before any batch); any other failure is real corruption and
-        # must propagate
-        try:
-            return self.spark.read.schema(schema).parquet(
-                f"{self.root}/{sub}")
-        except AnalysisException as e:
-            if e.getCondition() == "PATH_NOT_FOUND":
-                return self.spark.createDataFrame([], schema)
-            raise
-
-    def process_batch(self, new_docs: DataFrame, epoch_id: int = 0
+    def process_batch(self, new_docs: DataFrame, epoch_id: int | None = None
                       ) -> DataFrame:
         """Probe the index with a batch of (doc_id, text) docs, append
         the batch's bands/docs, persist and return the new pairs.
         Batch doc_ids must be globally unique (the CDC id contract)."""
+        if epoch_id is None:
+            epoch_id = next_epoch(self.root, "bands")
         new_docs = new_docs.select("doc_id", "text")
         # epoch-scoped subdir: replaying a failed epoch overwrites its own
         # files instead of double-appending (the foreachBatch idempotence
@@ -115,19 +112,13 @@ class StreamingDedupIndex:
 
     def all_pairs(self) -> DataFrame:
         """Every near-dup pair persisted so far (empty frame before the
-        first batch — same PATH_NOT_FOUND-only handling as _read; real
-        corruption still propagates)."""
-        from pyspark.errors import AnalysisException
+        first batch; real corruption still propagates — read_state)."""
         from pyspark.sql.types import (DoubleType, LongType, StructField,
                                        StructType)
 
-        try:
-            return self.spark.read.parquet(f"{self.root}/pairs")
-        except AnalysisException as e:
-            if e.getCondition() == "PATH_NOT_FOUND":
-                return self.spark.createDataFrame([], StructType([
-                    StructField("doc_a", LongType()),
-                    StructField("doc_b", LongType()),
-                    StructField("jaccard", DoubleType()),
-                ]))
-            raise
+        return read_state(self.spark, f"{self.root}/pairs",
+                          empty_schema=StructType([
+                              StructField("doc_a", LongType()),
+                              StructField("doc_b", LongType()),
+                              StructField("jaccard", DoubleType()),
+                          ]))

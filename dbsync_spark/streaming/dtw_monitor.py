@@ -35,6 +35,9 @@ from pyspark.sql import functions as F
 from dbsync_spark.functions.timeseries import dtw_to_query, series_arrays
 
 
+from dbsync_spark.sources.tables import read_state
+from dbsync_spark.streaming.state import next_epoch
+
 class StreamingDtwMonitor:
     def __init__(self, spark: SparkSession, root: str, query_values,
                  id_col: str = "user_id", ts_col: str = "ts",
@@ -55,19 +58,14 @@ class StreamingDtwMonitor:
         return F.date_trunc(self.bucket, col)
 
     def _read_buckets(self) -> DataFrame | None:
-        from pyspark.errors import AnalysisException
+        return read_state(self.spark, f"{self.root}/buckets")
 
-        try:
-            return self.spark.read.parquet(f"{self.root}/buckets")
-        except AnalysisException as e:
-            if e.getCondition() == "PATH_NOT_FOUND":
-                return None
-            raise
-
-    def process_batch(self, batch_df: DataFrame, epoch_id: int = 0
+    def process_batch(self, batch_df: DataFrame, epoch_id: int | None = None
                       ) -> DataFrame:
         """Ingest one micro-batch; returns (id, dtw_dist) for the keys
         the batch touched."""
+        if epoch_id is None:
+            epoch_id = next_epoch(self.root, "buckets")
         per_bucket = (batch_df
                       .groupBy(F.col(self.id_col).alias("_id"),
                                self._bucket(F.col(self.ts_col)).alias("_b"))
@@ -119,20 +117,15 @@ class StreamingDtwMonitor:
 
     def distances(self) -> DataFrame:
         """Latest DTW distance per key across all processed batches."""
-        from pyspark.errors import AnalysisException
+        from pyspark.sql.types import (DoubleType, LongType,
+                                       StructField, StructType)
 
-        try:
-            d = self.spark.read.parquet(f"{self.root}/dists")
-        except AnalysisException as e:
-            if e.getCondition() == "PATH_NOT_FOUND":
-                from pyspark.sql.types import (DoubleType, LongType,
-                                               StructField, StructType)
-
-                return self.spark.createDataFrame([], StructType([
-                    StructField(self.id_col, LongType()),
-                    StructField("dtw_dist", DoubleType()),
-                ]))
-            raise
+        d = read_state(self.spark, f"{self.root}/dists",
+                       empty_schema=StructType([
+                           StructField(self.id_col, LongType()),
+                           StructField("dtw_dist", DoubleType()),
+                           StructField("epoch", LongType()),
+                       ]))
         return (d.groupBy(self.id_col)
                 .agg(F.max_by(F.col("dtw_dist"), F.col("epoch"))
                      .alias("dtw_dist")))

@@ -27,6 +27,10 @@ from dbsync_spark.operators.route import SyncRule, apply_conditions
 from dbsync_spark.sinks.table import BucketedTable, ParquetTable
 
 
+# non-retryable dead-letter marker shared by the ack writer and the
+# resolver predicate (a malformed payload can never converge)
+MALFORMED_MSG = "malformed payload"
+
 class SyncPipeline:
     """Streaming apply of one sync rule onto one target table.
 
@@ -170,7 +174,7 @@ class SyncPipeline:
             # and counted, never silently null-merged)
             self._write_acks(bad.select(
                 F.col("id").alias("dataId"), F.lit("ERR").alias("status"),
-                F.lit("malformed payload").alias("message"),
+                F.lit(MALFORMED_MSG).alias("message"),
                 F.lit(0).alias("retry"),
                 F.current_timestamp().alias("createTime")))
         changes = apply_conditions(
@@ -193,9 +197,14 @@ class SyncPipeline:
         # rows are dead letters, visible but never retried again
         retry_ok = (F.lit(True) if self.max_retry is None
                     else F.col("retry") < self.max_retry)
+        # malformed-payload dead letters are non-retryable BY CONSTRUCTION
+        # (split_corrupt would drop them again): excluding them here, not
+        # just at the join, keeps a corrupt-only backlog from turning
+        # every tick into a full log read + an empty ack append forever
         bad = current_status(acks).where(
-            (F.col("status") == "BLK")
-            | ((F.col("status") == "ERR") & retry_ok))
+            ((F.col("status") == "BLK")
+             | ((F.col("status") == "ERR") & retry_ok))
+            & (F.col("message") != MALFORMED_MSG))
         if bad.isEmpty():
             return False
         from dbsync_spark.sources.log_source import read_log

@@ -39,6 +39,9 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from dbsync_spark.functions.dedup import (_span_windows,
                                           _spans_from_dup_positions)
+from dbsync_spark.sources.tables import read_state
+
+from dbsync_spark.streaming.state import next_epoch
 
 _WINDOWS_SCHEMA = StructType([
     StructField("doc_id", LongType()),
@@ -69,22 +72,15 @@ class StreamingSpanIndex:
         self.min_docs = min_docs
 
     def _read(self, sub: str, schema: StructType) -> DataFrame:
-        from pyspark.errors import AnalysisException
+        return read_state(self.spark, f"{self.root}/{sub}",
+                          read_schema=schema, empty_schema=schema)
 
-        # PATH_NOT_FOUND only (state dir not created yet); any other
-        # failure is real corruption and must propagate
-        try:
-            return self.spark.read.schema(schema).parquet(
-                f"{self.root}/{sub}")
-        except AnalysisException as e:
-            if e.getCondition() == "PATH_NOT_FOUND":
-                return self.spark.createDataFrame([], schema)
-            raise
-
-    def process_batch(self, new_docs: DataFrame, epoch_id: int = 0
+    def process_batch(self, new_docs: DataFrame, epoch_id: int | None = None
                       ) -> DataFrame:
         """Ingest a (doc_id, text) batch; persist and return the span
         rows of every document rescored by this batch."""
+        if epoch_id is None:
+            epoch_id = next_epoch(self.root, "windows")
         new_docs = new_docs.select("doc_id", "text")
         new_win = _span_windows(new_docs, "text", "doc_id",
                                 self.window_tokens)
@@ -134,15 +130,10 @@ class StreamingSpanIndex:
         """The span table as of the latest processed epoch: each doc's
         rows from its HIGHEST rescore epoch (latest-epoch-wins; empty
         frame before the first batch)."""
-        from pyspark.errors import AnalysisException
-
-        try:
-            res = self.spark.read.parquet(f"{self.root}/rescored")
-            spans = self.spark.read.parquet(f"{self.root}/spans")
-        except AnalysisException as e:
-            if e.getCondition() == "PATH_NOT_FOUND":
-                return self.spark.createDataFrame([], _SPANS_SCHEMA)
-            raise
+        res = read_state(self.spark, f"{self.root}/rescored")
+        spans = read_state(self.spark, f"{self.root}/spans")
+        if res is None or spans is None:
+            return self.spark.createDataFrame([], _SPANS_SCHEMA)
         latest = res.groupBy("doc_id").agg(F.max("epoch").alias("epoch"))
         return (spans.join(latest, on=["doc_id", "epoch"])
                 .drop("epoch"))

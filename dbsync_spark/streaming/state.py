@@ -1,0 +1,23 @@
+"""Shared helpers for parquet-state streaming services."""
+
+from __future__ import annotations
+
+
+def next_epoch(root: str, sub: str) -> int:
+    """Auto-assign the next epoch id for a direct (non-foreachBatch)
+    process_batch call: one past the highest epoch=N subdir under
+    <root>/<sub>, 0 when none exist. foreachBatch callers keep passing
+    Spark's epoch_id; the checkpoint guarantees those never repeat."""
+    import os
+    import re as _re
+
+    try:
+        entries = os.listdir(os.path.join(root, sub))
+    except FileNotFoundError:
+        return 0
+    best = -1
+    for e in entries:
+        m = _re.fullmatch(r"epoch=(\d+)", e)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1

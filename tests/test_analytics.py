@@ -330,3 +330,20 @@ def test_profile_counts_nulls_and_distincts(spark):
     assert got["s"].n_nulls == 1 and got["s"].n_distinct == 2
     # s not in minmax_cols -> NULL rendering
     assert (got["s"].min_value, got["s"].max_value) == (None, None)
+
+
+def test_profile_handles_hostile_column_names(spark):
+    """Column names that are not plain identifiers (hyphen, space,
+    quote) must profile correctly — internal aliases are positional and
+    the label literal is escaped."""
+    from dbsync_spark.functions.profile import profile_table
+
+    df = (spark.range(3)
+          .selectExpr("id AS `order-date`", "CAST(id AS STRING) AS `a b`",
+                      "id AS `it's`"))
+    got = {r.col_name: r for r in profile_table(
+        df, ["order-date", "a b", "it's"]).collect()}
+    assert got["order-date"].n_distinct == 3
+    assert got["order-date"].min_value == "0"
+    assert got["a b"].n_nulls == 0
+    assert got["it's"].max_value == "2"

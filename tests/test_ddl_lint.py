@@ -119,3 +119,27 @@ def test_trigger_inner_inserts_execute_in_duckdb():
     ).fetchone()
     assert rows[0] == n and rows[1] == len(TARGETS)
     con.close()
+
+
+def test_literal_inside_dollar_body_is_data_not_code():
+    """A user condition containing '(' or procedural keywords INSIDE a
+    string literal within the $$ body must lint clean (it is data); a
+    genuinely unbalanced paren in body CODE must still raise."""
+    import pytest
+
+    from dbsync_spark.sources.sqllint import SqlLintError, check_sql
+
+    ok = ("CREATE FUNCTION f() RETURNS trigger AS $$ BEGIN "
+          "IF NEW.note = 'foo(' OR NEW.s = 'END IF' THEN "
+          "INSERT INTO t VALUES (1); END IF; RETURN NEW; END "
+          "$$ LANGUAGE plpgsql;")
+    check_sql(ok, procedural=True)
+
+    bad = ok.replace("VALUES (1)", "VALUES (1")
+    with pytest.raises(SqlLintError):
+        check_sql(bad, procedural=True)
+
+    # '' escape inside the body literal
+    check_sql("CREATE FUNCTION g() RETURNS trigger AS $$ BEGIN "
+              "IF NEW.a = 'it''s (odd' THEN INSERT INTO t VALUES (2); "
+              "END IF; END $$ LANGUAGE plpgsql;", procedural=True)

@@ -433,3 +433,29 @@ def test_segment_retention_streaming_safe(spark, sf_dir, tmp_path):
     assert acks_after == acks_before
     assert pipe.target.state_fingerprint() == fp_before
     app.stop()
+
+
+def test_get_pool_replaces_on_config_change():
+    """A changed connect factory or limits must not silently reuse the
+    old pool: the registry swaps in a new pool (old idle conns closed);
+    an unchanged repeat call and a no-factory call reuse the same pool."""
+    from dbsync_spark.sinks.pool import get_pool
+
+    closed = []
+
+    class FakeConn:
+        def close(self):
+            closed.append(self)
+
+    factory_a = lambda: FakeConn()
+    p1 = get_pool("swap_test", factory_a, max_active=3)
+    assert get_pool("swap_test") is p1                       # fast path
+    assert get_pool("swap_test", factory_a, max_active=3) is p1  # same cfg
+    # warm an idle connection so replacement provably closes it
+    c = p1.acquire()
+    p1.release(c)
+    factory_b = lambda: FakeConn()
+    p2 = get_pool("swap_test", factory_b, max_active=3)
+    assert p2 is not p1 and closed == [c]                    # new factory
+    p3 = get_pool("swap_test", factory_b, max_active=5)
+    assert p3 is not p2                                      # new limit

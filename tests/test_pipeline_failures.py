@@ -99,3 +99,33 @@ def test_max_retry_dead_letters(spark, sf_dir):
         F.col("o_orderkey") % 97 == 0).count() == 0
     # and a fresh pass confirms nothing retryable remains
     assert pipe.retry_pass() is False
+
+
+def test_corrupt_only_backlog_does_not_busy_loop(spark, tmp_path, sf_dir):
+    """A status table containing ONLY malformed-payload dead letters must
+    make retry_pass a cheap no-op (False), not a full log read + empty
+    ack append per tick — and must append no new status files."""
+    import os
+
+    from dbsync_spark.changelog import ORDERS_PAYLOAD_SCHEMA, build_log_orders
+    from dbsync_spark.operators.route import SyncRule
+    from dbsync_spark.streaming.pipeline import SyncPipeline
+    from pyspark.sql import functions as F
+
+    log = build_log_orders(spark, sf_dir).limit(20)
+    corrupt = log.withColumn(
+        "data", F.when(F.col("id") % 2 == 0, F.lit("{not json"))
+        .otherwise(F.col("data")))
+    log_path = str(tmp_path / "log")
+    corrupt.write.parquet(log_path)
+    pipe = SyncPipeline(
+        spark, SyncRule("db1", "public", "orders", ("o_orderkey",)),
+        ORDERS_PAYLOAD_SCHEMA, log_path=log_path,
+        target_path=str(tmp_path / "t"), status_path=str(tmp_path / "s"),
+        checkpoint_path=str(tmp_path / "c"))
+    pipe.run_to_completion()
+    n_files = len(os.listdir(str(tmp_path / "s")))
+    # good rows applied OK; corrupt rows are ERR dead letters -> nothing
+    # retryable remains
+    assert pipe.retry_pass() is False
+    assert len(os.listdir(str(tmp_path / "s"))) == n_files

@@ -239,3 +239,26 @@ class TestStreamingSpanIndex:
         # every current row came from the doc's LATEST rescore epoch:
         # doc 1 was rescored in epoch 1, so no epoch-0 leftovers exist
         assert all(r.n_windows == 3 for r in got)
+
+
+def test_direct_process_batch_auto_assigns_epochs(spark, tmp_path):
+    """Calling process_batch WITHOUT an epoch (the natural direct-call
+    pattern) must not overwrite earlier batches: epochs auto-increment,
+    so batch 1's state survives batch 2 and cross-batch dups are found."""
+    from dbsync_spark.streaming.dedup_index import StreamingDedupIndex
+    from dbsync_spark.streaming.span_index import StreamingSpanIndex
+
+    run = " ".join(f"s{i}" for i in range(8))
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    sidx = StreamingSpanIndex(spark, str(tmp_path / "auto_span"))
+    sidx.process_batch(mk([(1, "a " + run)]))          # no epoch_id
+    sidx.process_batch(mk([(2, "b " + run)]))          # no epoch_id
+    assert sorted(r.doc_id for r in sidx.current_spans().collect()) == [1, 2]
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    didx = StreamingDedupIndex(spark, str(tmp_path / "auto_dedup"),
+                               threshold=0.5)
+    didx.process_batch(mk([(1, base)]))
+    didx.process_batch(mk([(2, base + " extra")]))
+    pairs = {(r.doc_a, r.doc_b) for r in didx.all_pairs().collect()}
+    assert (1, 2) in pairs
