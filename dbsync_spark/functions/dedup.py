@@ -728,3 +728,108 @@ def dup_spans_upsert(state, new_docs: DataFrame, text_col: str = "text",
     spans2 = spans.join(rescore, on=id_col, how="anti") \
         .unionByName(new_spans)
     return index2, dfreq2, spans2
+
+
+def srp_plane_weights(n_planes: int, dim: int,
+                      scale: int = 1000) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplane weights for semantic-dedup
+    bucketing: integer in [-scale, scale] derived from md5 of the
+    (plane, dim) coordinate. No RNG state — the same (n_planes, dim)
+    always yields the same planes, so the Spark plan and the DuckDB
+    oracle embed the identical literals and stay reproducible across
+    runs, partitionings, and engines."""
+    import hashlib
+
+    out = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"srp:{p}:{d}".encode()).hexdigest()[:8]
+            row.append(int(h, 16) % (2 * scale + 1) - scale)
+        out.append(row)
+    return out
+
+
+def _plane_lit(weights: list[int]) -> Column:
+    return F.array(*[F.lit(float(w)) for w in weights])
+
+
+def semantic_dedup(emb: DataFrame, dim: int, n_planes: int = 12,
+                   threshold: float = 0.99, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column.
+
+    The published recipe (Abbas et al. 2023) clusters embeddings, then
+    drops within-cluster items too cosine-close to a cluster
+    representative. Here the clustering step is signed-random-projection
+    bucketing (deterministic md5-derived hyperplanes — the same family
+    srp_ann_topk uses), which keeps the whole pipeline SQL-expressible
+    and exactly reproducible: bucket = the n_planes sign bits of w_p . e;
+    representative = min id per bucket; a row is dropped when it is not
+    the representative and cosine(e, rep) >= threshold. The k-means
+    variant of the clustering step exists as functions/similarity.py
+    kmeans/ivf (engine-side, rows-only by nature).
+
+    Returns (vec_id, bucket, rep_id, cosine_to_rep, keep) for every input
+    row. Scale shape: signature is a narrow per-row map (16*dim fused
+    multiply-adds, all codegen); one groupBy(bucket) min-agg for
+    representatives; one join back on bucket — fan-out is |bucket| x 1
+    (representatives only), LINEAR in corpus size, unlike the quadratic
+    within-cluster pairwise step of the paper (rep-pruning is the
+    documented approximation; it keeps exactly one item per semantic
+    group whose members are all rep-close)."""
+    from dbsync_spark.functions.similarity import as_double, dot, norm
+
+    planes = srp_plane_weights(n_planes, dim)
+    e = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("e"))
+    sig = None
+    for p, w in enumerate(planes):
+        bit = F.when(dot(F.col("e"), _plane_lit(w)) >= 0,
+                     F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    b = e.withColumn("bucket", sig).localCheckpoint()
+    reps = b.groupBy("bucket").agg(F.min(id_col).alias("rep_id"))
+    rep_vecs = (
+        b.select(F.col("bucket"), F.col(id_col).alias("rep_id"),
+                 F.col("e").alias("rep_e"))
+        .join(reps, on=["bucket", "rep_id"])
+    )
+    cos = (dot(F.col("e"), F.col("rep_e"))
+           / (norm(F.col("e")) * norm(F.col("rep_e")))).alias("cosine_to_rep")
+    out = b.join(rep_vecs, on="bucket").select(
+        F.col(id_col), "bucket", "rep_id", cos)
+    return out.withColumn(
+        "keep",
+        (F.col(id_col) == F.col("rep_id"))
+        | (F.col("cosine_to_rep") < F.lit(threshold)))
+
+
+def semantic_dedup_oracle_sql(corpus_cte: str, dim: int, n_planes: int = 12,
+                              threshold: float = 0.99) -> str:
+    """DuckDB SQL computing the identical semantic-dedup keep-list.
+    `corpus_cte` must define corpus(vec_id, embedding). The hyperplane
+    literals are the same srp_plane_weights the Spark plan embeds;
+    list_dot_product is bit-identical to the Spark left-fold dot."""
+    planes = srp_plane_weights(n_planes, dim)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {[float(w) for w in p]}::DOUBLE[])"
+        f" >= 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i, p in enumerate(planes))
+    return f"""WITH {corpus_cte},
+e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM corpus),
+b AS (SELECT vec_id, e, CAST({bits} AS BIGINT) AS bucket FROM e),
+reps AS (SELECT bucket, min(vec_id) AS rep_id FROM b GROUP BY bucket),
+rv AS (
+  SELECT r.bucket, r.rep_id, b.e AS rep_e
+  FROM reps r JOIN b ON b.vec_id = r.rep_id AND b.bucket = r.bucket
+),
+scored AS (
+  SELECT b.vec_id, b.bucket, rv.rep_id,
+         list_dot_product(b.e, rv.rep_e)
+           / (sqrt(list_dot_product(b.e, b.e))
+              * sqrt(list_dot_product(rv.rep_e, rv.rep_e))) AS cosine_to_rep
+  FROM b JOIN rv ON b.bucket = rv.bucket
+)
+SELECT vec_id, bucket, rep_id, cosine_to_rep,
+       (vec_id = rep_id OR cosine_to_rep < {threshold}) AS keep
+FROM scored"""

@@ -154,6 +154,90 @@ def bfs_oracle_sql(edges_cte: str, sources_cte: str,
     return "".join(parts)
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an edge list (`src`,
+    `dst`; direction and parallel edges ignored). Returns (node,
+    n_triangles) for every node of the graph — 0 for triangle-free nodes.
+
+    The scale shape is the standard degree-ordered enumeration: each
+    undirected edge is oriented from its lower-(degree, id) endpoint to
+    the higher one, so every triangle is generated by exactly ONE wedge
+    join probe and the wedge fan-out per node is bounded by its ORIENTED
+    out-degree (<= sqrt(2m) for every node, even power-law hubs — the
+    classic Schank-Wagner / Suri-Vassilvitskii bound). Two shuffle joins
+    total: wedges (oriented x oriented on the mid node) + closure
+    (candidate x oriented on both endpoints). Counts are integers, so the
+    result is exact and hash-matchable; the oracle enumerates the same
+    triangle set by id-ordering (a<b<c), which yields the identical
+    per-node counts without needing the degree trick at oracle scale."""
+    und = (
+        edges.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (und.select(F.col("a").alias("node"))
+             .unionByName(und.select(F.col("b").alias("node")))
+             .distinct())
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count("*").alias("deg"))
+    )
+    # orient each edge from lower (deg, id) to higher (deg, id)
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
+    oriented = (
+        und.join(da, on="a").join(db, on="b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"))
+        .localCheckpoint()
+    )
+    e1 = oriented.select(F.col("u").alias("w_u"), F.col("v").alias("w_v"))
+    e2 = oriented.select(F.col("u").alias("w_v"), F.col("v").alias("w_w"))
+    wedges = e1.join(e2, on="w_v")
+    e3 = oriented.select(F.col("u").alias("w_u"), F.col("v").alias("w_w"))
+    tris = wedges.join(e3, on=["w_u", "w_w"])
+    per_node = (
+        tris.select(F.explode(F.array("w_u", "w_v", "w_w")).alias("node"))
+        .groupBy("node").agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        nodes.join(per_node, on="node", how="left")
+        .select("node",
+                F.coalesce(F.col("n_triangles"), F.lit(0))
+                .cast("long").alias("n_triangles"))
+    )
+
+
+def triangle_oracle_sql(edges_cte: str) -> str:
+    """DuckDB SQL for the identical per-node triangle counts: canonical
+    a<b undirected edges, triangles enumerated once via id-ordering
+    (u<v<w), endpoints unnested and counted."""
+    return f"""WITH {edges_cte},
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src <> dst
+),
+nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und),
+tri AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+per_node AS (
+  SELECT unnest([u, v, w]) AS node, 1 AS one FROM tri
+),
+cnt AS (SELECT node, count(*) AS c FROM per_node GROUP BY node)
+SELECT n.node, CAST(COALESCE(cnt.c, 0) AS BIGINT) AS n_triangles
+FROM nodes n LEFT JOIN cnt ON n.node = cnt.node"""
+
+
 def pagerank_oracle_sql(edges_cte: str, n_iters: int = 8,
                         scale: int = PAGERANK_SCALE) -> str:
     """DuckDB SQL computing the identical recurrence: the iteration is

@@ -275,3 +275,36 @@ def kmeans_assign(corpus: DataFrame, dim: int, n_clusters: int = 8,
     centroids = kmeans_centroids(corpus, dim, n_clusters, iters=iters,
                                  id_col=id_col, vec_col=vec_col)
     return _assign_clusters(corpus, centroids, id_col, vec_col, nprobe=1)
+
+
+def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 label_col: str = "label") -> DataFrame:
+    """k-NN label classification: predict each query's label by majority
+    vote over its exact cosine top-k neighbors (ties broken toward the
+    smaller label, so the vote is deterministic). Returns (query_id,
+    true_label, pred_label, n_votes, correct).
+
+    The label-transfer primitive of training-data pipelines (propagating
+    quality/domain labels from a small labeled seed set to a corpus).
+    Scale shape: queries broadcast against the corpus scan (cosine_topk),
+    then the vote is a tiny groupBy over |queries| x k rows; for query
+    sets too large to broadcast, swap cosine_topk for srp/ivf ANN — the
+    vote stage is unchanged."""
+    topk = cosine_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    labels = corpus.select(F.col(id_col).alias("vec_id"),
+                           F.col(label_col).alias("_nl"))
+    votes = (topk.join(labels, on="vec_id")
+             .groupBy("query_id", "_nl")
+             .agg(F.count("*").alias("n_votes")))
+    w = Window.partitionBy("query_id").orderBy(F.col("n_votes").desc(),
+                                               F.col("_nl"))
+    pred = (votes.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("query_id", F.col("_nl").alias("pred_label"), "n_votes"))
+    truth = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(label_col).alias("true_label"))
+    return (pred.join(truth, on="query_id")
+            .select("query_id", "true_label", "pred_label", "n_votes",
+                    (F.col("pred_label") == F.col("true_label"))
+                    .alias("correct")))

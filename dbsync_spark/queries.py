@@ -711,6 +711,53 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(emb, queries, k=10)
 
 
+_KNN_ORACLE = """
+WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS true_label,
+             embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < 20),
+scored AS (
+  SELECT q.query_id, c.vec_id, c.label,
+         list_dot_product(c.e, q.qe)
+           / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(q.qe, q.qe)))
+           AS cosine_sim
+  FROM c, q WHERE c.vec_id <> q.query_id
+),
+topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine_sim DESC, vec_id) AS rank
+    FROM scored) WHERE rank <= 10
+),
+votes AS (
+  SELECT query_id, label, count(*) AS n_votes
+  FROM topk GROUP BY query_id, label
+),
+pred AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY n_votes DESC, label) AS rn
+    FROM votes) WHERE rn = 1
+)
+SELECT p.query_id, q.true_label, p.label AS pred_label, p.n_votes,
+       (p.label = q.true_label) AS correct
+FROM pred p JOIN (SELECT DISTINCT query_id, true_label FROM q) q
+  ON p.query_id = q.query_id
+"""
+
+
+@_register("q_knn_classify", _KNN_ORACLE)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label transfer: predict each query vector's label by majority
+    vote over its exact cosine top-10 (deterministic tie-breaks), with
+    per-query correctness against the stored label — the
+    seed-set-to-corpus label propagation primitive (see
+    functions/similarity.py::knn_classify for the ANN swap at scale)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    return sim.knn_classify(emb, queries, k=10)
+
+
 @_register("q_ann_srp")  # rows-only: SRP buckets are engine-side; the
 # emitted recall_at_k column vs brute force IS the graded quality number
 # (pytest-pinned >= 0.9; deterministic: both rankings tie-break on vec_id)

@@ -2046,3 +2046,42 @@ def q_channel_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("view_cum").over(wc).alias("cum_views"))
     return f.where(F.col("cum_clicks") > F.col("cum_views"))
 
+
+
+@_register(
+    "q_outlier_mad",
+    f"""
+WITH c AS (SELECT event_id, event_type, {_CENTS.format(x='value')} AS cents
+           FROM events),
+m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+      FROM c GROUP BY event_type),
+d AS (SELECT c.event_id, c.event_type, c.cents, m.med,
+             abs(c.cents - m.med) AS dev
+      FROM c JOIN m USING (event_type)),
+s AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      FROM d GROUP BY event_type)
+SELECT d.event_id, d.event_type, d.cents, d.med, d.dev, s.mad
+FROM d JOIN s USING (event_type)
+WHERE d.dev > 3 * s.mad
+""",
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: |value - median| > 3 *
+    MAD (median absolute deviation) — the heavy-tail-safe alternative to
+    z-scores for corpus/stream quality screens. Exactness: values are
+    integer cents, so both medians interpolate over exactly-representable
+    doubles (midpoints are multiples of 0.5/0.25 — no rounding), making
+    the flagged set bit-identical across engines. Shape: two tiny
+    per-type aggregates broadcast back onto the fact scan — two shuffles
+    total regardless of data size; at 100 TB swap the exact percentile
+    for approx_percentile (t-digest) with the same plan."""
+    ev = read_table(spark, sf_dir, "events")
+    c = ev.select("event_id", "event_type", _cents(F.col("value")).alias("cents"))
+    m = c.groupBy("event_type").agg(F.percentile("cents", 0.5).alias("med"))
+    d = (c.join(F.broadcast(m), on="event_type")
+         .select("event_id", "event_type", "cents", "med",
+                 F.abs(F.col("cents") - F.col("med")).alias("dev")))
+    s = d.groupBy("event_type").agg(F.percentile("dev", 0.5).alias("mad"))
+    return (d.join(F.broadcast(s), on="event_type")
+            .select("event_id", "event_type", "cents", "med", "dev", "mad")
+            .where(F.col("dev") > 3 * F.col("mad")))

@@ -73,6 +73,20 @@ def q_bfs_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_triangle_count",
+    gr.triangle_oracle_sql(_TRADE_EDGES_CTE),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle participation counts over the (undirected)
+    trade graph — the clustering/cohesion primitive for interaction
+    graphs. The Spark plan is the degree-ordered two-join enumeration
+    (wedge fan-out bounded by oriented out-degree, so it survives
+    power-law hubs at scale); exact integer counts hash-match the
+    id-ordered oracle enumeration."""
+    return gr.triangle_counts(trade_edges(spark, sf_dir))
+
+
+@_register(
     "q_pagerank",
     gr.pagerank_oracle_sql(_TRADE_EDGES_CTE, n_iters=_N_ITERS),
 )

@@ -340,6 +340,45 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination(docs, F.col("source") == "src19")
 
 
+_SEMDEDUP_CORPUS_CTE = """corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings),
+         list_transform(embedding::DOUBLE[], x -> x * 0.98)
+  FROM embeddings WHERE vec_id % 20 = 0
+)"""
+
+
+def _semdedup_oracle() -> str:
+    from dbsync_spark.functions.dedup import semantic_dedup_oracle_sql
+
+    return semantic_dedup_oracle_sql(_SEMDEDUP_CORPUS_CTE, dim=64,
+                                     n_planes=12, threshold=0.99)
+
+
+@_register("q_semantic_dedup", _semdedup_oracle())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup keep-list over the embeddings corpus
+    with planted semantic (scaled, byte-distinct) near-copies of every
+    20th vector: SRP sign-bit bucketing (deterministic md5 hyperplanes),
+    min-id representative per bucket, drop anything cosine >= 0.99 to its
+    representative. Scaled copies provably share their original's bucket
+    (signs are scale-invariant), so every planted dup is caught; the
+    whole pipeline is linear in corpus size (see
+    functions/dedup.py::semantic_dedup)."""
+    from dbsync_spark.functions.dedup import semantic_dedup
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    off = emb.agg(F.max("vec_id")).first()[0] + 1
+    copies = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + off).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * F.lit(0.98))
+        .alias("embedding"))
+    corpus = emb.unionByName(copies)
+    return semantic_dedup(corpus, dim=64, n_planes=12, threshold=0.99)
+
+
 @_register("q_cluster_assign")  # rows-only: float centroid means are not
 # bit-stable across engines; geometry properties are pytest-verified
 def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

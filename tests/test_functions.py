@@ -16,7 +16,7 @@ ORACLE_BACKED = [
     "q_dedup_keep_best", "q_repetition", "q_contamination",
     "q_fuzzy_dedup", "q_tfidf_topk", "q_corpus_clean", "q_pii_redact",
     "q_minhash_char", "q_outlier_gaps", "q_dup_spans", "q_decontaminate",
-    "q_dup_spans_incremental",
+    "q_dup_spans_incremental", "q_semantic_dedup", "q_outlier_mad",
 ]
 
 
@@ -819,3 +819,83 @@ class TestDupSpansIncremental:
         new = [(9, " ".join(f"z{i}" for i in range(10)))]
         st2 = dup_spans_upsert(st, self._mk(spark, new))
         assert sorted(map(tuple, st2[2].collect())) == before
+
+
+def test_semantic_dedup_planted_scaled_copies(spark, sf_dir):
+    """Scaled (byte-distinct) copies share their original's SRP bucket by
+    construction — signs are scale-invariant — so semantic_dedup must
+    drop every planted copy and keep its original; and globally, every
+    bucket keeps its representative while every dropped row is
+    rep-close."""
+    from dbsync_spark.functions.dedup import semantic_dedup
+    from dbsync_spark.sources.tables import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    off = emb.agg(F.max("vec_id")).first()[0] + 1
+    copies = emb.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + off).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(0.5)).alias("embedding"))
+    out = semantic_dedup(emb.unionByName(copies), dim=64,
+                         n_planes=12, threshold=0.99).cache()
+
+    planted = out.where(F.col("vec_id") >= off)
+    n_planted = planted.count()
+    assert n_planted == copies.count() and n_planted > 0
+    # every planted copy maps to a lower-id rep and is dropped
+    assert planted.where(F.col("keep")).count() == 0
+    assert planted.where(F.col("rep_id") == F.col("vec_id") - off).count() \
+        == n_planted
+
+    # invariants: reps are kept; dropped rows are cosine-close to the rep
+    assert out.where((F.col("vec_id") == F.col("rep_id"))
+                     & ~F.col("keep")).count() == 0
+    assert out.where(~F.col("keep")
+                     & (F.col("cosine_to_rep") < 0.99)).count() == 0
+    out.unpersist()
+
+
+def test_outlier_mad_flags_planted_extremes(spark):
+    """Planted extreme values are flagged; in-band values are not; a
+    constant-valued group (mad=0) flags only rows off the constant."""
+    rows = ([(i, "a", 100.0) for i in range(20)]
+            + [(100, "a", 100.5), (101, "a", 9999.0)]
+            + [(200 + i, "b", float(i)) for i in range(21)])
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    import dbsync_spark.queries_analytics as qa
+
+    orig = qa.read_table
+    try:
+        qa.read_table = lambda spark, sf, name: df  # events only here
+        flagged = {r["event_id"]
+                   for r in qa.q_outlier_mad(spark, "unused").collect()}
+    finally:
+        qa.read_table = orig
+    # group a: constant at 100.0 (mad from planted rows ~0) -> the two
+    # off-constant rows are the outliers
+    assert 101 in flagged and 100 in flagged
+    assert not any(i in flagged for i in range(20))
+    # group b: uniform ramp, nothing beyond 3 MAD
+    assert not any(200 + i in flagged for i in range(21))
+
+
+def test_knn_classify_planted_clusters(spark):
+    """Two tight clusters with known labels: every query predicts its own
+    cluster's label with a full vote; tie-break goes to the smaller
+    label when votes split evenly."""
+    from dbsync_spark.functions.similarity import knn_classify
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+
+    def jitter(v, i):
+        return [x + 0.001 * i if x > 0 else 0.0001 * i for x in v]
+
+    rows = ([(i, jitter(a, i), 0) for i in range(6)]
+            + [(10 + i, jitter(b, i), 1) for i in range(6)])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["query_id"]: r for r in knn_classify(
+        df, df.where(F.col("vec_id").isin(0, 10)), k=5).collect()}
+    assert out[0]["pred_label"] == 0 and out[0]["correct"]
+    assert out[10]["pred_label"] == 1 and out[10]["correct"]
+    assert out[0]["n_votes"] == 5 and out[10]["n_votes"] == 5

@@ -184,3 +184,48 @@ def test_pagerank_mass_bounds(spark, sf_dir):
     total = sum(r["rank"] for r in rows)
     assert 0.15 * n * gr.PAGERANK_SCALE <= total <= n * gr.PAGERANK_SCALE
     assert all(r["rank"] >= 0.15 * gr.PAGERANK_SCALE - 1 for r in rows)
+
+
+def test_triangle_counts_known_graph(spark):
+    """Known graph: K4 on {0,1,2,3} (4 triangles, each node in 3) plus a
+    pendant node 4 and an isolated edge 5-6 (zero triangles). Direction
+    and parallel edges must not matter."""
+    edges = [(0, 1), (1, 0), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (3, 4), (5, 6)]
+    df = spark.createDataFrame(edges, "src INT, dst INT")
+    got = {r["node"]: r["n_triangles"]
+           for r in gr.triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 0, 5: 0, 6: 0}
+
+
+def test_triangle_counts_random_graphs(spark):
+    """Degree-ordered enumeration equals the brute-force count on random
+    graphs (each triangle once, per-node participation)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 12
+        edges = [(a, b) for a in range(n) for b in range(n)
+                 if a != b and rng.random() < 0.25]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "src INT, dst INT")
+        got = {r["node"]: r["n_triangles"]
+               for r in gr.triangle_counts(df).collect()}
+        und = {frozenset(e) for e in edges}
+        nodes = sorted({x for e in und for x in e})
+        want = {v: 0 for v in nodes}
+        for a, b, c in itertools.combinations(nodes, 3):
+            if {frozenset((a, b)), frozenset((a, c)),
+                    frozenset((b, c))} <= und:
+                for v in (a, b, c):
+                    want[v] += 1
+        assert got == want, trial
+
+
+def test_triangle_query_matches_oracle(spark, sf_dir, duck):
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    assert_matches(qs["q_triangle_count"](spark, sf_dir), duck,
+                   os_["q_triangle_count"])

@@ -249,12 +249,32 @@ def test_corrupt_payloads_dead_letter_not_merged(spark, sf_dir):
     # no null key ever reaches the target
     target = live_rows(pipe.target.read(spark))
     assert target.where(F.col("o_orderkey").isNull()).count() == 0
+    # materialize now: the retry_pass MERGE below swaps bucket files out
+    # from under this lazy frame
+    n_live = target.count()
 
-    # retry must not merge the malformed rows either
-    assert pipe.retry_pass() is True  # ERRs exist -> a pass runs
+    # a corrupt-ONLY backlog is not retryable work: malformed payloads are
+    # dead letters by construction, so the resolver must report nothing to
+    # do (NOT re-read the whole log on every tick forever)
+    assert pipe.retry_pass() is False
+
+    # plant one genuinely retryable ERR (valid payload, transient failure):
+    # a pass now runs, converges that row, and must STILL not resurrect
+    # the malformed dead letters
+    good_id = mangled.where((F.col("id") % 11 != 0)
+                            & (F.col("id") % 13 != 1)).agg(
+        F.min("id")).first()[0]
+    acks.limit(0).unionByName(
+        spark.createDataFrame(
+            [(good_id, "ERR", "boom", 0)],
+            "dataId long, status string, message string, retry int")
+        .withColumn("createTime", F.current_timestamp())
+        .select(*acks.columns)
+    ).write.mode("append").parquet(f"{workdir}/status")
+    assert pipe.retry_pass() is True
     target2 = live_rows(pipe.target.read(spark))
     assert target2.where(F.col("o_orderkey").isNull()).count() == 0
-    assert target2.count() == target.count()
+    assert target2.count() == n_live
 
 
 def test_streaming_burst_dedup_matches_batch(spark, sf_dir):
