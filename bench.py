@@ -249,6 +249,14 @@ def main() -> None:
            lambda: QUERIES["q_lm_surprisal"](spark, SF_DIR).count())
     timed2("channel_cumulative",
            lambda: QUERIES["q_channel_cumulative"](spark, SF_DIR).count())
+    timed2("semantic_dedup",
+           lambda: QUERIES["q_semantic_dedup"](spark, SF_DIR).count())
+    timed2("triangle_count",
+           lambda: QUERIES["q_triangle_count"](spark, SF_DIR).count())
+    timed2("knn_classify",
+           lambda: QUERIES["q_knn_classify"](spark, SF_DIR).count())
+    timed2("outlier_mad",
+           lambda: QUERIES["q_outlier_mad"](spark, SF_DIR).count())
 
     # -- streaming micro-batch latency (BASELINE.md: <= 5 s / 10k-row batch) --
     from dbsync_spark.changelog import ORDERS_PAYLOAD_SCHEMA, build_log_orders

@@ -11,6 +11,7 @@ workload brings on top of it:
 - GROUP BY ... HAVING range + join-back (Q34)  -> q_having_range
 - sales-net-of-returns fact-fact join (DS Q93) -> q_returns_net
 - dual cumulative series crossover (DS Q51)    -> q_cumulative_crossover
+- moving-deviation months (DS Q47)             -> q_moving_dev
 
 Every query keeps the module-wide exactness rules (NOTES.md): money in
 integer cents, float work confined to per-row expressions written
@@ -386,3 +387,58 @@ def q_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (r.select("o_orderpriority", "yr", "rev_cents",
                      F.row_number().over(w).alias("rnk"))
             .where(F.col("rnk") <= 3))
+
+
+# ---------------------------------------------------------------------------
+# DS Q47: moving-deviation months (series vs its own category average)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_moving_dev",
+    f"""
+WITH m AS (
+  SELECT l_returnflag,
+         date_trunc('month', l_shipdate) AS month_start,
+         CAST(sum({_CENTS.format(x='l_extendedprice * (1 - l_discount)')})
+              AS BIGINT) AS rev_cents
+  FROM lineitem GROUP BY 1, 2
+),
+w AS (
+  SELECT *,
+         CAST(sum(rev_cents) OVER (PARTITION BY l_returnflag) AS BIGINT)
+           AS total_cents,
+         count(*) OVER (PARTITION BY l_returnflag) AS n_months
+  FROM m
+)
+SELECT l_returnflag, month_start, rev_cents, total_cents, n_months,
+       CASE WHEN 100 * n_months * rev_cents > 110 * total_cents
+            THEN 'high' ELSE 'low' END AS dev_dir
+FROM w
+WHERE 100 * n_months * rev_cents > 110 * total_cents
+   OR 100 * n_months * rev_cents < 90 * total_cents
+""",
+)
+def q_moving_dev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DS Q47 shape: months whose revenue deviates more than 10% from
+    their return-flag's average month. The deviation test is pure integer
+    cross-multiplication (100*n*rev vs 110*total) — no division, no
+    float aggregate, so the flagged set is bit-identical across engines.
+    Shape: one shuffle for the monthly aggregate, then a window over the
+    TINY per-(mode, month) frame partitioned by mode — the window never
+    sees fact rows. At extreme scale the BIGINT cross-products approach
+    overflow; swap cents for a DECIMAL(38) there."""
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    m = (li.groupBy(
+            "l_returnflag",
+            F.date_trunc("month", F.col("l_shipdate")).alias("month_start"))
+         .agg(F.sum(rev).cast("long").alias("rev_cents")))
+    w = Window.partitionBy("l_returnflag")
+    t = m.select(
+        "l_returnflag", "month_start", "rev_cents",
+        F.sum("rev_cents").over(w).cast("long").alias("total_cents"),
+        F.count("*").over(w).alias("n_months"))
+    hi = 100 * F.col("n_months") * F.col("rev_cents") > 110 * F.col("total_cents")
+    lo = 100 * F.col("n_months") * F.col("rev_cents") < 90 * F.col("total_cents")
+    return (t.withColumn("dev_dir", F.when(hi, "high").otherwise("low"))
+            .where(hi | lo))

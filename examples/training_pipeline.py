@@ -86,8 +86,21 @@ def run_pipeline(spark, sf_dir: str, budget: int = 2048) -> dict[str, DataFrame]
         clusters.where(F.col("doc_id") == F.col("canonical_id"))
         .select("doc_id"), "doc_id", "semi"))
 
-    # 4. stratified sample: keep 80% of English, 20% of the rest
-    sampled = stratified_sample(canonical, "doc_id", "lang",
+    # 5b. semantic near-dup removal: SRP-bucketed SemDeDup over the doc
+    #     embeddings (vec_id == doc_id in the fixtures) — catches
+    #     paraphrase-level duplicates the lexical MinHash pass cannot
+    from dbsync_spark.functions.dedup import semantic_dedup
+
+    emb = (read_table(spark, sf_dir, "embeddings")
+           .join(canonical.select(F.col("doc_id").alias("vec_id")),
+                 "vec_id", "semi"))
+    sem_keep = (semantic_dedup(emb, dim=64, n_planes=12, threshold=0.99)
+                .where(F.col("keep"))
+                .select(F.col("vec_id").alias("doc_id")))
+    semantic = canonical.join(sem_keep, "doc_id", "semi")
+
+    # 6. stratified sample: keep 80% of English, 20% of the rest
+    sampled = stratified_sample(semantic, "doc_id", "lang",
                                 {"en": 8000}, default_bp=2000)
 
     # 5. pack into fixed token budgets per language stream
@@ -107,8 +120,8 @@ def run_pipeline(spark, sf_dir: str, budget: int = 2048) -> dict[str, DataFrame]
 
     return {"input": docs, "pii": pii, "cleaned": cleaned,
             "decontaminated": decon, "banded": banded,
-            "canonical": canonical, "spans": spans, "sampled": sampled,
-            "packed": packed, "chunks": chunks}
+            "canonical": canonical, "semantic": semantic, "spans": spans,
+            "sampled": sampled, "packed": packed, "chunks": chunks}
 
 
 def main() -> int:

@@ -13,7 +13,8 @@ def test_pipeline_funnel_invariants(spark, sf_dir):
     n = {name: df.count() for name, df in stages.items()}
     # monotone funnel: every stage only removes docs
     assert (n["input"] >= n["cleaned"] >= n["decontaminated"]
-            >= n["banded"] >= n["canonical"] >= n["sampled"])
+            >= n["banded"] >= n["canonical"] >= n["semantic"]
+            >= n["sampled"])
     # decontamination removed the held-out split at minimum
     assert n["decontaminated"] < n["cleaned"]
     assert n["packed"] == n["sampled"]  # packing reassigns, never drops

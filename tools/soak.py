@@ -86,6 +86,17 @@ def main() -> int:
             fn(corpus).count()
             timings[name] = round(time.time() - t0, 2)
 
+        # semantic dedup scales on the embeddings corpus (bucket + rep
+        # join must stay linear — the whole point of rep-pruning)
+        from dbsync_spark.functions.dedup import semantic_dedup
+
+        emb = read_table(spark, SF_DIR, "embeddings").select(
+            "vec_id", "embedding")
+        ecorpus = replicate(emb, scale, "vec_id", 10_000_000)
+        t0 = time.time()
+        semantic_dedup(ecorpus, dim=64, n_planes=12).count()
+        timings["semantic_dedup"] = round(time.time() - t0, 2)
+
         results.append({
             "scale": scale, "log_rows": rows,
             "apply_sec": round(apply_s, 2),
