@@ -737,7 +737,13 @@ def srp_plane_weights(n_planes: int, dim: int,
     (plane, dim) coordinate. No RNG state — the same (n_planes, dim)
     always yields the same planes, so the Spark plan and the DuckDB
     oracle embed the identical literals and stay reproducible across
-    runs, partitionings, and engines."""
+    runs, partitionings, and engines.
+
+    Deliberately distinct from similarity.py's _srp_planes (+-1 weights,
+    engine-side numpy matmul, different seed layout): these integer
+    weights exist to be embedded as SQL literals on both engines, so the
+    two generators produce different buckets and must not be conflated
+    when auditing reproducibility."""
     import hashlib
 
     out = []
@@ -762,13 +768,20 @@ def semantic_dedup(emb: DataFrame, dim: int, n_planes: int = 12,
     The published recipe (Abbas et al. 2023) clusters embeddings, then
     drops within-cluster items too cosine-close to a cluster
     representative. Here the clustering step is signed-random-projection
-    bucketing (deterministic md5-derived hyperplanes — the same family
-    srp_ann_topk uses), which keeps the whole pipeline SQL-expressible
-    and exactly reproducible: bucket = the n_planes sign bits of w_p . e;
+    bucketing with deterministic md5-derived INTEGER hyperplanes
+    (srp_plane_weights — a sibling of similarity.py's engine-side
+    _srp_planes, but a distinct generator: integer weights that embed as
+    SQL literals, so the whole pipeline is SQL-expressible and exactly
+    reproducible). bucket = the n_planes sign bits of w_p . e;
     representative = min id per bucket; a row is dropped when it is not
-    the representative and cosine(e, rep) >= threshold. The k-means
-    variant of the clustering step exists as functions/similarity.py
-    kmeans/ivf (engine-side, rows-only by nature).
+    the representative and cosine(e, rep) >= threshold. Note the
+    rep-pruning semantics: a near-dup pair is separated only when one of
+    them IS the bucket representative — two dups sharing a bucket whose
+    min-id rep is a third, unrelated vector are both kept (exactly the
+    paper's approximation; lower threshold or more planes tighten it).
+    The k-means variant of the clustering step exists as
+    functions/similarity.py kmeans/ivf (engine-side, rows-only by
+    nature).
 
     Returns (vec_id, bucket, rep_id, cosine_to_rep, keep) for every input
     row. Scale shape: signature is a narrow per-row map (16*dim fused
@@ -787,15 +800,20 @@ def semantic_dedup(emb: DataFrame, dim: int, n_planes: int = 12,
         bit = F.when(dot(F.col("e"), _plane_lit(w)) >= 0,
                      F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig + bit
-    b = e.withColumn("bucket", sig).localCheckpoint()
+    # norms precomputed ONCE per row (cosine_topk's nrm pattern): inside
+    # the join projection each rep's norm would be re-folded per bucket
+    # member. Same float value either way, so oracle parity is unchanged.
+    b = (e.withColumn("bucket", sig)
+         .withColumn("nrm", norm(F.col("e")))
+         .localCheckpoint())
     reps = b.groupBy("bucket").agg(F.min(id_col).alias("rep_id"))
     rep_vecs = (
         b.select(F.col("bucket"), F.col(id_col).alias("rep_id"),
-                 F.col("e").alias("rep_e"))
+                 F.col("e").alias("rep_e"), F.col("nrm").alias("rep_nrm"))
         .join(reps, on=["bucket", "rep_id"])
     )
     cos = (dot(F.col("e"), F.col("rep_e"))
-           / (norm(F.col("e")) * norm(F.col("rep_e")))).alias("cosine_to_rep")
+           / (F.col("nrm") * F.col("rep_nrm"))).alias("cosine_to_rep")
     out = b.join(rep_vecs, on="bucket").select(
         F.col(id_col), "bucket", "rep_id", cos)
     return out.withColumn(

@@ -177,14 +177,13 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    nodes = (und.select(F.col("a").alias("node"))
-             .unionByName(und.select(F.col("b").alias("node")))
-             .distinct())
     deg = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))
         .groupBy("node").agg(F.count("*").alias("deg"))
     )
+    # the degree aggregate already enumerates exactly the node set
+    nodes = deg.select("node")
     # orient each edge from lower (deg, id) to higher (deg, id)
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))

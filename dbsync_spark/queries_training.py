@@ -363,8 +363,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     20th vector: SRP sign-bit bucketing (deterministic md5 hyperplanes),
     min-id representative per bucket, drop anything cosine >= 0.99 to its
     representative. Scaled copies provably share their original's bucket
-    (signs are scale-invariant), so every planted dup is caught; the
-    whole pipeline is linear in corpus size (see
+    (signs are scale-invariant); a planted dup is dropped whenever its
+    original is that bucket's representative — in denser corpora an
+    unrelated min-id vector can take the rep slot and both survive
+    (rep-pruning is SemDeDup's documented approximation). The whole
+    pipeline is linear in corpus size (see
     functions/dedup.py::semantic_dedup)."""
     from dbsync_spark.functions.dedup import semantic_dedup
 

@@ -16,11 +16,15 @@ into one deterministic pipeline, the way a pretraining-data job would):
                              exact percentile here, approx at scale)
   5. Near-dup clustering    (minhash LSH -> connected components ->
                              keep the canonical doc per cluster)
-  6. Dup-span audit         (functions/dedup.substring_dup_spans —
-                             reports residual cross-doc 6-token spans)
+  6. Semantic dedup         (functions/dedup.semantic_dedup — SRP
+                             buckets over the doc embeddings; docs
+                             without an embedding row pass through)
   7. Stratified sampling    (functions/sampling.stratified_sample)
   8. Sequence packing       (functions/sampling.pack_sequences)
   9. Context-window chunks  (functions/text.chunk_documents)
+  +  Dup-span audit         (functions/dedup.substring_dup_spans —
+                             non-filtering report of residual cross-doc
+                             6-token spans among the canonical set)
 
 Every stage is hash-deterministic: rerunning the pipeline on the same
 fixture produces byte-identical output (no RNG anywhere). Stage row
@@ -86,28 +90,32 @@ def run_pipeline(spark, sf_dir: str, budget: int = 2048) -> dict[str, DataFrame]
         clusters.where(F.col("doc_id") == F.col("canonical_id"))
         .select("doc_id"), "doc_id", "semi"))
 
-    # 5b. semantic near-dup removal: SRP-bucketed SemDeDup over the doc
-    #     embeddings (vec_id == doc_id in the fixtures) — catches
-    #     paraphrase-level duplicates the lexical MinHash pass cannot
+    # 6. semantic near-dup removal: SRP-bucketed SemDeDup over the doc
+    #    embeddings (vec_id == doc_id in the fixtures) — catches
+    #    paraphrase-level duplicates the lexical MinHash pass cannot.
+    #    Anti-join on the DROPPED set, not semi-join on the kept set:
+    #    docs without an embedding row have no semantic evidence either
+    #    way and must survive this stage (a semi-join would silently
+    #    drop every uncovered doc).
     from dbsync_spark.functions.dedup import semantic_dedup
 
     emb = (read_table(spark, sf_dir, "embeddings")
            .join(canonical.select(F.col("doc_id").alias("vec_id")),
                  "vec_id", "semi"))
-    sem_keep = (semantic_dedup(emb, dim=64, n_planes=12, threshold=0.99)
-                .where(F.col("keep"))
+    sem_drop = (semantic_dedup(emb, dim=64, n_planes=12, threshold=0.99)
+                .where(~F.col("keep"))
                 .select(F.col("vec_id").alias("doc_id")))
-    semantic = canonical.join(sem_keep, "doc_id", "semi")
+    semantic = canonical.join(sem_drop, "doc_id", "anti")
 
-    # 6. stratified sample: keep 80% of English, 20% of the rest
+    # 7. stratified sample: keep 80% of English, 20% of the rest
     sampled = stratified_sample(semantic, "doc_id", "lang",
                                 {"en": 8000}, default_bp=2000)
 
-    # 5. pack into fixed token budgets per language stream
+    # 8. pack into fixed token budgets per language stream
     packed = pack_sequences(sampled, "doc_id", "n_chars", budget,
                             stream_col="lang")
 
-    # 6. sliding-window chunks of the sampled docs (embedding-index prep)
+    # 9. sliding-window chunks of the sampled docs (embedding-index prep)
     from dbsync_spark.functions.text import chunk_documents
 
     chunks = chunk_documents(sampled, chunk_tokens=32, stride=24)

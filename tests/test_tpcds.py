@@ -16,6 +16,7 @@ TPCDS_QUERIES = [
     "q_returns_net",
     "q_cumulative_crossover",
     "q_rollup_topk",
+    "q_moving_dev",
 ]
 
 
