@@ -814,3 +814,108 @@ def q_streaming_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.process_batch(docs.where(F.col("doc_id") % 3 == epoch),
                           epoch_id=epoch)
     return idx.current_spans()
+
+
+@_register(
+    "q_k_anonymity",
+    """
+WITH q AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         CAST(floor({cents} / 100000.0) AS BIGINT) AS bal_band
+  FROM customer
+),
+g AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS group_size
+  FROM q GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment, bal_band, group_size
+FROM g WHERE group_size < 5
+""".format(cents="CAST(round(c_acctbal * 100, 0) AS BIGINT)"),
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier tuple (nation,
+    market segment, account-balance band of 1000): every group small
+    enough to re-identify its members. The PII-risk screen a dataset
+    release pipeline runs before publishing — the complement of
+    q_pii_redact's content scrubbing. Exactness: the band is
+    floor(integer cents / 1e5), so grouping keys are engine-identical.
+    Shape: ONE hash aggregate with map-side combine over the scan; the
+    HAVING filter prunes to the tiny risky tail — the same plan at any
+    scale."""
+    c = read_table(spark, sf_dir, "customer")
+    band = F.floor(
+        F.round(F.col("c_acctbal") * 100, 0).cast("long") / 100000.0
+    ).cast("long")
+    return (c.select("c_nationkey", "c_mktsegment", band.alias("bal_band"))
+            .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+            .agg(F.count("*").alias("group_size"))
+            .where(F.col("group_size") < 5))
+
+
+def _topk_oracle(capacity: int = 8, n_epochs: int = 3) -> str:
+    """Unrolled-CTE oracle for the streaming Misra-Gries merge: epoch e
+    consumes the doc_id % n_epochs == e slice IN ORDER, replicating the
+    exact merge + compress recurrence of streaming/topk_index.py (the
+    final state is order-dependent, so the oracle pins the same fixed
+    batching the Spark query drives)."""
+    parts = [f"""WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tk AS (SELECT doc_id, tok FROM toks WHERE tok <> '')"""]
+    prev = None
+    for e in range(n_epochs):
+        parts.append(f""",
+b{e} AS (SELECT tok, count(*) AS bn FROM tk
+        WHERE doc_id % {n_epochs} = {e} GROUP BY tok),
+n{e} AS (SELECT count(*) AS bt FROM tk WHERE doc_id % {n_epochs} = {e})""")
+        if prev is None:
+            parts.append(f""",
+m{e} AS (SELECT tok, CAST(bn AS BIGINT) AS nhat FROM b{e})""")
+        else:
+            parts.append(f""",
+m{e} AS (
+  SELECT coalesce(s.tok, b.tok) AS tok,
+         CAST(coalesce(s.nhat, 0) + coalesce(b.bn, 0) AS BIGINT) AS nhat
+  FROM s{prev} s FULL JOIN b{e} b ON s.tok = b.tok
+)""")
+        parts.append(f""",
+r{e} AS (SELECT tok, nhat,
+                row_number() OVER (ORDER BY nhat DESC, tok) AS rn
+         FROM m{e}),
+d{e} AS (SELECT CAST(coalesce(
+           max(CASE WHEN rn = {capacity + 1} THEN nhat END), 0) AS BIGINT)
+           AS d FROM r{e}),
+s{e} AS (SELECT tok, nhat - d AS nhat FROM m{e}, d{e} WHERE nhat - d > 0)""")
+        prev = e
+    last = n_epochs - 1
+    err_sum = " + ".join(f"(SELECT d FROM d{e})" for e in range(n_epochs))
+    tot_sum = " + ".join(f"(SELECT bt FROM n{e})" for e in range(n_epochs))
+    parts.append(f"""
+SELECT tok, nhat,
+       CAST({err_sum} AS BIGINT) AS err,
+       CAST({tot_sum} AS BIGINT) AS total_n
+FROM s{last}""")
+    return "".join(parts)
+
+
+@_register("q_streaming_topk", _topk_oracle())
+def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming heavy-hitters SERVICE, hash-checked against SQL:
+    the corpus arrives in three micro-batches through StreamingTopkIndex
+    (mergeable Misra-Gries state, capacity 8, epoch-overwritten parquet
+    dirs) and the resulting summary must equal — and hash-match — the
+    identical merge+compress recurrence unrolled into a CTE chain. An
+    ITERATIVE, ORDER-DEPENDENT stateful stream op still oracle-verifies
+    because the recurrence is pure integer arithmetic over a pinned
+    batching (streaming/topk_index.py)."""
+    import tempfile
+
+    from dbsync_spark.streaming.topk_index import StreamingTopkIndex
+
+    docs = read_table(spark, sf_dir, "documents")
+    idx = StreamingTopkIndex(
+        spark, tempfile.mkdtemp(prefix="dbsync_topkidx_q_"), capacity=8)
+    for epoch in range(3):
+        idx.process_batch(docs.where(F.col("doc_id") % 3 == epoch),
+                          epoch_id=epoch)
+    return idx.summary()

@@ -1,0 +1,186 @@
+"""Streaming heavy hitters: a continuous top-k / trending-terms service
+over a document stream, maintained as mergeable Misra-Gries state.
+
+The batch operator (functions/sketch.py::heavy_hitters) answers "which
+tokens exceed N/capacity right now" with a full-corpus recount; this
+module runs the question as a SERVICE: token batches arrive, each batch's
+EXACT counts merge into a bounded (<= capacity entries) persisted summary
+via the mergeable-summaries rule (Agarwal et al., PODS'12):
+
+    merge:    add counters pointwise (full outer join on token)
+    compress: when more than `capacity` entries survive, subtract the
+              (capacity+1)-th largest count from every entry and drop
+              the non-positive ones; the subtracted amount accumulates
+              into a single global error bound.
+
+Invariants carried by the state (property-tested):
+  - nhat <= true count <= nhat + err        for every summarized token
+  - true count <= err                        for every absent token
+  - err <= total_n / (capacity + 1)          the MG guarantee
+so any token with true frequency above total_n/(capacity+1) is ALWAYS
+present — the superset guarantee that makes the summary a safe prefilter
+for an exact recount (the batch operator's second phase).
+
+Storage layout (plain parquet, the fleet streaming-state pattern):
+- <root>/summary/epoch=N : (tok, nhat)   — the bounded summary AFTER
+                            epoch N (cumulative state, latest wins)
+- <root>/meta/epoch=N    : (total_n, err) 1 row
+
+Sequential-state idempotence: epoch N's state is a pure function of
+epoch N-1's state + the batch, and is written by OVERWRITING the
+epoch=N subdirs — replaying a failed epoch recomputes from N-1 and
+lands byte-identical, never double-counts (unlike append-only indexes,
+cumulative state must not union across epochs; reads always take the
+LATEST epoch only).
+
+Scale: the merge join is summary x batch-distinct — both bounded (the
+summary by `capacity`, the batch by the micro-batch size); the two
+driver-side scalars per batch (entry count, compression threshold) are
+O(1) rows. Nothing ever rescans history; the corpus-sized work stays in
+the batch's own groupBy, which has map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.window import Window
+
+from dbsync_spark.functions.text import tokens
+from dbsync_spark.sources.tables import read_state
+
+_SUMMARY_SCHEMA = StructType([
+    StructField("tok", StringType()),
+    StructField("nhat", LongType()),
+])
+_META_SCHEMA = StructType([
+    StructField("total_n", LongType()),
+    StructField("err", LongType()),
+])
+
+
+class StreamingTopkIndex:
+    """Continuous heavy-hitters summary over parquet state dirs. Call
+    `process_batch` per micro-batch (directly, or via
+    `foreach_batch_handler()` from a writeStream)."""
+
+    def __init__(self, spark: SparkSession, root: str, capacity: int = 200):
+        if capacity < 1:
+            raise ValueError(f"capacity must be >= 1, got {capacity}")
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.capacity = capacity
+
+    # -- state access -------------------------------------------------------
+
+    def _epochs(self) -> list[int]:
+        import os
+        import re
+
+        try:
+            entries = os.listdir(f"{self.root}/summary")
+        except FileNotFoundError:
+            return []
+        out = []
+        for e in entries:
+            m = re.fullmatch(r"epoch=(\d+)", e)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _latest_epoch(self) -> int | None:
+        eps = self._epochs()
+        return eps[-1] if eps else None
+
+    def _state(self, epoch: int | None):
+        if epoch is None:
+            empty = self.spark.createDataFrame([], _SUMMARY_SCHEMA)
+            return empty, 0, 0
+        summary = read_state(
+            self.spark, f"{self.root}/summary/epoch={epoch}",
+            read_schema=_SUMMARY_SCHEMA, empty_schema=_SUMMARY_SCHEMA)
+        meta = read_state(
+            self.spark, f"{self.root}/meta/epoch={epoch}",
+            read_schema=_META_SCHEMA, empty_schema=_META_SCHEMA).first()
+        if meta is None:  # summary dir exists but meta missing: corrupt
+            raise RuntimeError(
+                f"topk state epoch {epoch} has a summary but no meta row "
+                f"under {self.root}/meta — refusing to guess total/err")
+        return summary, meta["total_n"], meta["err"]
+
+    # -- the service --------------------------------------------------------
+
+    def process_batch(self, new_docs: DataFrame, epoch_id: int | None = None,
+                      text_col: str = "text") -> None:
+        """Merge one (.., text) micro-batch into the summary."""
+        from dbsync_spark.streaming.state import next_epoch
+
+        if epoch_id is None:
+            epoch_id = next_epoch(self.root, "summary")
+        # cumulative state: epoch N is a pure function of the newest
+        # state STRICTLY BEFORE N — so a replay of epoch N reads the
+        # same predecessor it read the first time, never itself
+        before = [e for e in self._epochs() if e < epoch_id]
+        summary, total_n, err = self._state(before[-1] if before else None)
+
+        toks = (new_docs.select(F.explode(tokens(F.col(text_col)))
+                                .alias("tok"))
+                .where(F.col("tok") != ""))
+        bcounts = toks.groupBy("tok").agg(F.count("*").alias("bn"))
+        batch_n = toks.count()
+
+        merged = (
+            summary.join(bcounts, on="tok", how="full")
+            .select("tok",
+                    (F.coalesce(F.col("nhat"), F.lit(0))
+                     + F.coalesce(F.col("bn"), F.lit(0))).alias("nhat"))
+        )
+        # compress to <= capacity entries: subtract the (capacity+1)-th
+        # largest count (deterministic tie-break on token) from everyone
+        ranked = merged.select(
+            "tok", "nhat",
+            F.row_number().over(
+                Window.orderBy(F.col("nhat").desc(), F.col("tok"))
+            ).alias("_rn"))
+        d_row = ranked.where(F.col("_rn") == self.capacity + 1) \
+            .select("nhat").first()
+        d = 0 if d_row is None else d_row["nhat"]
+        if d > 0:
+            merged = (merged.select(
+                "tok", (F.col("nhat") - F.lit(d)).alias("nhat"))
+                .where(F.col("nhat") > 0))
+
+        merged.select("tok", F.col("nhat").cast("long")) \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(f"{self.root}/summary/epoch={epoch_id}")
+        self.spark.createDataFrame(
+            [(int(total_n + batch_n), int(err + d))], _META_SCHEMA) \
+            .write.mode("overwrite") \
+            .parquet(f"{self.root}/meta/epoch={epoch_id}")
+
+    def foreach_batch_handler(self, text_col: str = "text"):
+        """Adapter for `writeStream.foreachBatch` over a document
+        stream."""
+        def handle(batch_df: DataFrame, epoch_id: int) -> None:
+            self.process_batch(batch_df, epoch_id, text_col=text_col)
+
+        return handle
+
+    # -- queries ------------------------------------------------------------
+
+    def summary(self) -> DataFrame:
+        """(tok, nhat, err, total_n) for the latest epoch — empty frame
+        before the first batch."""
+        latest = self._latest_epoch()
+        s, total_n, err = self._state(latest)
+        return s.select("tok", "nhat", F.lit(err).cast("long").alias("err"),
+                        F.lit(total_n).cast("long").alias("total_n"))
+
+    def top(self, k: int = 10) -> DataFrame:
+        """Top-k summarized tokens by estimated count (nhat is an
+        underestimate by at most err)."""
+        s = self.summary()
+        w = Window.orderBy(F.col("nhat").desc(), F.col("tok"))
+        return (s.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k))

@@ -1,0 +1,128 @@
+"""StreamingTopkIndex: mergeable Misra-Gries guarantees, replay
+idempotence, and batching robustness."""
+
+from __future__ import annotations
+
+import tempfile
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _true_counts(rows) -> Counter:
+    c = Counter()
+    for _, text in rows:
+        for t in text.split(" "):
+            if t:
+                c[t] += 1
+    return c
+
+
+def _check_invariants(idx, rows, capacity):
+    true = _true_counts(rows)
+    total = sum(true.values())
+    got = {r["tok"]: r for r in idx.summary().collect()}
+    errs = {r["err"] for r in got.values()}
+    totals = {r["total_n"] for r in got.values()}
+    assert totals == {total}
+    err = errs.pop() if errs else 0
+    # MG error bound
+    assert err <= total // (capacity + 1)
+    # every summarized token: nhat <= true <= nhat + err
+    for tok, r in got.items():
+        assert r["nhat"] <= true[tok] <= r["nhat"] + err, tok
+    # every absent token: true <= err  (the superset guarantee)
+    for tok, n in true.items():
+        if tok not in got:
+            assert n <= err, (tok, n, err)
+    # heavy tokens are ALWAYS present
+    for tok, n in true.items():
+        if n > total // (capacity + 1):
+            assert tok in got, tok
+    return got
+
+
+def test_superset_guarantee_and_bounds(spark):
+    """A skewed stream in 4 batches: the planted heavy tokens survive
+    compression and all MG bounds hold."""
+    rows = []
+    doc = 0
+    hot = " ".join(["hot"] * 20)  # ~160/530 total >> total/(capacity+1)
+    for b in range(4):
+        body = " ".join(f"w{b}_{i % 17}" for i in range(40))
+        rows.append((doc, f"{hot} warm {body}")); doc += 1
+        rows.append((doc, f"{hot} warm {body}")); doc += 1
+
+    from dbsync_spark.streaming.topk_index import StreamingTopkIndex
+
+    idx = StreamingTopkIndex(
+        spark, tempfile.mkdtemp(prefix="dbsync_topk_t_"), capacity=6)
+    for e in range(4):
+        idx.process_batch(_mk(spark, rows[2 * e:2 * e + 2]), epoch_id=e)
+    got = _check_invariants(idx, rows, capacity=6)
+    assert "hot" in got
+    # ranking surfaces the heavy token first
+    top = idx.top(1).collect()
+    assert top[0]["tok"] == "hot"
+
+
+def test_replay_is_idempotent(spark):
+    """Re-running a failed epoch recomputes from its predecessor: state
+    after the replay equals state after the first run (no double
+    counting) — the cumulative-state foreachBatch contract."""
+    rows = [(i, "a a b c d e f g h" + (" a" if i % 2 else "")) for i in range(6)]
+
+    from dbsync_spark.streaming.topk_index import StreamingTopkIndex
+
+    idx = StreamingTopkIndex(
+        spark, tempfile.mkdtemp(prefix="dbsync_topk_r_"), capacity=4)
+    idx.process_batch(_mk(spark, rows[:3]), epoch_id=0)
+    idx.process_batch(_mk(spark, rows[3:]), epoch_id=1)
+    first = sorted(map(tuple, idx.summary().collect()))
+    # replay epoch 1 (same batch): must read epoch 0, not itself
+    idx.process_batch(_mk(spark, rows[3:]), epoch_id=1)
+    assert sorted(map(tuple, idx.summary().collect())) == first
+
+
+def test_arbitrary_batchings_keep_guarantees(spark):
+    """Different batchings yield different summaries (MG merge is
+    order-dependent) but every batching satisfies the same bounds."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(25))
+             + " pop pop pop pop pop")
+            for i in range(12)]
+
+    from dbsync_spark.streaming.topk_index import StreamingTopkIndex
+
+    for splits in ([4, 4, 4], [1, 11], [12], [2, 3, 3, 4]):
+        idx = StreamingTopkIndex(
+            spark, tempfile.mkdtemp(prefix="dbsync_topk_b_"), capacity=8)
+        at = 0
+        for e, width in enumerate(splits):
+            idx.process_batch(_mk(spark, rows[at:at + width]), epoch_id=e)
+            at += width
+        got = _check_invariants(idx, rows, capacity=8)
+        assert "pop" in got, splits
+
+
+def test_empty_and_first_batch_edges(spark):
+    """Summary before any batch is empty; an empty batch is a no-op on
+    counts; capacity=1 degenerates to majority-candidate tracking."""
+    from dbsync_spark.streaming.topk_index import StreamingTopkIndex
+
+    idx = StreamingTopkIndex(
+        spark, tempfile.mkdtemp(prefix="dbsync_topk_e_"), capacity=1)
+    assert idx.summary().count() == 0
+    idx.process_batch(_mk(spark, [(1, "x x y")]), epoch_id=0)
+    idx.process_batch(_mk(spark, []), epoch_id=1)
+    got = {r["tok"]: r for r in idx.summary().collect()}
+    # majority element x survives with nhat >= 1
+    assert set(got) == {"x"} and got["x"]["nhat"] >= 1
+    assert got["x"]["total_n"] == 3
