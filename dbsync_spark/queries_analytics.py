@@ -2085,3 +2085,25 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (d.join(F.broadcast(s), on="event_type")
             .select("event_id", "event_type", "cents", "med", "dev", "mad")
             .where(F.col("dev") > 3 * F.col("mad")))
+
+
+@_register("q_streaming_hll")  # rows-only: DataSketches HLL binaries are
+# engine-side; stream==batch EXACT equality and accuracy-vs-exact are
+# pytest-pinned (register-max union is batching-invariant)
+def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming distinct-count SERVICE: per-day user sketches
+    maintained across three micro-batches (streaming/distinct_index.py,
+    HLL union state — a few KB per bucket forever). The emitted estimate
+    is identical to the one-shot batch sketch because HLL union is
+    register-wise max: associative, commutative, idempotent."""
+    import tempfile
+
+    from dbsync_spark.streaming.distinct_index import StreamingDistinctIndex
+
+    events = read_table(spark, sf_dir, "events")
+    idx = StreamingDistinctIndex(
+        spark, tempfile.mkdtemp(prefix="dbsync_hll_q_"))
+    for epoch in range(3):
+        idx.process_batch(events.where(F.col("event_id") % 3 == epoch),
+                          epoch_id=epoch)
+    return idx.estimates()

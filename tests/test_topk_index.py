@@ -126,3 +126,58 @@ def test_empty_and_first_batch_edges(spark):
     # majority element x survives with nhat >= 1
     assert set(got) == {"x"} and got["x"]["nhat"] >= 1
     assert got["x"]["total_n"] == 3
+
+
+# ---------------------------------------------------------------------------
+# StreamingDistinctIndex (HLL sketch state)
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_hll_equals_batch_exactly(spark, sf_dir):
+    """HLL union is register-wise max (associative, commutative,
+    idempotent), so the streamed estimate must EQUAL the one-shot batch
+    estimate — exact equality across batchings and replays, not a
+    tolerance band."""
+    from dbsync_spark.sources.tables import read_table
+    from dbsync_spark.streaming.distinct_index import StreamingDistinctIndex
+
+    events = read_table(spark, sf_dir, "events")
+    batch = (events.select(F.date_trunc("day", "ts").alias("bucket"), "user_id")
+             .groupBy("bucket")
+             .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("s"))
+             .select("bucket", F.hll_sketch_estimate("s").alias("n_distinct")))
+    want = sorted(map(tuple, batch.collect()))
+
+    for splits in (3, 5):
+        idx = StreamingDistinctIndex(
+            spark, tempfile.mkdtemp(prefix="dbsync_hllidx_"))
+        for e in range(splits):
+            idx.process_batch(events.where(F.col("event_id") % splits == e),
+                              epoch_id=e)
+        # replay the last epoch: idempotent by max-merge + state discipline
+        idx.process_batch(events.where(
+            F.col("event_id") % splits == splits - 1), epoch_id=splits - 1)
+        got = sorted(map(tuple, idx.estimates().collect()))
+        assert got == want, splits
+
+
+def test_streaming_hll_accuracy(spark, sf_dir):
+    """The streamed estimate is within HLL's rsd of the exact distinct
+    count per day (lg_k=12 -> ~1.6% rsd; allow 5%)."""
+    from dbsync_spark.sources.tables import read_table
+    from dbsync_spark.streaming.distinct_index import StreamingDistinctIndex
+
+    events = read_table(spark, sf_dir, "events")
+    exact = {r["bucket"]: r["n"] for r in events.select(
+        F.date_trunc("day", "ts").alias("bucket"), "user_id")
+        .groupBy("bucket").agg(F.count_distinct("user_id").alias("n"))
+        .collect()}
+    idx = StreamingDistinctIndex(
+        spark, tempfile.mkdtemp(prefix="dbsync_hllacc_"))
+    for e in range(4):
+        idx.process_batch(events.where(F.col("event_id") % 4 == e),
+                          epoch_id=e)
+    got = {r["bucket"]: r["n_distinct"] for r in idx.estimates().collect()}
+    assert set(got) == set(exact)
+    for b, n in exact.items():
+        assert abs(got[b] - n) <= max(2, 0.05 * n), (b, got[b], n)
