@@ -216,3 +216,52 @@ def test_lm_surprisal_single_doc_and_no_bigrams(spark):
     rows = {r.doc_id: r for r in lm_surprisal(df).collect()}
     assert set(rows) == {1}
     assert abs(rows[1].surprisal - (-math.log(2 / 4))) < 1e-12
+
+
+def test_triangle_counts_degenerate_graphs(spark):
+    """Empty edge list, self-loops only, and a single edge: no triangles,
+    no crashes, self-loop-only nodes excluded (consistent with the
+    oracle's und filter)."""
+    from dbsync_spark.functions.graph import triangle_counts
+
+    empty = spark.createDataFrame([], "src int, dst int")
+    assert triangle_counts(empty).count() == 0
+    loops = spark.createDataFrame([(1, 1), (2, 2)], "src int, dst int")
+    assert triangle_counts(loops).count() == 0
+    one = spark.createDataFrame([(1, 2)], "src int, dst int")
+    got = {r.node: r.n_triangles for r in triangle_counts(one).collect()}
+    assert got == {1: 0, 2: 0}
+
+
+def test_semantic_dedup_degenerate_corpora(spark):
+    """Empty corpus -> empty; single vector -> its own kept rep; two
+    exact copies -> min id kept, other dropped at cosine exactly 1."""
+    from dbsync_spark.functions.dedup import semantic_dedup
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert semantic_dedup(empty, dim=4, n_planes=4).count() == 0
+
+    v = [0.5, -0.25, 0.125, 1.0]
+    one = spark.createDataFrame([(7, v)], "vec_id long, embedding array<double>")
+    got = one.transform(lambda df: semantic_dedup(df, dim=4, n_planes=4)).collect()
+    assert len(got) == 1 and got[0].keep and got[0].rep_id == 7
+
+    two = spark.createDataFrame([(7, v), (9, v)],
+                                "vec_id long, embedding array<double>")
+    rows = {r.vec_id: r for r in semantic_dedup(two, dim=4, n_planes=4).collect()}
+    assert rows[7].keep and not rows[9].keep
+    assert rows[9].cosine_to_rep == 1.0
+
+
+def test_knn_classify_single_neighbor(spark):
+    """Corpus of 2: the query's only neighbor decides the label with one
+    vote; self never votes."""
+    from dbsync_spark.functions.similarity import knn_classify
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 5), (2, [0.9, 0.1], 6)],
+        "vec_id long, embedding array<double>, label int")
+    out = knn_classify(df, df.where(F.col("vec_id") == 1), k=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.pred_label == 6 and r.n_votes == 1 and not r.correct

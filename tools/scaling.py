@@ -30,6 +30,10 @@ QUERIES = [
     # MG sketch, bigram-LM scoring, ensemble verify
     "q_dup_spans", "q_decontaminate", "q_heavy_hitters",
     "q_lm_surprisal", "q_ensemble_dedup",
+    # round-3 additions: semantic dedup, triangle counts, k-NN transfer,
+    # MAD outliers, streaming MG/HLL state services
+    "q_semantic_dedup", "q_triangle_count", "q_knn_classify",
+    "q_outlier_mad", "q_streaming_topk", "q_streaming_hll",
 ]
 
 
