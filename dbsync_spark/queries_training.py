@@ -919,3 +919,42 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.process_batch(docs.where(F.col("doc_id") % 3 == epoch),
                           epoch_id=epoch)
     return idx.summary()
+
+
+@_register(
+    "q_l_diversity",
+    """
+WITH q AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(CAST(round(c_acctbal * 100, 0) AS BIGINT) / 100000.0)
+              AS BIGINT) AS bal_band,
+         c_mktsegment
+  FROM customer
+),
+g AS (
+  SELECT c_nationkey, bal_band,
+         count(*) AS group_size,
+         count(DISTINCT c_mktsegment) AS n_sensitive
+  FROM q GROUP BY 1, 2
+)
+SELECT c_nationkey, bal_band, group_size, n_sensitive
+FROM g WHERE n_sensitive < 3
+""",
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=3), the companion to q_k_anonymity: groups
+    that are large enough to pass k-anonymity can still leak when every
+    member shares the same sensitive value. Quasi-identifiers (nation,
+    balance band); sensitive attribute market segment; flag groups with
+    fewer than 3 distinct segments. ONE aggregate with a distinct-count
+    (partial aggregation both phases); at extreme cardinalities swap
+    count_distinct for approx_count_distinct with the same plan."""
+    c = read_table(spark, sf_dir, "customer")
+    band = F.floor(
+        F.round(F.col("c_acctbal") * 100, 0).cast("long") / 100000.0
+    ).cast("long")
+    return (c.select("c_nationkey", band.alias("bal_band"), "c_mktsegment")
+            .groupBy("c_nationkey", "bal_band")
+            .agg(F.count("*").alias("group_size"),
+                 F.count_distinct("c_mktsegment").alias("n_sensitive"))
+            .where(F.col("n_sensitive") < 3))
