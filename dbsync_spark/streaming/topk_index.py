@@ -127,8 +127,12 @@ class StreamingTopkIndex:
         toks = (new_docs.select(F.explode(tokens(F.col(text_col)))
                                 .alias("tok"))
                 .where(F.col("tok") != ""))
-        bcounts = toks.groupBy("tok").agg(F.count("*").alias("bn"))
-        batch_n = toks.count()
+        bcounts = toks.groupBy("tok").agg(F.count("*").alias("bn")) \
+            .localCheckpoint()
+        # batch total from the (bounded) counts frame — not a second
+        # pass over the raw batch tokens
+        row = bcounts.agg(F.sum("bn").alias("s")).first()
+        batch_n = row["s"] or 0
 
         merged = (
             summary.join(bcounts, on="tok", how="full")
