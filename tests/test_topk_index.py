@@ -181,3 +181,54 @@ def test_streaming_hll_accuracy(spark, sf_dir):
     assert set(got) == set(exact)
     for b, n in exact.items():
         assert abs(got[b] - n) <= max(2, 0.05 * n), (b, got[b], n)
+
+
+def test_topk_via_real_foreachbatch(spark, tmp_path):
+    """The heavy-hitters service wired to a real readStream/foreachBatch
+    drain: checkpointed epoch ids drive the cumulative state and the
+    final summary satisfies every MG bound against the full corpus."""
+    rows = [(i, "hot hot hot " + " ".join(f"v{i}_{j}" for j in range(8)))
+            for i in range(8)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "src")
+    corpus.repartition(4).write.parquet(src)
+
+    from dbsync_spark.streaming.topk_index import StreamingTopkIndex
+
+    idx = StreamingTopkIndex(spark, str(tmp_path / "topk"), capacity=5)
+    stream = (spark.readStream.schema(corpus.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(idx.foreach_batch_handler())
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = _check_invariants(idx, rows, capacity=5)
+    assert "hot" in got
+    assert idx.top(1).collect()[0]["tok"] == "hot"
+
+
+def test_hll_via_real_foreachbatch(spark, sf_dir, tmp_path):
+    """The distinct-count service on a real stream equals the one-shot
+    batch sketch exactly."""
+    from dbsync_spark.sources.tables import read_table
+    from dbsync_spark.streaming.distinct_index import StreamingDistinctIndex
+
+    events = read_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev")
+    events.repartition(3).write.parquet(src)
+
+    idx = StreamingDistinctIndex(spark, str(tmp_path / "hll"))
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(idx.foreach_batch_handler())
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    batch = (events.select(F.date_trunc("day", "ts").alias("bucket"), "user_id")
+             .groupBy("bucket")
+             .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("s"))
+             .select("bucket", F.hll_sketch_estimate("s").alias("n_distinct")))
+    assert sorted(map(tuple, idx.estimates().collect())) \
+        == sorted(map(tuple, batch.collect()))
