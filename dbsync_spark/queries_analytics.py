@@ -2107,3 +2107,94 @@ def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.process_batch(events.where(F.col("event_id") % 3 == epoch),
                           epoch_id=epoch)
     return idx.estimates()
+
+
+def _trending_oracle(capacity: int = 3, n_epochs: int = 3, k: int = 3) -> str:
+    """Unrolled per-bucket Misra-Gries recurrence over the events stream:
+    epoch e consumes event_id % n_epochs == e, buckets are days, the
+    compression decrement is per (bucket, epoch) — mirrors
+    streaming/topk_index.py::StreamingTrendingIndex exactly."""
+    parts = ["""WITH tk AS (
+  SELECT event_id, date_trunc('day', ts) AS bucket, event_type AS tok
+  FROM events WHERE event_type <> ''
+)"""]
+    prev = None
+    for e in range(n_epochs):
+        parts.append(f""",
+b{e} AS (SELECT bucket, tok, count(*) AS bn FROM tk
+        WHERE event_id % {n_epochs} = {e} GROUP BY bucket, tok),
+t{e} AS (SELECT bucket, CAST(count(*) AS BIGINT) AS bt FROM tk
+        WHERE event_id % {n_epochs} = {e} GROUP BY bucket)""")
+        if prev is None:
+            parts.append(f""",
+m{e} AS (SELECT bucket, tok, CAST(bn AS BIGINT) AS nhat FROM b{e}),
+meta_in{e} AS (SELECT bucket, CAST(0 AS BIGINT) AS total_n,
+                      CAST(0 AS BIGINT) AS err FROM t{e} WHERE 1 = 0)""")
+        else:
+            parts.append(f""",
+m{e} AS (
+  SELECT coalesce(s.bucket, b.bucket) AS bucket,
+         coalesce(s.tok, b.tok) AS tok,
+         CAST(coalesce(s.nhat, 0) + coalesce(b.bn, 0) AS BIGINT) AS nhat
+  FROM s{prev} s FULL JOIN b{e} b
+    ON s.bucket = b.bucket AND s.tok = b.tok
+),
+meta_in{e} AS (SELECT bucket, total_n, err FROM meta{prev})""")
+        parts.append(f""",
+r{e} AS (SELECT bucket, tok, nhat,
+                row_number() OVER (PARTITION BY bucket
+                                   ORDER BY nhat DESC, tok) AS rn
+         FROM m{e}),
+d{e} AS (SELECT bucket, nhat AS d FROM r{e} WHERE rn = {capacity + 1}),
+s{e} AS (
+  SELECT m.bucket, m.tok,
+         CAST(m.nhat - coalesce(d.d, 0) AS BIGINT) AS nhat
+  FROM m{e} m LEFT JOIN d{e} d ON m.bucket = d.bucket
+  WHERE m.nhat - coalesce(d.d, 0) > 0
+),
+meta{e} AS (
+  SELECT coalesce(p.bucket, t.bucket) AS bucket,
+         CAST(coalesce(p.total_n, 0) + coalesce(t.bt, 0) AS BIGINT)
+           AS total_n,
+         CAST(coalesce(p.err, 0) + coalesce(d.d, 0) AS BIGINT) AS err
+  FROM meta_in{e} p
+  FULL JOIN t{e} t ON p.bucket = t.bucket
+  LEFT JOIN d{e} d ON coalesce(p.bucket, t.bucket) = d.bucket
+)""")
+        prev = e
+    last = n_epochs - 1
+    parts.append(f"""
+SELECT s.bucket, s.tok, s.nhat, m.err, m.total_n, rk.rank
+FROM s{last} s
+JOIN meta{last} m ON s.bucket = m.bucket
+JOIN (SELECT bucket, tok,
+             CAST(row_number() OVER (PARTITION BY bucket
+                                     ORDER BY nhat DESC, tok) AS INT)
+               AS rank
+      FROM s{last}) rk
+  ON s.bucket = rk.bucket AND s.tok = rk.tok
+WHERE rk.rank <= {k}""")
+    return "".join(parts)
+
+
+@_register("q_trending", _trending_oracle())
+def q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day trending event types: the windowed heavy-hitters SERVICE
+    (streaming/topk_index.py::StreamingTrendingIndex, per-bucket
+    mergeable Misra-Gries state, capacity 3) fed three micro-batches,
+    hash-checked against the identical per-bucket recurrence unrolled
+    into a CTE chain. Per-day state stays bounded by capacity forever;
+    a hot day's compression never touches a quiet day."""
+    import tempfile
+
+    from dbsync_spark.streaming.topk_index import StreamingTrendingIndex
+
+    events = read_table(spark, sf_dir, "events")
+    idx = StreamingTrendingIndex(
+        spark, tempfile.mkdtemp(prefix="dbsync_trend_q_"), capacity=3)
+    for epoch in range(3):
+        idx.process_batch(events.where(F.col("event_id") % 3 == epoch),
+                          epoch_id=epoch, text_col="event_type")
+    return (idx.trending(k=3)
+            .select("bucket", "tok", "nhat", "err", "total_n",
+                    F.col("rank").cast("int").alias("rank")))

@@ -44,7 +44,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (LongType, StringType, StructField,
+                               StructType, TimestampType)
 from pyspark.sql.window import Window
 
 from dbsync_spark.functions.text import tokens
@@ -187,4 +188,139 @@ class StreamingTopkIndex:
         s = self.summary()
         w = Window.orderBy(F.col("nhat").desc(), F.col("tok"))
         return (s.withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k))
+
+
+class StreamingTrendingIndex:
+    """Per-window heavy hitters: the same mergeable Misra-Gries state,
+    kept independently per time bucket — "what's trending TODAY", not
+    all-time. State is (bucket, tok, nhat) + per-bucket (total_n, err);
+    each bucket's summary is bounded by `capacity`, so total state is
+    active_buckets x capacity rows no matter how long the stream runs
+    (old buckets stop growing the moment their events stop arriving —
+    retention can drop them by partition).
+
+    Compression runs PER BUCKET: the decrement is each bucket's
+    (capacity+1)-th largest count (a per-bucket join, not a global
+    scalar), so a hot day never forces compression onto a quiet one.
+    Same cumulative-state overwrite discipline as StreamingTopkIndex;
+    same MG bounds per bucket, property-tested."""
+
+    _SUM_SCHEMA = StructType([
+        StructField("bucket", TimestampType()),
+        StructField("tok", StringType()),
+        StructField("nhat", LongType()),
+    ])
+
+    def __init__(self, spark: SparkSession, root: str, capacity: int = 200,
+                 ts_col: str = "ts", bucket: str = "day"):
+        if capacity < 1:
+            raise ValueError(f"capacity must be >= 1, got {capacity}")
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.capacity = capacity
+        self.ts_col = ts_col
+        self.bucket = bucket
+        self._meta_schema = StructType([
+            StructField("bucket", TimestampType()),
+            StructField("total_n", LongType()),
+            StructField("err", LongType()),
+        ])
+
+    def _epochs(self) -> list[int]:
+        import os
+        import re
+
+        try:
+            entries = os.listdir(f"{self.root}/summary")
+        except FileNotFoundError:
+            return []
+        return sorted(int(m.group(1)) for e in entries
+                      if (m := re.fullmatch(r"epoch=(\d+)", e)))
+
+    def _state(self, epoch: int | None):
+        if epoch is None:
+            return (self.spark.createDataFrame([], self._SUM_SCHEMA),
+                    self.spark.createDataFrame([], self._meta_schema))
+        summary = read_state(self.spark, f"{self.root}/summary/epoch={epoch}",
+                             read_schema=self._SUM_SCHEMA,
+                             empty_schema=self._SUM_SCHEMA)
+        meta = read_state(self.spark, f"{self.root}/meta/epoch={epoch}",
+                          read_schema=self._meta_schema,
+                          empty_schema=self._meta_schema)
+        return summary, meta
+
+    def process_batch(self, new_docs: DataFrame,
+                      epoch_id: int | None = None,
+                      text_col: str = "text") -> None:
+        from dbsync_spark.streaming.state import next_epoch
+
+        if epoch_id is None:
+            epoch_id = next_epoch(self.root, "summary")
+        before = [e for e in self._epochs() if e < epoch_id]
+        summary, meta = self._state(before[-1] if before else None)
+
+        toks = (new_docs.select(
+            F.date_trunc(self.bucket, F.col(self.ts_col)).alias("bucket"),
+            F.explode(tokens(F.col(text_col))).alias("tok"))
+            .where(F.col("tok") != ""))
+        bcounts = (toks.groupBy("bucket", "tok")
+                   .agg(F.count("*").alias("bn")).localCheckpoint())
+        btotals = bcounts.groupBy("bucket").agg(
+            F.sum("bn").cast("long").alias("bt"))
+
+        merged = (
+            summary.join(bcounts, on=["bucket", "tok"], how="full")
+            .select("bucket", "tok",
+                    (F.coalesce(F.col("nhat"), F.lit(0))
+                     + F.coalesce(F.col("bn"), F.lit(0))).alias("nhat"))
+        )
+        # per-bucket decrement: the (capacity+1)-th largest count of THAT
+        # bucket (0 where the bucket fits in capacity)
+        w = Window.partitionBy("bucket").orderBy(
+            F.col("nhat").desc(), F.col("tok"))
+        ranked = merged.withColumn("_rn", F.row_number().over(w))
+        decr = (ranked.where(F.col("_rn") == self.capacity + 1)
+                .select("bucket", F.col("nhat").alias("_d")))
+        compressed = (
+            merged.join(decr, on="bucket", how="left")
+            .select("bucket", "tok",
+                    (F.col("nhat") - F.coalesce(F.col("_d"), F.lit(0)))
+                    .alias("nhat"),
+                    F.coalesce(F.col("_d"), F.lit(0)).alias("_d"))
+            .where(F.col("nhat") > 0)
+        )
+
+        new_meta = (
+            meta.select("bucket", "total_n", "err")
+            .join(btotals, on="bucket", how="full")
+            .join(decr, on="bucket", how="full")
+            .select("bucket",
+                    (F.coalesce(F.col("total_n"), F.lit(0))
+                     + F.coalesce(F.col("bt"), F.lit(0)))
+                    .cast("long").alias("total_n"),
+                    (F.coalesce(F.col("err"), F.lit(0))
+                     + F.coalesce(F.col("_d"), F.lit(0)))
+                    .cast("long").alias("err"))
+        )
+        compressed.select("bucket", "tok", F.col("nhat").cast("long")) \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(f"{self.root}/summary/epoch={epoch_id}")
+        new_meta.coalesce(1).write.mode("overwrite") \
+            .parquet(f"{self.root}/meta/epoch={epoch_id}")
+
+    def foreach_batch_handler(self, text_col: str = "text"):
+        def handle(batch_df: DataFrame, epoch_id: int) -> None:
+            self.process_batch(batch_df, epoch_id, text_col=text_col)
+
+        return handle
+
+    def trending(self, k: int = 10) -> DataFrame:
+        """(bucket, tok, nhat, err, total_n, rank): top-k per bucket."""
+        eps = self._epochs()
+        summary, meta = self._state(eps[-1] if eps else None)
+        w = Window.partitionBy("bucket").orderBy(
+            F.col("nhat").desc(), F.col("tok"))
+        return (summary.join(meta, on="bucket")
+                .withColumn("rank", F.row_number().over(w))
                 .where(F.col("rank") <= k))

@@ -232,3 +232,70 @@ def test_hll_via_real_foreachbatch(spark, sf_dir, tmp_path):
              .select("bucket", F.hll_sketch_estimate("s").alias("n_distinct")))
     assert sorted(map(tuple, idx.estimates().collect())) \
         == sorted(map(tuple, batch.collect()))
+
+
+# ---------------------------------------------------------------------------
+# StreamingTrendingIndex (per-window MG state)
+# ---------------------------------------------------------------------------
+
+
+def _mk_ts(spark, rows):
+    return spark.createDataFrame(rows, "ts timestamp, text string")
+
+
+def test_trending_per_bucket_bounds_and_isolation(spark):
+    """Each day keeps its own bounded summary with its own MG bounds; a
+    hot day's compression never decrements a quiet day's counts."""
+    import datetime as dt
+
+    d1 = dt.datetime(2024, 1, 1, 10)
+    d2 = dt.datetime(2024, 1, 2, 10)
+    # day 1: heavy 'alpha' over a wide vocab (forces compression)
+    day1 = [(d1, "alpha alpha alpha " + " ".join(f"x{i}_{j}" for j in range(9)))
+            for i in range(6)]
+    # day 2: tiny vocab, fits capacity (no compression -> exact counts)
+    day2 = [(d2, "beta beta gamma")]
+
+    from dbsync_spark.streaming.topk_index import StreamingTrendingIndex
+
+    idx = StreamingTrendingIndex(
+        spark, tempfile.mkdtemp(prefix="dbsync_trend_"), capacity=5)
+    idx.process_batch(_mk_ts(spark, day1[:3] + day2), epoch_id=0)
+    idx.process_batch(_mk_ts(spark, day1[3:]), epoch_id=1)
+
+    rows = idx.trending(k=5).collect()
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r["bucket"].day, {})[r["tok"]] = r
+
+    # day 2 never compressed: exact counts, zero error
+    assert by_day[2]["beta"]["nhat"] == 2
+    assert by_day[2]["gamma"]["nhat"] == 1
+    assert by_day[2]["beta"]["err"] == 0
+    assert by_day[2]["beta"]["total_n"] == 3
+
+    # day 1: 'alpha' (18 of 72 tokens > 72/6) must survive as rank 1
+    assert by_day[1]["alpha"]["rank"] == 1
+    r1 = next(iter(by_day[1].values()))
+    assert r1["total_n"] == 72
+    assert r1["err"] <= 72 // 6
+    true_alpha = 18
+    assert by_day[1]["alpha"]["nhat"] <= true_alpha \
+        <= by_day[1]["alpha"]["nhat"] + r1["err"]
+
+
+def test_trending_replay_idempotent(spark):
+    import datetime as dt
+
+    t = dt.datetime(2024, 3, 5, 8)
+    rows = [(t, "a a b c d e f"), (t, "a b b c g h i")]
+
+    from dbsync_spark.streaming.topk_index import StreamingTrendingIndex
+
+    idx = StreamingTrendingIndex(
+        spark, tempfile.mkdtemp(prefix="dbsync_trend_r_"), capacity=4)
+    idx.process_batch(_mk_ts(spark, rows[:1]), epoch_id=0)
+    idx.process_batch(_mk_ts(spark, rows[1:]), epoch_id=1)
+    first = sorted(map(tuple, idx.trending(k=4).collect()))
+    idx.process_batch(_mk_ts(spark, rows[1:]), epoch_id=1)  # replay
+    assert sorted(map(tuple, idx.trending(k=4).collect())) == first
