@@ -269,3 +269,79 @@ def pagerank_oracle_sql(edges_cte: str, n_iters: int = 8,
 )""")
     parts.append(f"\nSELECT node, rank FROM r{n_iters}")
     return "".join(parts)
+
+
+def kcore(edges: DataFrame, k: int, n_rounds: int = 6) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected edge list (`src`,
+    `dst`; direction and parallel edges ignored). Returns (node, deg)
+    for every node still alive after `n_rounds` peel rounds, with its
+    degree inside the surviving subgraph.
+
+    Recurrence (all integer, exact — hash-matchable like pagerank):
+      S_0     = all nodes
+      S_{i+1} = { v in S_i : deg(v within S_i x S_i edges) >= k }
+    The loop is the textbook distributed k-core peel (one degree
+    aggregate + two semi-joins per round); a round in which nothing is
+    peeled is a fixed point, so `n_rounds` only needs to cover the peel
+    DEPTH (cascade length), not the node count. Callers verify
+    convergence separately (tests assert the output is a fixed point).
+
+    Scale shape: the edge set shrinks monotonically; each round is one
+    shuffle degree-aggregate over the surviving edges plus semi-join
+    filters on the (node) key — the same join+agg-per-iteration plan as
+    pagerank/BFS, lineage truncated per round. No driver-side state.
+    """
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b"))
+           .distinct()
+           .localCheckpoint())
+    live = und
+    deg = None
+    for _ in range(n_rounds):
+        deg = (live.select(F.col("a").alias("node"))
+               .unionByName(live.select(F.col("b").alias("node")))
+               .groupBy("node").agg(F.count("*").alias("deg"))
+               .where(F.col("deg") >= k)
+               .localCheckpoint())
+        survivors_a = deg.select(F.col("node").alias("a"))
+        survivors_b = deg.select(F.col("node").alias("b"))
+        live = (live.join(survivors_a, on="a", how="leftsemi")
+                .join(survivors_b, on="b", how="leftsemi")
+                .localCheckpoint())
+    # final degree is re-measured inside the final surviving edge set so
+    # (node, deg) is consistent with the subgraph the caller receives
+    return (live.select(F.col("a").alias("node"))
+            .unionByName(live.select(F.col("b").alias("node")))
+            .groupBy("node").agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k))
+
+
+def kcore_oracle_sql(edges_cte: str, k: int, n_rounds: int = 6) -> str:
+    """DuckDB SQL computing the identical fixed-round peel: the round is
+    unrolled into a CTE chain (`edges_cte` must define `edges(src,
+    dst)`). Each round keeps edges whose BOTH endpoints had degree >= k
+    in the previous round's edge set, mirroring kcore()'s semi-joins."""
+    parts = [
+        f"WITH {edges_cte},",
+        "e0 AS (SELECT DISTINCT least(src, dst) AS a,"
+        " greatest(src, dst) AS b FROM edges WHERE src <> dst)",
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(f""",d{i} AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT a AS node FROM e{i - 1}
+        UNION ALL SELECT b AS node FROM e{i - 1})
+  GROUP BY node HAVING count(*) >= {k}
+),e{i} AS (
+  SELECT a, b FROM e{i - 1}
+  WHERE a IN (SELECT node FROM d{i}) AND b IN (SELECT node FROM d{i})
+)""")
+    parts.append(f"""
+SELECT node, deg FROM (
+  SELECT node, count(*) AS deg
+  FROM (SELECT a AS node FROM e{n_rounds}
+        UNION ALL SELECT b AS node FROM e{n_rounds})
+  GROUP BY node
+) WHERE deg >= {k}""")
+    return "".join(parts)

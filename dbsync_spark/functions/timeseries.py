@@ -232,3 +232,43 @@ def dtw_topk(series: DataFrame, query_values, id_col: str, k: int = 10,
     w = Window.orderBy(F.col("dtw_dist"), F.col(id_col))
     return (union.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= k).drop("_rn"))
+
+
+def cusum_changepoints(daily: DataFrame, key_col: str, day_col: str,
+                       cents_col: str, slack_div: int = 20,
+                       threshold_mult: int = 8) -> DataFrame:
+    """Per-series one-sided CUSUM level-shift detection over a
+    pre-aggregated (key, day, integer-cents) frame: flag days where the
+    cumulative positive drift above (mean + slack) exceeds
+    threshold_mult * slack.
+
+    The textbook recurrence s_i = max(0, s_{i-1} + d_i) looks inherently
+    sequential, but has the closed form
+        s_i = p_i - min(0, min_{j<=i} p_j),   p = prefix sums of d,
+    so it distributes as two stacked window passes (running sum, then
+    running min) — per-key partitioned windows, no global sort, exact
+    BIGINT arithmetic end to end (hash-matchable in SQL on any engine).
+
+    Scale shape: the windows partition by the series key, so a million
+    independent series spread across the cluster; each series' state is
+    one running pair. The per-key mean/slack join is a plain equi-join
+    (AQE broadcasts when the key side is small).
+    """
+    from pyspark.sql import Window
+
+    tgt = (daily.groupBy(key_col).agg(
+        F.expr(f"sum({cents_col}) div count(*)").alias("_target"))
+        .withColumn("_slack", F.expr(f"_target div {slack_div}")))
+    d = (daily.join(tgt, on=key_col)
+         .withColumn("_dev", F.col(cents_col) - F.col("_target")
+                     - F.col("_slack")))
+    w = (Window.partitionBy(key_col).orderBy(day_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    p = d.withColumn("_pre", F.sum("_dev").over(w))
+    s = p.withColumn(
+        "cusum_cents",
+        F.col("_pre") - F.least(F.lit(0).cast("long"),
+                                F.min("_pre").over(w)))
+    return (s.where(F.col("cusum_cents")
+                    > threshold_mult * F.col("_slack"))
+            .select(key_col, day_col, cents_col, "cusum_cents"))

@@ -2198,3 +2198,54 @@ def q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (idx.trending(k=3)
             .select("bucket", "tok", "nhat", "err", "total_n",
                     F.col("rank").cast("int").alias("rank")))
+
+
+@_register(
+    "q_changepoint",
+    f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM({_CENTS.format(x='value')}) AS BIGINT) AS v_cents
+  FROM events GROUP BY 1, 2
+),
+tgt AS (
+  SELECT event_type,
+         CAST(SUM(v_cents) // COUNT(*) AS BIGINT) AS _target,
+         CAST((SUM(v_cents) // COUNT(*)) // 20 AS BIGINT) AS _slack
+  FROM daily GROUP BY 1
+),
+d AS (
+  SELECT daily.*, tgt._slack, v_cents - tgt._target - tgt._slack AS _dev
+  FROM daily JOIN tgt USING (event_type)
+),
+p AS (
+  SELECT *, CAST(SUM(_dev) OVER w AS BIGINT) AS _pre
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT *, _pre - LEAST(0, CAST(MIN(_pre) OVER w2 AS BIGINT)) AS cusum_cents
+  FROM p
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, v_cents, cusum_cents
+FROM s WHERE cusum_cents > 8 * _slack
+""",
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection per event-type revenue series: days
+    where cumulative drift above (mean + 5% slack) exceeds 8x slack.
+    The sequential-looking recurrence distributes as two stacked
+    per-key window passes via the prefix-sum/running-min closed form
+    (functions/timeseries.py::cusum_changepoints) — exact BIGINT cents,
+    hash-matched against the identical SQL windows."""
+    from dbsync_spark.functions import timeseries as ts
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.sum(_cents(F.col("value"))).alias("v_cents")))
+    return ts.cusum_changepoints(daily, "event_type", "day", "v_cents",
+                                 slack_div=20, threshold_mult=8)

@@ -97,3 +97,48 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     billion-edge graph; here the graph is small but the plan is the
     at-scale plan."""
     return gr.pagerank(trade_edges(spark, sf_dir), n_iters=_N_ITERS)
+
+
+_SPARSE_EDGES_CTE = """edges AS (
+  SELECT DISTINCT 2 * o.o_custkey AS src, 2 * l.l_suppkey + 1 AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_quantity >= 48
+)"""
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 4
+
+
+def sparse_trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite customer-supplier interaction graph restricted to
+    high-quantity line items: node ids are disambiguated by parity
+    (2*custkey vs 2*suppkey+1 — integer arithmetic both engines repeat
+    exactly). One shuffle join + distinct; the quantity filter is pushed
+    to the lineitem scan."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        li.where(F.col("l_quantity") >= 48)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select((F.col("o_custkey") * 2).alias("src"),
+                (F.col("l_suppkey") * 2 + 1).alias("dst"))
+        .distinct()
+    )
+
+
+@_register(
+    "q_kcore",
+    gr.kcore_oracle_sql(_SPARSE_EDGES_CTE, k=_KCORE_K,
+                        n_rounds=_KCORE_ROUNDS),
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition (k=4) of the high-quantity customer-supplier
+    graph: iterative peel until only nodes with >= 4 surviving trading
+    partners remain — the graph-density primitive for finding the
+    stable trading core (and, on interaction graphs generally, spam/bot
+    filtering and community seeding). Fixed 4-round peel (fixpoint depth
+    is 2 on this graph — tests assert convergence); integer degrees
+    hash-match the unrolled CTE oracle (functions/graph.py::kcore)."""
+    return gr.kcore(sparse_trade_edges(spark, sf_dir), k=_KCORE_K,
+                    n_rounds=_KCORE_ROUNDS)

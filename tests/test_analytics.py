@@ -347,3 +347,48 @@ def test_profile_handles_hostile_column_names(spark):
     assert got["order-date"].min_value == "0"
     assert got["a b"].n_nulls == 0
     assert got["it's"].max_value == "2"
+
+
+def test_changepoint_matches_oracle(spark, sf_dir, duck):
+    """The two stacked window passes equal the SQL oracle hash-exactly."""
+    import __spark_entry__ as entrymod
+    from tests.compare import assert_matches
+
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    assert_matches(qs["q_changepoint"](spark, sf_dir),
+                   duck, os_["q_changepoint"])
+
+
+def test_cusum_closed_form_equals_recurrence(spark):
+    """Hypothesis: the prefix-sum/running-min closed form used by
+    cusum_changepoints equals the sequential s_i = max(0, s_{i-1} + d_i)
+    recurrence for arbitrary integer daily series (including negative
+    deviations and multiple keys)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dbsync_spark.functions.timeseries import cusum_changepoints
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(st.integers(0, 4000), min_size=2, max_size=12),
+           st.lists(st.integers(0, 4000), min_size=2, max_size=12))
+    def check(series_a, series_b):
+        rows = [("a", i, v) for i, v in enumerate(series_a)]
+        rows += [("b", i, v) for i, v in enumerate(series_b)]
+        df = spark.createDataFrame(rows, "k STRING, day INT, v_cents LONG")
+        got = {(r.k, r.day): r.cusum_cents for r in cusum_changepoints(
+            df, "k", "day", "v_cents",
+            slack_div=20, threshold_mult=0).collect()}
+
+        for key, series in (("a", series_a), ("b", series_b)):
+            target = sum(series) // len(series)
+            slack = target // 20
+            s = 0
+            for day, v in enumerate(series):
+                s = max(0, s + (v - target - slack))
+                if s > 0:  # threshold_mult=0 keeps exactly cusum > 0 rows
+                    assert got[(key, day)] == s, (key, day, s, got)
+                else:
+                    assert (key, day) not in got
+
+    check()

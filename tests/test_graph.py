@@ -229,3 +229,71 @@ def test_triangle_query_matches_oracle(spark, sf_dir, duck):
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert_matches(qs["q_triangle_count"](spark, sf_dir), duck,
                    os_["q_triangle_count"])
+
+
+def _py_kcore(edges, k, n_rounds):
+    """Sequential reference for the fixed-round peel recurrence."""
+    from collections import Counter
+    live = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    for _ in range(n_rounds):
+        deg = Counter()
+        for a, b in live:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {n for n, c in deg.items() if c >= k}
+        live = {(a, b) for a, b in live if a in keep and b in keep}
+    deg = Counter()
+    for a, b in live:
+        deg[a] += 1
+        deg[b] += 1
+    return {n: c for n, c in deg.items() if c >= k}
+
+
+def test_kcore_matches_oracle(spark, sf_dir, duck):
+    """Distributed peel == unrolled DuckDB CTE chain, hash-exact."""
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    assert_matches(qs["q_kcore"](spark, sf_dir), duck, os_["q_kcore"])
+
+
+def test_kcore_converged_and_consistent(spark, sf_dir):
+    """The declared round budget reaches the true fixpoint on the fixture
+    graph (peel depth is short even when more rounds would be legal), and
+    the output is self-consistent: every surviving node has >= k
+    neighbours among the survivors."""
+    from dbsync_spark.queries_graph import (_KCORE_K, _KCORE_ROUNDS,
+                                            sparse_trade_edges)
+
+    edges = [(r.src, r.dst)
+             for r in sparse_trade_edges(spark, sf_dir).collect()]
+    got = {(r.node, r.deg) for r in gr.kcore(
+        spark.createDataFrame(edges, "src LONG, dst LONG"),
+        k=_KCORE_K, n_rounds=_KCORE_ROUNDS).collect()}
+    fixed = _py_kcore(edges, _KCORE_K, _KCORE_ROUNDS + 10)
+    assert got == set(fixed.items())
+    survivors = {n for n, _ in got}
+    from collections import Counter
+    deg = Counter()
+    for a, b in {(min(a, b), max(a, b)) for a, b in edges}:
+        if a in survivors and b in survivors:
+            deg[a] += 1
+            deg[b] += 1
+    assert all(deg[n] >= _KCORE_K for n in survivors)
+
+
+def test_kcore_planted_cascade(spark):
+    """A path graph peels end-inward one layer per round at k=2 (the
+    worst-case cascade): after r rounds 2r endpoints are gone; the full
+    peel empties it. Exercises the round-budget semantics explicitly."""
+    path = [(i, i + 1) for i in range(10)]
+    df = spark.createDataFrame(path, "src INT, dst INT")
+    for rounds in (1, 3, 20):
+        got = {(r.node, r.deg) for r in
+               gr.kcore(df, k=2, n_rounds=rounds).collect()}
+        assert got == set(_py_kcore(path, 2, rounds).items())
+    assert gr.kcore(df, k=2, n_rounds=20).count() == 0
+    # K4 survives k=3 forever (it IS the 3-core)
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    got = {(r.node, r.deg) for r in gr.kcore(
+        spark.createDataFrame(k4, "src INT, dst INT"),
+        k=3, n_rounds=6).collect()}
+    assert got == {(n, 3) for n in range(4)}
