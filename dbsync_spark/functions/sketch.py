@@ -193,3 +193,98 @@ def decontaminate(df: DataFrame, test_filter, text_col: str = "text",
              .join(test_hashes, on="shash", how="semi")
              .select(id_col).distinct())
     return per_doc.join(dirty, on=id_col, how="anti")
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_col(key, row: int, width: int):
+    """Cell column for hash row `row`: h15 of the salted key, mod width.
+    Pure md5 arithmetic — bit-identical in Spark and DuckDB, so the whole
+    sketch (not just its error bound) is deterministic and
+    oracle-checkable."""
+    from dbsync_spark.functions.text import h15
+    return h15(F.concat(F.lit(f"{row}:"), key.cast("string"))) % width
+
+
+def count_min_build(df: DataFrame, key_col: str,
+                    depth: int = CMS_DEPTH,
+                    width: int = CMS_WIDTH) -> DataFrame:
+    """Build a Count-Min sketch over a key stream: returns the counter
+    matrix as (r, c, n) rows, at most depth x width of them regardless
+    of input size. One shuffle on (r, c) — the map side pre-aggregates,
+    so the shuffle carries <= depth * width rows per task no matter how
+    many billions of increments flow in. Counter cells are plain SUMs,
+    i.e. the state is mergeable across batches/partitions/days (the same
+    associativity argument as the HLL register max)."""
+    rows = df.select(F.col(key_col).alias("_k"))
+    cells = [rows.select(F.lit(r).alias("r"),
+                         _cms_col(F.col("_k"), r, width).alias("c"))
+             for r in range(depth)]
+    out = cells[0]
+    for c in cells[1:]:
+        out = out.unionByName(c)
+    return out.groupBy("r", "c").agg(F.count("*").alias("n"))
+
+
+def count_min_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
+                       depth: int = CMS_DEPTH,
+                       width: int = CMS_WIDTH) -> DataFrame:
+    """Point-frequency estimates for `keys` from a built sketch: est =
+    min over hash rows of the addressed cell (0 when a cell is absent —
+    only possible for keys never inserted). Classic CMS guarantee:
+    est >= true, and est <= true + eps * N with probability 1 - delta
+    (eps = e/width, delta = e^-depth). The sketch side is <= depth*width
+    rows, so it broadcasts; the probe is a narrow map + broadcast join
+    per hash row + one min-aggregate."""
+    probes = None
+    for r in range(depth):
+        p = keys.select(
+            F.col(key_col),
+            F.lit(r).alias("r"),
+            _cms_col(F.col(key_col), r, width).alias("c"))
+        probes = p if probes is None else probes.unionByName(p)
+    joined = (probes.join(F.broadcast(sketch), on=["r", "c"], how="left")
+              .withColumn("n", F.coalesce(F.col("n"), F.lit(0))))
+    return joined.groupBy(key_col).agg(F.min("n").alias("est_n"))
+
+
+def cms_oracle_sql(source_sql: str, key_expr: str,
+                   depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> str:
+    """DuckDB SQL computing the identical sketch + estimates for every
+    distinct key of the source. `source_sql` is a FROM-able subquery;
+    `key_expr` the key column expression within it."""
+    def h(r: int, k: str) -> str:
+        return (f"(('0x' || substr(md5('{r}:' || CAST({k} AS VARCHAR)),"
+                f" 1, 15))::BIGINT % {width})")
+
+    cell_rows = "\n    UNION ALL ".join(
+        f"SELECT {r} AS r, {h(r, key_expr)} AS c FROM src"
+        for r in range(depth))
+    probe_rows = "\n    UNION ALL ".join(
+        f"SELECT {key_expr}, {r} AS r, {h(r, key_expr)} AS c FROM keys"
+        for r in range(depth))
+    return f"""
+WITH src AS ({source_sql}),
+cells AS (
+  SELECT r, c, count(*) AS n FROM (
+    {cell_rows}
+  ) GROUP BY r, c
+),
+keys AS (
+  SELECT {key_expr}, count(*) AS true_n FROM src GROUP BY {key_expr}
+),
+probes AS (
+    {probe_rows}
+),
+est AS (
+  SELECT {key_expr}, CAST(MIN(COALESCE(cells.n, 0)) AS BIGINT) AS est_n
+  FROM probes LEFT JOIN cells USING (r, c) GROUP BY {key_expr}
+)
+SELECT keys.{key_expr}, est.est_n, keys.true_n
+FROM keys JOIN est USING ({key_expr})"""

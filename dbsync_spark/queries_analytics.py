@@ -2249,3 +2249,54 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_cents(F.col("value"))).alias("v_cents")))
     return ts.cusum_changepoints(daily, "event_type", "day", "v_cents",
                                  slack_div=20, threshold_mult=8)
+
+
+from dbsync_spark.functions.sketch import cms_oracle_sql as _cms_oracle
+
+
+@_register(
+    "q_cms_freq",
+    _cms_oracle("SELECT user_id FROM events", "user_id"),
+)
+def q_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point-frequency estimates for every user's event
+    count, alongside the exact count: the sketch state is depth x width
+    = 1024 counter cells no matter how many billion increments flow in,
+    and the cells are plain SUMs — mergeable across batches and days.
+    Because the hash rows are md5-derived (functions/sketch.py), the
+    ENTIRE sketch is deterministic and hash-matches the SQL oracle —
+    the estimates themselves, not just their error bound. CMS guarantee
+    est_n >= true_n is additionally pinned in pytest."""
+    from dbsync_spark.functions import sketch as sk
+
+    ev = read_table(spark, sf_dir, "events").select("user_id")
+    sketch = sk.count_min_build(ev, "user_id")
+    keys = ev.groupBy("user_id").agg(F.count("*").alias("true_n"))
+    est = sk.count_min_estimate(sketch, keys.select("user_id"), "user_id")
+    return keys.join(est, on="user_id").select("user_id", "est_n", "true_n")
+
+
+@_register(
+    "q_streaming_cms",
+    _cms_oracle("SELECT user_id FROM events", "user_id"),
+)
+def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min service (streaming/cms_index.py) fed three
+    micro-batches of the event stream, then probed for every user:
+    because counter cells are plain mergeable SUMs maintained under the
+    cumulative epoch-overwrite discipline, the streamed sketch equals
+    the one-pass batch sketch EXACTLY — so this streaming query
+    hash-matches the very same SQL oracle as q_cms_freq."""
+    import tempfile
+
+    from dbsync_spark.streaming.cms_index import StreamingCmsIndex
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id")
+    idx = StreamingCmsIndex(
+        spark, tempfile.mkdtemp(prefix="dbsync_cms_q_"), key_col="user_id")
+    for epoch in range(3):
+        idx.process_batch(ev.where(F.col("event_id") % 3 == epoch),
+                          epoch_id=epoch)
+    keys = ev.groupBy("user_id").agg(F.count("*").alias("true_n"))
+    est = idx.estimates(keys.select("user_id"))
+    return keys.join(est, on="user_id").select("user_id", "est_n", "true_n")

@@ -1,0 +1,110 @@
+"""Streaming Count-Min frequency service: a depth x width counter matrix
+maintained across micro-batches.
+
+The batch operator (q_cms_freq, functions/sketch.py) sketches a key
+stream in one pass; this module answers point-frequency queries
+CONTINUOUSLY: each batch builds its own counter cells, adds them into
+the persisted matrix, and estimates read the state without touching any
+raw history. State is AT MOST depth * width rows forever — the
+bounded-state streaming aggregate, same family as the HLL service
+(distinct_index.py) and the Misra-Gries service (topk_index.py).
+
+Why stream == batch is EXACT: cells are plain integer SUMs, which are
+associative and commutative, so the final matrix is identical for any
+batching of the same rows. Sums are NOT idempotent, hence the
+cumulative-state epoch-OVERWRITE discipline shared with the other
+sketch services (epoch N = f(state < N, batch N); a replayed epoch
+recomputes the identical state instead of double-counting).
+
+And because the hash rows are md5-derived (functions/sketch.py::_cms_col),
+the streamed sketch hash-matches the same DuckDB oracle as the batch
+operator — an end-to-end SQL-checkable streaming sketch.
+
+Storage layout:
+- <root>/cells/epoch=N : (r, c, n) — cumulative matrix AFTER epoch N
+  (latest epoch wins; epoch N reads only state < N).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+from dbsync_spark.functions.sketch import (CMS_DEPTH, CMS_WIDTH,
+                                           count_min_build,
+                                           count_min_estimate)
+from dbsync_spark.sources.tables import read_state
+
+_STATE_SCHEMA = StructType([
+    StructField("r", IntegerType()),
+    StructField("c", LongType()),
+    StructField("n", LongType()),
+])
+
+
+class StreamingCmsIndex:
+    """Continuous Count-Min frequency sketching over parquet counter
+    state. Call `process_batch` per micro-batch (directly or via
+    `foreach_batch_handler()`)."""
+
+    def __init__(self, spark: SparkSession, root: str, key_col: str,
+                 depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.key_col = key_col
+        self.depth = depth
+        self.width = width
+
+    def _epochs(self) -> list[int]:
+        import os
+        import re
+
+        try:
+            entries = os.listdir(f"{self.root}/cells")
+        except FileNotFoundError:
+            return []
+        return sorted(int(m.group(1)) for e in entries
+                      if (m := re.fullmatch(r"epoch=(\d+)", e)))
+
+    def _state(self, epoch: int | None) -> DataFrame:
+        if epoch is None:
+            return self.spark.createDataFrame([], _STATE_SCHEMA)
+        return read_state(self.spark, f"{self.root}/cells/epoch={epoch}",
+                          read_schema=_STATE_SCHEMA,
+                          empty_schema=_STATE_SCHEMA)
+
+    def process_batch(self, batch: DataFrame,
+                      epoch_id: int | None = None) -> None:
+        """Sketch one micro-batch and sum it into the counter matrix."""
+        from dbsync_spark.streaming.state import next_epoch
+
+        if epoch_id is None:
+            epoch_id = next_epoch(self.root, "cells")
+        before = [e for e in self._epochs() if e < epoch_id]
+        prev = self._state(before[-1] if before else None)
+
+        bc = count_min_build(batch, self.key_col,
+                             depth=self.depth, width=self.width)
+        merged = (prev.unionByName(bc)
+                  .groupBy("r", "c").agg(F.sum("n").alias("n"))
+                  .select(F.col("r").cast("int"),
+                          F.col("c").cast("long"),
+                          F.col("n").cast("long")))
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{self.root}/cells/epoch={epoch_id}")
+
+    def foreach_batch_handler(self):
+        def handle(batch_df: DataFrame, epoch_id: int) -> None:
+            self.process_batch(batch_df, epoch_id)
+
+        return handle
+
+    def estimates(self, keys: DataFrame) -> DataFrame:
+        """(key, est_n) point estimates for `keys` from the latest
+        matrix — empty-sketch estimates (all 0) before the first
+        batch."""
+        eps = self._epochs()
+        state = self._state(eps[-1] if eps else None)
+        return count_min_estimate(state, keys, self.key_col,
+                                  depth=self.depth, width=self.width)

@@ -299,3 +299,97 @@ def test_trending_replay_idempotent(spark):
     first = sorted(map(tuple, idx.trending(k=4).collect()))
     idx.process_batch(_mk_ts(spark, rows[1:]), epoch_id=1)  # replay
     assert sorted(map(tuple, idx.trending(k=4).collect())) == first
+
+
+# ---------------------------------------------------------------------------
+# StreamingCmsIndex (Count-Min counter-matrix state)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_overestimates_only_and_small_error(spark, sf_dir):
+    """CMS guarantee: est >= true for EVERY key (deterministic, not
+    probabilistic), and the mean overestimate is far below eps * N."""
+    from dbsync_spark.functions import sketch as sk
+    from dbsync_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("user_id")
+    sketch = sk.count_min_build(ev, "user_id")
+    keys = ev.groupBy("user_id").agg(F.count("*").alias("true_n"))
+    est = sk.count_min_estimate(sketch, keys.select("user_id"), "user_id")
+    rows = keys.join(est, on="user_id").collect()
+    n_total = sum(r["true_n"] for r in rows)
+    assert all(r["est_n"] >= r["true_n"] for r in rows)
+    errs = [r["est_n"] - r["true_n"] for r in rows]
+    # eps = e/width; the MEAN error is far inside the per-key bound
+    assert sum(errs) / len(errs) <= 2.72 / sk.CMS_WIDTH * n_total / 4
+
+
+def test_cms_unseen_key_bounded_and_empty_sketch(spark):
+    """A never-inserted key estimates its collision mass only (possibly
+    0); an empty sketch estimates 0 for everything."""
+    from dbsync_spark.functions import sketch as sk
+
+    df = spark.createDataFrame([("a",)] * 7 + [("b",)] * 3, "k string")
+    sketch = sk.count_min_build(df, "k")
+    probe = spark.createDataFrame([("a",), ("zzz",)], "k string")
+    got = {r["k"]: r["est_n"] for r in
+           sk.count_min_estimate(sketch, probe, "k").collect()}
+    assert got["a"] >= 7
+    assert got["zzz"] <= 10  # at worst full collision with everything
+    empty = sk.count_min_build(df.where("k = 'nope'"), "k")
+    got0 = {r["k"]: r["est_n"] for r in
+            sk.count_min_estimate(empty, probe, "k").collect()}
+    assert got0 == {"a": 0, "zzz": 0}
+
+
+def test_streaming_cms_equals_batch_exactly(spark, sf_dir):
+    """Counter cells are plain sums (associative + commutative), so the
+    streamed matrix equals the one-pass batch matrix EXACTLY for any
+    batching; replaying an epoch is idempotent by the cumulative
+    epoch-overwrite discipline."""
+    from dbsync_spark.functions import sketch as sk
+    from dbsync_spark.sources.tables import read_table
+    from dbsync_spark.streaming.cms_index import StreamingCmsIndex
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id")
+    keys = ev.select("user_id").distinct()
+    batch_est = sorted(map(tuple, sk.count_min_estimate(
+        sk.count_min_build(ev, "user_id"), keys, "user_id").collect()))
+
+    for splits in (2, 4):
+        idx = StreamingCmsIndex(
+            spark, tempfile.mkdtemp(prefix="dbsync_cmsidx_"),
+            key_col="user_id")
+        for e in range(splits):
+            idx.process_batch(ev.where(F.col("event_id") % splits == e),
+                              epoch_id=e)
+        # replay last epoch: must not double-count
+        idx.process_batch(ev.where(F.col("event_id") % splits == splits - 1),
+                          epoch_id=splits - 1)
+        got = sorted(map(tuple, idx.estimates(keys).collect()))
+        assert got == batch_est, splits
+
+
+def test_cms_via_real_foreachbatch(spark, sf_dir, tmp_path):
+    """The CMS service on a real checkpointed readStream equals the
+    one-shot batch sketch exactly."""
+    from dbsync_spark.functions import sketch as sk
+    from dbsync_spark.sources.tables import read_table
+    from dbsync_spark.streaming.cms_index import StreamingCmsIndex
+
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id")
+    src = str(tmp_path / "ev")
+    ev.repartition(3).write.parquet(src)
+
+    idx = StreamingCmsIndex(spark, str(tmp_path / "cms"), key_col="user_id")
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(idx.foreach_batch_handler())
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    keys = ev.select("user_id").distinct()
+    want = sorted(map(tuple, sk.count_min_estimate(
+        sk.count_min_build(ev, "user_id"), keys, "user_id").collect()))
+    assert sorted(map(tuple, idx.estimates(keys).collect())) == want
