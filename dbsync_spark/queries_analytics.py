@@ -2193,8 +2193,12 @@ def q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = StreamingTrendingIndex(
         spark, tempfile.mkdtemp(prefix="dbsync_trend_q_"), capacity=3)
     for epoch in range(3):
+        # pre_tokenized: each event_type value IS one token — parity with
+        # the oracle's `event_type AS tok` no longer depends on the
+        # fixture values being space-free (ADVICE r3)
         idx.process_batch(events.where(F.col("event_id") % 3 == epoch),
-                          epoch_id=epoch, text_col="event_type")
+                          epoch_id=epoch, text_col="event_type",
+                          pre_tokenized=True)
     return (idx.trending(k=3)
             .select("bucket", "tok", "nhat", "err", "total_n",
                     F.col("rank").cast("int").alias("rank")))

@@ -252,7 +252,8 @@ class StreamingTrendingIndex:
 
     def process_batch(self, new_docs: DataFrame,
                       epoch_id: int | None = None,
-                      text_col: str = "text") -> None:
+                      text_col: str = "text",
+                      pre_tokenized: bool = False) -> None:
         from dbsync_spark.streaming.state import next_epoch
 
         if epoch_id is None:
@@ -260,9 +261,15 @@ class StreamingTrendingIndex:
         before = [e for e in self._epochs() if e < epoch_id]
         summary, meta = self._state(before[-1] if before else None)
 
+        # pre_tokenized: text_col already holds ONE token per row (e.g. a
+        # categorical event_type) — count it verbatim instead of
+        # whitespace-splitting, so parity with a `col AS tok` oracle does
+        # not depend on the values being space-free.
+        tok = (F.col(text_col) if pre_tokenized
+               else F.explode(tokens(F.col(text_col))))
         toks = (new_docs.select(
             F.date_trunc(self.bucket, F.col(self.ts_col)).alias("bucket"),
-            F.explode(tokens(F.col(text_col))).alias("tok"))
+            tok.alias("tok"))
             .where(F.col("tok") != ""))
         bcounts = (toks.groupBy("bucket", "tok")
                    .agg(F.count("*").alias("bn")).localCheckpoint())
@@ -309,9 +316,11 @@ class StreamingTrendingIndex:
         new_meta.coalesce(1).write.mode("overwrite") \
             .parquet(f"{self.root}/meta/epoch={epoch_id}")
 
-    def foreach_batch_handler(self, text_col: str = "text"):
+    def foreach_batch_handler(self, text_col: str = "text",
+                              pre_tokenized: bool = False):
         def handle(batch_df: DataFrame, epoch_id: int) -> None:
-            self.process_batch(batch_df, epoch_id, text_col=text_col)
+            self.process_batch(batch_df, epoch_id, text_col=text_col,
+                               pre_tokenized=pre_tokenized)
 
         return handle
 

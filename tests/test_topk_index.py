@@ -284,6 +284,30 @@ def test_trending_per_bucket_bounds_and_isolation(spark):
         <= by_day[1]["alpha"]["nhat"] + r1["err"]
 
 
+def test_trending_pre_tokenized_keeps_spaced_values_whole(spark):
+    """pre_tokenized=True counts the column value verbatim — a
+    categorical containing a space is ONE token, matching a
+    `col AS tok` oracle regardless of fixture data shape (ADVICE r3)."""
+    import datetime as dt
+
+    from dbsync_spark.streaming.topk_index import StreamingTrendingIndex
+
+    t = dt.datetime(2024, 6, 1, 9)
+    rows = [(t, "add to cart"), (t, "add to cart"), (t, "checkout")]
+    idx = StreamingTrendingIndex(
+        spark, tempfile.mkdtemp(prefix="dbsync_trend_pt_"), capacity=5)
+    idx.process_batch(_mk_ts(spark, rows), epoch_id=0, pre_tokenized=True)
+    got = {r["tok"]: r["nhat"] for r in idx.trending(k=5).collect()}
+    assert got == {"add to cart": 2, "checkout": 1}
+
+    # default tokenized mode would have split it — the two modes differ
+    idx2 = StreamingTrendingIndex(
+        spark, tempfile.mkdtemp(prefix="dbsync_trend_pt2_"), capacity=5)
+    idx2.process_batch(_mk_ts(spark, rows), epoch_id=0)
+    got2 = {r["tok"]: r["nhat"] for r in idx2.trending(k=5).collect()}
+    assert got2 == {"add": 2, "to": 2, "cart": 2, "checkout": 1}
+
+
 def test_trending_replay_idempotent(spark):
     import datetime as dt
 
