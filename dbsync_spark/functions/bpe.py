@@ -1,19 +1,46 @@
-"""Distributed BPE (byte-pair-encoding) tokenizer training.
+"""Distributed BPE (byte-pair-encoding) tokenizer training with BATCHED
+merge rounds — the scale fix for the classic driver-sequential loop.
 
-The merge loop LOOKS driver-sequential, but distributes cleanly:
+Scale shape:
 - state lives in the (word, cnt, enc) word-frequency table, which is
   post-aggregation data — at 100 TB of corpus this is the distinct-word
   table (millions of rows, not trillions of tokens), spread across the
   cluster;
-- each merge round is one map-side-combined pair-count aggregate plus a
-  TakeOrdered(1) argmax (no full sort), and the ONLY driver state is
-  that single best-pair row per round — the k-means/BPE "tiny aggregate
-  crosses the driver" shape;
+- each ROUND is one map-side-combined pair-count aggregate plus a
+  TakeOrdered(pool) top-k (no full sort), and the ONLY driver state is
+  that bounded candidate pool per round — the k-means/BPE "tiny
+  aggregate crosses the driver" shape;
+- per round, up to `batch_k` NON-CONFLICTING merges (pairs sharing no
+  symbol with any earlier-selected pair of the round, nor with a
+  symbol an earlier selection creates) are applied together, so a
+  30k-merge vocabulary costs ~30k/batch_k driver rounds instead of 30k
+  sequential Spark jobs;
 - applying a merge is a narrow per-row literal `replace` (JVM codegen,
   no Python), lineage truncated per round.
 
-Exactness (the interesting part — an order-DEPENDENT greedy algorithm
-that still hash-matches a SQL oracle):
+Batched recurrence (the spec both engines and the pure-Python
+reference implement identically — `batch_k=1` IS classic greedy BPE):
+  round r: count adjacent symbol pairs weighted by word count;
+           rank by (n DESC, a ASC, b ASC); keep the top `pool`;
+           scan ranked candidates in order, selecting a pair iff
+           neither symbol is in U, where U accumulates
+           {left, right, left+right} of this round's selections;
+           stop at `batch_k` selections; apply them in selection
+           order (left-to-right non-overlapping, as one sequential
+           pass per merge).
+Disjointness makes the batch exact w.r.t. the counts used to select
+it: merging (a,b) preserves every adjacency not involving a or b, so
+each selected pair's count is still its true count when applied. (The
+ranks of LATER rounds can differ from one-at-a-time greedy — pairs
+involving a freshly created symbol only become candidates next round;
+that is the documented, pinned recurrence, mirrored exactly by the
+oracle and the reference.) The `pool` cap is part of the recurrence
+and mirrored on both sides, so selection never depends on unranked
+pairs.
+
+Exactness (an order-DEPENDENT greedy algorithm that still
+hash-matches a SQL oracle — pinned by q_bpe's DuckDB oracle and
+tests/test_bpe.py vs the pure-Python reference):
 - words are restricted to [a-z]+ runs, so the segmentation can be
   encoded as a flat string with '#' delimiters that can never collide
   with symbol characters;
@@ -22,17 +49,11 @@ that still hash-matches a SQL oracle):
   consumes one of the two delimiters on each side, so back-to-back
   merge sites ("abab") still match, while overlapping sites ("aaa")
   resolve left-to-right non-overlapping — exactly Python's
-  str.replace / re.sub greedy semantics. Spark's `replace`, DuckDB's
+  str.replace greedy semantics. Spark's `replace`, DuckDB's
   `replace`, and Python's `str.replace` all scan left-to-right
-  non-overlapping, so all three segmentations are bit-identical
-  (pinned: oracle hash-match + pytest vs a pure-Python reference);
-- ties in the pair-count argmax break by (count DESC, left ASC,
+  non-overlapping, so all three segmentations are bit-identical;
+- ties in the pair-count ranking break by (count DESC, left ASC,
   right ASC) in both engines — integer counts, no floats anywhere.
-
-At real tokenizer scale (~30k merges) the per-round latency would be
-batched (apply the top-k non-conflicting merges per round); the round
-structure and state shapes here are the scale-correct ones, the merge
-count is what tests pin.
 """
 
 from __future__ import annotations
@@ -40,7 +61,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-BPE_MERGES = 12
+BPE_ROUNDS = 12
+BPE_POOL = 16
 
 
 def words_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -73,28 +95,55 @@ def _pair_counts(words: DataFrame) -> DataFrame:
             .groupBy("a", "b").agg(F.sum("cnt").alias("n")))
 
 
+def select_merges(ranked: list[tuple[str, str, int]],
+                  batch_k: int) -> list[tuple[str, str, int]]:
+    """Greedy non-conflicting selection over (a, b, n) candidates already
+    in (n DESC, a ASC, b ASC) rank order: a pair is selected iff neither
+    of its symbols appears in any earlier selection's
+    {left, right, left+right}. The single definition both the Spark
+    trainer and the pure-Python reference call."""
+    used: set[str] = set()
+    sel: list[tuple[str, str, int]] = []
+    for a, b, n in ranked:
+        if a in used or b in used:
+            continue
+        sel.append((a, b, n))
+        used.update((a, b, a + b))
+        if len(sel) == batch_k:
+            break
+    return sel
+
+
 def bpe_train(docs: DataFrame, text_col: str = "text",
-              n_merges: int = BPE_MERGES):
-    """Train `n_merges` BPE merges over the corpus. Returns
-    (merges, words): `merges` a list of (rank, left, right, n) driver
-    rows (bounded: one per round), `words` the final segmented
-    (word, cnt, enc) DataFrame for downstream encoding."""
+              n_rounds: int = BPE_ROUNDS, batch_k: int = 1,
+              pool: int = BPE_POOL):
+    """Train BPE merges over the corpus in `n_rounds` batched rounds of
+    up to `batch_k` non-conflicting merges each (see module docstring
+    for the exact recurrence; batch_k=1 is classic greedy BPE).
+
+    Returns (merges, words): `merges` a list of
+    (merge_rank, round, left, right, n) driver rows (bounded: at most
+    batch_k per round), `words` the final segmented (word, cnt, enc)
+    DataFrame for downstream encoding."""
+    if batch_k < 1 or pool < batch_k:
+        raise ValueError(f"need 1 <= batch_k <= pool, got {batch_k}/{pool}")
     words = (words_table(docs, text_col)
              .withColumn("enc", _encode(F.col("word")))
              .localCheckpoint())
-    merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
-        best = (_pair_counts(words)
-                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-                .limit(1).collect())
-        if not best:
+    merges: list[tuple[int, int, str, str, int]] = []
+    for rnd in range(1, n_rounds + 1):
+        top = (_pair_counts(words)
+               .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+               .limit(pool).collect())
+        sel = select_merges([(r["a"], r["b"], int(r["n"])) for r in top],
+                            batch_k)
+        if not sel:
             break
-        a, b, n = best[0]["a"], best[0]["b"], best[0]["n"]
-        merges.append((rank, a, b, int(n)))
-        words = (words.withColumn(
-            "enc", F.expr(
-                f"replace(enc, '#{a}##{b}#', '#{a}{b}#')"))
-            .localCheckpoint())
+        enc = F.col("enc")
+        for a, b, n in sel:
+            merges.append((len(merges) + 1, rnd, a, b, n))
+            enc = F.replace(enc, F.lit(f"#{a}##{b}#"), F.lit(f"#{a}{b}#"))
+        words = words.withColumn("enc", enc).localCheckpoint()
     return merges, words
 
 
@@ -123,9 +172,13 @@ def bpe_token_counts(docs: DataFrame, words: DataFrame,
                     F.coalesce("n_tokens", F.lit(0)).alias("n_tokens")))
 
 
-def bpe_reference(texts: list[str], n_merges: int = BPE_MERGES):
-    """Pure-Python reference implementing the identical recurrence
-    (segmentations as symbol tuples, same tiebreak). Used by tests."""
+def bpe_reference(texts: list[str], n_rounds: int = BPE_ROUNDS,
+                  batch_k: int = 1, pool: int = BPE_POOL):
+    """Pure-Python reference implementing the identical batched
+    recurrence (segmentations as symbol tuples, same ranking, same
+    pool cap, same non-conflicting selection, same in-order
+    application). Used by tests; batch_k=1 reproduces classic
+    one-merge-at-a-time greedy BPE."""
     import re
     from collections import Counter
 
@@ -133,27 +186,98 @@ def bpe_reference(texts: list[str], n_merges: int = BPE_MERGES):
     for t in texts:
         wc.update(re.findall(r"[a-z]+", t.lower()))
     segs = {w: tuple(w) for w in wc}
-    merges = []
-    for rank in range(1, n_merges + 1):
+    merges: list[tuple[int, int, str, str, int]] = []
+    for rnd in range(1, n_rounds + 1):
         pc: Counter = Counter()
         for w, syms in segs.items():
             for i in range(len(syms) - 1):
                 pc[(syms[i], syms[i + 1])] += wc[w]
-        if not pc:
+        ranked = sorted(pc.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:pool]
+        sel = select_merges([(a, b, n) for (a, b), n in ranked], batch_k)
+        if not sel:
             break
-        (a, b), n = sorted(pc.items(),
-                           key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
-        merges.append((rank, a, b, n))
-        for w, syms in segs.items():
-            # canonical greedy left-to-right non-overlapping merge
-            out, i = [], 0
-            while i < len(syms):
-                if (i + 1 < len(syms)
-                        and syms[i] == a and syms[i + 1] == b):
-                    out.append(a + b)
-                    i += 2
-                else:
-                    out.append(syms[i])
-                    i += 1
-            segs[w] = tuple(out)
+        for a, b, n in sel:
+            merges.append((len(merges) + 1, rnd, a, b, n))
+            for w, syms in segs.items():
+                # canonical greedy left-to-right non-overlapping merge
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms)
+                            and syms[i] == a and syms[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                segs[w] = tuple(out)
     return merges, segs
+
+
+def bpe_oracle_sql(docs_table: str = "documents", text_col: str = "text",
+                   n_rounds: int = 3, batch_k: int = 4,
+                   pool: int = BPE_POOL) -> str:
+    """DuckDB SQL computing the identical batched recurrence, rounds and
+    selection steps unrolled into a CTE chain. Emits
+    (merge_rank, round, lft, rgt, n) exactly like q_bpe's Spark side.
+    MATERIALIZED CTEs keep the unrolled chain linear-cost (each round's
+    segmentation is referenced by the pair counter AND the next round)."""
+    parts = [f"""WITH seg0 AS MATERIALIZED (
+  SELECT word, cnt,
+         regexp_replace(word, '(.)', '##\\1', 'g') || '##' AS enc
+  FROM (
+    SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+      SELECT unnest(regexp_extract_all(lower({text_col}), '[a-z]+')) AS w
+      FROM {docs_table})
+    WHERE w <> '' GROUP BY w)
+)"""]
+    for r in range(1, n_rounds + 1):
+        parts.append(f""",
+ranked{r} AS MATERIALIZED (
+  SELECT a, b, n, row_number() OVER (ORDER BY n DESC, a, b) AS rk FROM (
+    SELECT p[1] AS a, p[2] AS b, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+      SELECT cnt, unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS p FROM (
+        SELECT cnt, list_filter(str_split(enc, '##'), x -> x <> '') AS s
+        FROM seg{r - 1}))
+    WHERE p[2] IS NOT NULL GROUP BY 1, 2)
+  QUALIFY rk <= {pool}
+)""")
+        for i in range(1, batch_k + 1):
+            if i == 1:
+                parts.append(f""",
+sel{r}_1 AS MATERIALIZED (
+  SELECT a, b, n, rk FROM ranked{r} ORDER BY rk LIMIT 1),
+selu{r}_1 AS (SELECT * FROM sel{r}_1)""")
+            else:
+                parts.append(f""",
+sel{r}_{i} AS MATERIALIZED (
+  SELECT a, b, n, rk FROM ranked{r} r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM selu{r}_{i - 1} s
+    WHERE r.a IN (s.a, s.b, s.a || s.b)
+       OR r.b IN (s.a, s.b, s.a || s.b))
+  ORDER BY rk LIMIT 1),
+selu{r}_{i} AS (SELECT * FROM selu{r}_{i - 1}
+                UNION ALL SELECT * FROM sel{r}_{i})""")
+        # apply this round's selections in selection (= rank) order;
+        # the chr(1)/'' coalesce makes an empty selection a no-op replace
+        enc_expr = "enc"
+        for i in range(1, batch_k + 1):
+            enc_expr = (
+                f"replace({enc_expr}, "
+                f"coalesce((SELECT '#' || a || '##' || b || '#' "
+                f"FROM sel{r}_{i}), chr(1)), "
+                f"coalesce((SELECT '#' || a || b || '#' "
+                f"FROM sel{r}_{i}), ''))")
+        parts.append(f""",
+seg{r} AS MATERIALIZED (
+  SELECT word, cnt, {enc_expr} AS enc FROM seg{r - 1}
+)""")
+    unions = " UNION ALL ".join(
+        f"SELECT {r} AS round, a, b, n, rk FROM selu{r}_{batch_k}"
+        for r in range(1, n_rounds + 1))
+    parts.append(f"""
+SELECT CAST(row_number() OVER (ORDER BY round, rk) AS INT) AS merge_rank,
+       CAST(round AS INT) AS round, a AS lft, b AS rgt, n
+FROM ({unions})""")
+    return "".join(parts)
