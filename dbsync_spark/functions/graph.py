@@ -349,19 +349,23 @@ def kcore_oracle_sql(edges_cte: str, k: int, n_rounds: int = 6) -> str:
     """DuckDB SQL computing the identical fixed-round peel: the round is
     unrolled into a CTE chain (`edges_cte` must define `edges(src,
     dst)`). Each round keeps edges whose BOTH endpoints had degree >= k
-    in the previous round's edge set, mirroring kcore()'s semi-joins."""
+    in the previous round's edge set, mirroring kcore()'s semi-joins.
+    Every e{i}/d{i} is MATERIALIZED: each is referenced up to three
+    times by the next round, so the default inlining re-evaluates the
+    whole chain exponentially (~3^rounds scans of the base edge CTE —
+    measured 35 s at sf0.01; materialized it is linear in rounds)."""
     parts = [
         f"WITH {edges_cte},",
-        "e0 AS (SELECT DISTINCT least(src, dst) AS a,"
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,"
         " greatest(src, dst) AS b FROM edges WHERE src <> dst)",
     ]
     for i in range(1, n_rounds + 1):
-        parts.append(f""",d{i} AS (
+        parts.append(f""",d{i} AS MATERIALIZED (
   SELECT node, count(*) AS deg
   FROM (SELECT a AS node FROM e{i - 1}
         UNION ALL SELECT b AS node FROM e{i - 1})
   GROUP BY node HAVING count(*) >= {k}
-),e{i} AS (
+),e{i} AS MATERIALIZED (
   SELECT a, b FROM e{i - 1}
   WHERE a IN (SELECT node FROM d{i}) AND b IN (SELECT node FROM d{i})
 )""")
