@@ -25,6 +25,20 @@ from dbsync_spark.sources.tables import fan_out
 NUM_MINHASHES = 16
 BAND_SIZE = 4  # 4 bands of 4 -> candidate if any band collides
 
+# Skew guard on LSH candidate generation: a band bucket holding B docs
+# yields O(B^2) candidate pairs, so one boilerplate-heavy mega bucket
+# (templated pages, licence headers, empty-ish docs sharing a
+# signature) can dwarf the rest of the corpus combined. Buckets larger
+# than this are SKIPPED (the documented-skip strategy: salting cannot
+# help here because every within-bucket pair is genuinely a candidate).
+# Recall impact: a true near-dup pair is lost only if EVERY band where
+# it collides is oversized — i.e. both docs sit in mega buckets in all
+# their common bands, which is precisely the boilerplate content the
+# guard exists to bound; EXACT duplicates among them are still caught
+# upstream by exact_dedup/normalized_dedup. The cap is mirrored in the
+# DuckDB oracles so declared queries stay hash-exact with it active.
+LSH_MAX_BUCKET = 2000
+
 
 def h8(col: Column) -> Column:
     """32-bit md5-derived hash (for simhash bit votes)."""
@@ -111,10 +125,42 @@ def lsh_bands(signatures: DataFrame, id_col: str = "doc_id",
     )
 
 
-def lsh_candidates(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def cap_buckets(bands: DataFrame,
+                max_bucket: int | None = LSH_MAX_BUCKET) -> DataFrame:
+    """Drop LSH band buckets holding more than `max_bucket` rows (the
+    skew guard — see LSH_MAX_BUCKET). One narrow aggregate over the band
+    rows + a semi-join; both shuffle on the same (band, band_key) key
+    the candidate join uses, so AQE coalesces them into the same
+    exchange footprint."""
+    if max_bucket is None:
+        return bands
+    ok = (bands.groupBy("band", "band_key")
+          .agg(F.count("*").alias("_bn"))
+          .where(F.col("_bn") <= max_bucket)
+          .drop("_bn"))
+    return bands.join(ok, on=["band", "band_key"], how="leftsemi")
+
+
+def oversized_buckets(bands: DataFrame,
+                      max_bucket: int | None = LSH_MAX_BUCKET) -> DataFrame:
+    """(band, band_key, n_docs) audit frame of the buckets the cap will
+    skip — the observability hook for the documented-skip strategy."""
+    sizes = (bands.groupBy("band", "band_key")
+             .agg(F.count("*").alias("n_docs")))
+    if max_bucket is None:
+        return sizes.where(F.lit(False))
+    return sizes.where(F.col("n_docs") > max_bucket)
+
+
+def lsh_candidates(bands: DataFrame, id_col: str = "doc_id",
+                   max_bucket: int | None = LSH_MAX_BUCKET) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one band bucket.
     The join key (band, band_key) keeps this linear in bucket sizes —
-    never a full cross join."""
+    never a full cross join — and buckets above `max_bucket` are skipped
+    entirely (see LSH_MAX_BUCKET for the recall contract), so the
+    worst-case candidate count is bounded by
+    n_buckets * max_bucket^2 / 2 even on a boilerplate-heavy corpus."""
+    bands = cap_buckets(bands, max_bucket)
     left = bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
     right = bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
     return (
@@ -226,11 +272,25 @@ def minhash_incremental_pairs(df: DataFrame, new_ids: DataFrame,
 
 
 def probe_candidates(probe_bands: DataFrame, index_bands: DataFrame,
-                     id_col: str) -> DataFrame:
+                     id_col: str,
+                     max_bucket: int | None = LSH_MAX_BUCKET) -> DataFrame:
     """Candidate (doc_a < doc_b) pairs from probing an LSH band index
     with a (usually smaller) band set — the single definition of the
     candidate rule shared by the batch incremental operator and the
-    streaming dedup-index service."""
+    streaming dedup-index service. Bucket sizes are measured on the
+    INDEX side (the probe rows are a subset of the index in the
+    incremental contract, so this equals the full-corpus bucket size and
+    the capped IVM equivalence `incremental == capped full recompute`
+    holds exactly); oversized buckets are skipped on both sides."""
+    if max_bucket is not None:
+        ok = (index_bands.groupBy("band", "band_key")
+              .agg(F.count("*").alias("_bn"))
+              .where(F.col("_bn") <= max_bucket)
+              .drop("_bn"))
+        index_bands = index_bands.join(ok, on=["band", "band_key"],
+                                       how="leftsemi")
+        probe_bands = probe_bands.join(ok, on=["band", "band_key"],
+                                       how="leftsemi")
     probe = probe_bands.select(F.col(id_col).alias("doc_x"),
                                "band", "band_key")
     index = index_bands.select(F.col(id_col).alias("doc_y"),

@@ -169,6 +169,27 @@ def bfs_oracle_sql(edges_cte: str, sources_cte: str,
     return "".join(parts)
 
 
+def orient_edges(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Orient each canonical undirected edge (a < b) from its
+    lower-(degree, id) endpoint to the higher one: (u, v) rows. This is
+    the hub-safety mechanism of the degree-ordered triangle enumeration
+    — every node's ORIENTED out-degree is <= sqrt(2m) regardless of its
+    raw degree (a power-law hub of raw degree d keeps out-degree
+    O(sqrt(m)) because all its edges to lower-degree neighbours point
+    INTO it), bounding the wedge fan-out per node. Exposed so skew
+    tests can assert the bound on adversarial graphs."""
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
+    return (
+        und.join(da, on="a").join(db, on="b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"))
+    )
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle participation counts over an edge list (`src`,
     `dst`; direction and parallel edges ignored). Returns (node,
@@ -199,18 +220,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
     # the degree aggregate already enumerates exactly the node set
     nodes = deg.select("node")
-    # orient each edge from lower (deg, id) to higher (deg, id)
-    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
-    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
-    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
-        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b")))
-    oriented = (
-        und.join(da, on="a").join(db, on="b")
-        .select(
-            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"))
-        .localCheckpoint()
-    )
+    oriented = orient_edges(und, deg).localCheckpoint()
     e1 = oriented.select(F.col("u").alias("w_u"), F.col("v").alias("w_v"))
     e2 = oriented.select(F.col("u").alias("w_v"), F.col("v").alias("w_w"))
     wedges = e1.join(e2, on="w_v")

@@ -475,9 +475,17 @@ sig AS (
 bands AS (
 {band_rows}
 ),
+okb AS (
+  SELECT band, band_key FROM bands
+  GROUP BY band, band_key HAVING count(*) <= {dd.LSH_MAX_BUCKET}
+),
+bands_ok AS (
+  SELECT b.* FROM bands b JOIN okb USING (band, band_key)
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  FROM bands_ok a
+  JOIN bands_ok b ON a.band = b.band AND a.band_key = b.band_key
   WHERE a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

