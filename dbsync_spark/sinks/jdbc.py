@@ -37,7 +37,16 @@ def _qual(schema: str, table: str, quote: str) -> str:
     return f"{quote}{_ident(schema)}{quote}.{quote}{_ident(table)}{quote}"
 
 
-def pg_upsert(schema: str, table: str, columns: list[str], keys: list[str]) -> str:
+def pg_upsert(schema: str, table: str, columns: list[str], keys: list[str],
+              watermark_col: str | None = None) -> str:
+    """With `watermark_col` (a monotone change-id column stored in the
+    target), the upsert becomes replay-idempotent IN the database:
+    `... DO UPDATE SET ... WHERE EXCLUDED.wm > tgt.wm` applies only when
+    the incoming change advances the row's watermark, so re-running a
+    micro-batch (streaming checkpoint recovery) or re-delivering an
+    older change can never clobber newer target state — the same
+    `_last_id` contract merge_snapshot enforces on parquet targets
+    (SQLite parses this dialect too, incl. the INSERT alias)."""
     tgt = _qual(schema, table, '"')
     cols = ", ".join(f'"{_ident(c)}"' for c in columns)
     ph = ", ".join(["?"] * len(columns))
@@ -48,7 +57,11 @@ def pg_upsert(schema: str, table: str, columns: list[str], keys: list[str]) -> s
     else:
         sets = ", ".join(f'"{_ident(c)}" = EXCLUDED."{_ident(c)}"' for c in non_keys)
         action = f"DO UPDATE SET {sets}"
-    return (f"INSERT INTO {tgt} ({cols}) VALUES ({ph}) "
+        if watermark_col is not None:
+            wm = _ident(watermark_col)
+            action += f' WHERE EXCLUDED."{wm}" > tgt."{wm}"'
+    alias = " AS tgt" if watermark_col is not None else ""
+    return (f"INSERT INTO {tgt}{alias} ({cols}) VALUES ({ph}) "
             f"ON CONFLICT ({key_cols}) {action}")
 
 
@@ -82,10 +95,19 @@ def gp_upsert(schema: str, table: str, columns: list[str], keys: list[str]) -> s
 
 
 def delete_by_keys(schema: str, table: str, keys: list[str],
-                   dialect: str = "postgresql") -> str:
+                   dialect: str = "postgresql",
+                   watermark_col: str | None = None) -> str:
+    """With `watermark_col`, the delete only applies when the stored row
+    is OLDER than the delete's change id (`wm < ?` with the delete's id
+    bound as the trailing parameter) — a replayed stale delete cannot
+    remove a newer row. The delete itself is physical (no tombstone):
+    safe because Structured Streaming replays batches in order, so an
+    upsert older than an applied delete is never re-delivered after it."""
     quote = "`" if dialect == "mysql" else '"'
     tgt = _qual(schema, table, quote)
     pred = " AND ".join(f"{quote}{_ident(k)}{quote} = ?" for k in keys)
+    if watermark_col is not None:
+        pred += f" AND {quote}{_ident(watermark_col)}{quote} < ?"
     return f"DELETE FROM {tgt} WHERE {pred}"
 
 
@@ -115,12 +137,19 @@ DIALECTS = {
 
 
 def upsert_sql(dialect: str, schema: str, table: str,
-               columns: list[str], keys: list[str]) -> str:
-    try:
-        return DIALECTS[dialect](schema, table, columns, keys)
-    except KeyError:
+               columns: list[str], keys: list[str],
+               watermark_col: str | None = None) -> str:
+    if dialect not in DIALECTS:
         raise ValueError(f"unsupported dialect {dialect!r}; "
-                         f"one of {sorted(DIALECTS)}") from None
+                         f"one of {sorted(DIALECTS)}")
+    if watermark_col is not None:
+        if dialect != "postgresql":
+            raise ValueError(
+                "watermark-guarded upserts are postgresql-dialect only "
+                "(MySQL would need per-column IF(); Greenplum lacks "
+                "ON CONFLICT)")
+        return pg_upsert(schema, table, columns, keys, watermark_col)
+    return DIALECTS[dialect](schema, table, columns, keys)
 
 
 def _sqlite_connect(path: str):
@@ -142,7 +171,8 @@ def write_upserts(df, dialect: str, url: str, schema: str, table: str,
                   connect=None, pool_name: str | None = None,
                   max_active: int = 15, acquire_timeout: float = 30.0,
                   connect_retries: int = 3,
-                  statement_timeout_ms: int = 0) -> None:
+                  statement_timeout_ms: int = 0,
+                  watermark_col: str | None = None) -> None:
     """Distributed JDBC-style upsert: each Spark partition takes one
     connection and executes batched upserts (deletes for operation='D').
     `connect` is a zero-arg factory returning a DB-API connection —
@@ -157,9 +187,12 @@ def write_upserts(df, dialect: str, url: str, schema: str, table: str,
     statement cannot pin the pool. Without it, one connection is opened
     and closed per partition (still retried)."""
     columns = [c for c in df.columns if c != "operation"]
-    up_sql = upsert_sql(dialect, schema, table, columns, keys)
-    del_sql = delete_by_keys(schema, table, keys, dialect)
+    up_sql = upsert_sql(dialect, schema, table, columns, keys, watermark_col)
+    del_sql = delete_by_keys(schema, table, keys, dialect, watermark_col)
     key_idx = [columns.index(k) for k in keys]
+    if watermark_col is not None:
+        # guarded delete binds the delete's own change id last
+        key_idx = key_idx + [columns.index(watermark_col)]
 
     if connect is None:
         raise NotImplementedError(
@@ -213,3 +246,85 @@ def write_upserts(df, dialect: str, url: str, schema: str, table: str,
             pool.close_all()
 
     df.foreachPartition(apply_partition)
+
+
+class JdbcTable:
+    """Live-DB sync target — the reference's actual production mode
+    (sync/DataSyncer.scala pushing prepared-statement batches into the
+    target database) — behind the same `merge_changes` protocol as
+    ParquetTable/BucketedTable, so a SyncPipeline can stream
+    micro-batches straight into a relational target through the pooled
+    DB-API writer (sinks/pool.py: bounded pool, acquire timeout,
+    connect retries, per-connection statement timeout, run-length
+    executemany batching).
+
+    Semantics: each batch is reduced last-writer-per-key (max change
+    id), then delivered as watermark-guarded upserts and deletes — every
+    statement carries the key's winning change id and applies only when
+    it ADVANCES the stored `_last_id`, so replaying a micro-batch after
+    a crash (or re-delivering any older change) can never clobber newer
+    target state. This is merge_snapshot's `_last_id` contract enforced
+    IN the database, where it also holds across concurrent writer
+    partitions. Deletes are physical (no tombstone): safe under
+    Structured Streaming's in-order batch replay (an upsert older than
+    an applied delete is never re-delivered after it); a full bootstrap
+    replay from id 0 also converges because it re-applies in order.
+
+    The target table must contain the payload columns plus the
+    `watermark_col` (BIGINT). `n_writers` caps concurrent writer
+    partitions — size it to the target's connection budget (for SQLite
+    targets use 1-2; its writer lock serializes anyway)."""
+
+    def __init__(self, dialect: str, url: str, schema: str, table: str,
+                 key_cols: list[str], connect,
+                 pool_name: str | None = None, n_writers: int = 4,
+                 batch_size: int = 1000, max_active: int = 15,
+                 acquire_timeout: float = 30.0, connect_retries: int = 3,
+                 statement_timeout_ms: int = 0,
+                 watermark_col: str = "_last_id"):
+        self.dialect = dialect
+        self.url = url
+        self.schema = schema
+        self.table = table
+        self.key_cols = list(key_cols)
+        self.connect = connect
+        self.pool_name = pool_name
+        self.n_writers = n_writers
+        self.batch_size = batch_size
+        self.max_active = max_active
+        self.acquire_timeout = acquire_timeout
+        self.connect_retries = connect_retries
+        self.statement_timeout_ms = statement_timeout_ms
+        self.watermark_col = watermark_col
+
+    def merge_changes(self, spark, changes, key_cols=None,
+                      pinned: bool = False) -> None:
+        from pyspark.sql import functions as F
+
+        if key_cols is not None and list(key_cols) != self.key_cols:
+            raise ValueError(f"target is keyed on {self.key_cols}, "
+                             f"cannot merge on {list(key_cols)}")
+        keys = self.key_cols
+        payload_cols = [c for c in changes.columns
+                        if c not in ("id", "operation")]
+        non_keys = [c for c in payload_cols if c not in keys]
+        winner = changes.groupBy(*keys).agg(
+            F.max_by(F.struct(F.col("operation").alias("operation"),
+                              *[F.col(c).alias(c) for c in non_keys]),
+                     F.col("id")).alias("_w"),
+            F.max("id").alias(self.watermark_col))
+        rows = winner.select(
+            *keys,
+            *[F.col(f"_w.{c}").alias(c) for c in non_keys],
+            self.watermark_col,
+            F.col("_w.operation").alias("operation"))
+        write_upserts(
+            rows.coalesce(self.n_writers),
+            dialect=self.dialect, url=self.url, schema=self.schema,
+            table=self.table, keys=keys, batch_size=self.batch_size,
+            connect=self.connect, pool_name=self.pool_name,
+            max_active=self.max_active,
+            acquire_timeout=self.acquire_timeout,
+            connect_retries=self.connect_retries,
+            statement_timeout_ms=self.statement_timeout_ms,
+            watermark_col=self.watermark_col)

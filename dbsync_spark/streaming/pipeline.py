@@ -53,7 +53,12 @@ class SyncPipeline:
         self.rule = rule
         self.payload_schema = payload_schema
         self.log_path = log_path
-        if target_layout == "bucketed":
+        if hasattr(target_layout, "merge_changes"):
+            # a pre-built target object (e.g. sinks/jdbc.py::JdbcTable for
+            # live-DB delivery) — anything honouring the merge_changes
+            # protocol streams micro-batches the same way
+            self.target = target_layout
+        elif target_layout == "bucketed":
             self.target = BucketedTable(target_path,
                                         list(rule.source_keys), n_buckets)
         elif target_layout == "snapshot":
