@@ -801,6 +801,86 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_multimodal_decode",
+    """
+WITH img AS (
+  SELECT doc_id, doc_id % 3 AS m,
+         CAST(doc_id % 7 + 2 AS INT) AS w,
+         CAST((doc_id // 7) % 7 + 2 AS INT) AS h
+  FROM documents WHERE doc_id % 3 IN (0, 2)
+),
+wav AS (
+  SELECT doc_id,
+         CAST(doc_id % 50 + 10 AS BIGINT) AS n,
+         CAST(8000 + doc_id % 100 AS INT) AS rate
+  FROM documents WHERE doc_id % 3 = 1
+)
+SELECT doc_id,
+       CASE WHEN m = 0 THEN 'image/bmp' ELSE 'image/png' END AS media_type,
+       w AS width, h AS height,
+       CAST(NULL AS INT) AS n_channels, CAST(NULL AS INT) AS sample_rate,
+       CAST(NULL AS BIGINT) AS n_samples,
+       CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+         list_transform(generate_series(0, w - 1), x ->
+           (doc_id + 3*x + 7*y) % 256
+           + (5*doc_id + x + 2*y) % 256
+           + (11*doc_id + 2*x + y) % 256)))) AS BIGINT) AS px_sum,
+       CAST(NULL AS BIGINT) AS sq_sum
+FROM img
+UNION ALL
+SELECT doc_id, 'audio/wav' AS media_type,
+       CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+       CAST(1 AS INT) AS n_channels, rate AS sample_rate,
+       n AS n_samples, CAST(NULL AS BIGINT) AS px_sum,
+       CAST(list_sum(list_transform(generate_series(0, n - 1), i ->
+         ((31*doc_id + 17*i) % 65536 - 32768)
+         * ((31*doc_id + 17*i) % 65536 - 32768))) AS BIGINT) AS sq_sum
+FROM wav
+""",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal decode (no codec libs): closed-form pixel/sample
+    patterns are encoded into genuine BMP / PNG (stdlib zlib) / WAV-PCM16
+    payloads and decoded back by the pure-stdlib parsers
+    (functions/multimodal.py), all inside Arrow mapInPandas stages; the
+    oracle computes the same integer pixel/sample sums directly. Any
+    codec bug — BGR order, bottom-up rows, 4-byte BMP padding, PNG
+    scanline de-filtering, RIFF chunk walking — breaks the hash-match."""
+    import pandas as _pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                m = did % 3
+                if m in (0, 2):
+                    w, h = did % 7 + 2, (did // 7) % 7 + 2
+
+                    def fn(x, y, did=did):
+                        return ((did + 3 * x + 7 * y) % 256,
+                                (5 * did + x + 2 * y) % 256,
+                                (11 * did + 2 * x + y) % 256)
+
+                    enc = mm.encode_bmp if m == 0 else mm.encode_png
+                    payload = enc(w, h, fn)
+                    mtype = "image/bmp" if m == 0 else "image/png"
+                else:
+                    n, rate = did % 50 + 10, 8000 + did % 100
+                    payload = mm.encode_wav(
+                        [((31 * did + 17 * i) % 65536) - 32768
+                         for i in range(n)], rate)
+                    mtype = "audio/wav"
+                rows.append((did, payload, mtype, len(payload)))
+            yield _pd.DataFrame(rows, columns=[
+                "doc_id", "payload", "media_type", "n_bytes"])
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(gen, schema=mm.MEDIA_SCHEMA)
+    return mm.decode_media(media)
+
+
+@_register(
     "q_ngram_jaccard",
     f"""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
