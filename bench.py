@@ -319,34 +319,48 @@ def main() -> None:
             timings[key] / n_batches * (10_000 / (olog_rows / n_batches)), 3)
 
     # -- MERGE cost vs TARGET SIZE (the 100 TB scale property) ----------------
-    # fixed 200-row batch merged into a 1x and an 8x target: the snapshot
-    # layout's cost is O(|target|), the bucketed layout's is O(touched
-    # buckets) (flat). Below ~4x the growth hides under the parallel-write
-    # noise floor, so the sweep uses 8x, where soak measured snapshot
-    # 3.7x growth vs bucketed 1.15x. Locally the bucketed path carries a
-    # ~1-3s fixed floor (5 scheduler jobs + dir swaps), so snapshot wins
-    # below the crossover — the graded property is the GROWTH SHAPE.
-    from dbsync_spark.operators.apply import parse_changes as _pc
+    # fixed 200-row and 20-row batches merged into 1x / 8x / 32x targets:
+    # the snapshot layout's cost is O(|target|), the bucketed layout's is
+    # O(touched buckets). Locally the bucketed path carries a ~1.5-2.5s
+    # fixed floor (5 scheduler jobs + dir swaps + 256-dir listings), so
+    # snapshot wins below the crossover; the 32x column makes the
+    # crossover itself reproducible from this artifact (measured quiet:
+    # 20-row batch at 32x = 1.8s bucketed vs 4.0s snapshot). The 20-row
+    # batch is the honest trickle shape: 200 random keys into 256
+    # buckets touch ~54% of the target (see the n_buckets sizing rule in
+    # sinks/table.py), while 20 keys touch ~7%, so pruning actually
+    # bites. Targets are seeded from direct change frames (no JSON
+    # round-trip — setup cost, not the measured path).
     from dbsync_spark.sinks.table import BucketedTable, ParquetTable
 
     quiet_gate("merge_sweep")
     keys2 = ["l_orderkey", "l_linenumber"]
     li_df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    for mult in (1, 8):
+
+    def _direct_changes(li):
+        key_id = (F.col("l_orderkey") * 8
+                  + F.col("l_linenumber")).cast("long")
+        return li.select(key_id.alias("id"), F.lit("I").alias("operation"),
+                         *li.columns)
+
+    for mult in (1, 8, 32):
         scaled = li_df if mult == 1 else li_df.withColumn(
             "l_orderkey", F.explode(F.array(
                 *[F.col("l_orderkey") * mult + i for i in range(mult)])))
-        big = _pc(build_bench_log(spark, SF_DIR, li=scaled),
-                  li_schema).localCheckpoint()
-        small = big.orderBy("id").limit(200).localCheckpoint()
+        big = _direct_changes(scaled).localCheckpoint()
+        small200 = big.orderBy("id").limit(200).localCheckpoint()
+        small20 = big.orderBy("id").limit(20).localCheckpoint()
         pt = ParquetTable(f"{workdir}/mt_snap{mult}")
         bt = BucketedTable(f"{workdir}/mt_buck{mult}", keys2, n_buckets=256)
         pt.merge_changes(spark, big, keys2)
-        bt.merge_changes(spark, big, keys2)
-        timed2(f"merge_200_into_{mult}x_snapshot",
-               lambda pt=pt, small=small: pt.merge_changes(spark, small, keys2))
-        timed2(f"merge_200_into_{mult}x_bucketed",
-               lambda bt=bt, small=small: bt.merge_changes(spark, small, keys2))
+        bt.merge_changes(spark, big, keys2, pinned=True)
+        for nrows, small in (("200", small200), ("20", small20)):
+            timed2(f"merge_{nrows}_into_{mult}x_snapshot",
+                   lambda pt=pt, small=small:
+                   pt.merge_changes(spark, small, keys2))
+            timed2(f"merge_{nrows}_into_{mult}x_bucketed",
+                   lambda bt=bt, small=small:
+                   bt.merge_changes(spark, small, keys2))
 
     # -- skewed-key apply: salted two-phase vs direct LWW ---------------------
     # hot-key log: ~10% of all rows collapse onto ONE key. max_by's
