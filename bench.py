@@ -369,7 +369,7 @@ def main() -> None:
     # not assumed — see NOTES.md for the analysis.
     from dbsync_spark.operators.skew import salted_last_writer_wins
 
-    base_changes = _pc(log, li_schema)
+    base_changes = parse_changes(log, li_schema)
     hot = base_changes.withColumn(
         "l_orderkey",
         F.when(F.rand(seed=7) < 0.10, F.lit(1)).otherwise(F.col("l_orderkey")))

@@ -232,12 +232,24 @@ class BucketedTable:
                    bucketed.select(self.BUCKET_COL).distinct().collect()]
         if not touched:
             return
-        existing = self._read_raw(spark)
-        if existing is not None:
-            if len(touched) < self.n_buckets:
-                existing = existing.where(
-                    F.col(self.BUCKET_COL).isin(touched))
-            existing = existing.drop(self.BUCKET_COL)
+        # read ONLY the touched bucket directories as explicit paths —
+        # no full-table directory listing and no partition discovery per
+        # micro-batch (at object-store scale, listing n_buckets dirs per
+        # batch would dominate the trickle path; locally it is the
+        # biggest slice of the fixed per-batch floor). The bucket
+        # partition column is not inferred from multi-path reads, which
+        # is fine — the merge path drops it anyway.
+        self._recover_buckets()
+        paths = [os.path.join(self.data_path, f"{self.BUCKET_COL}={b}")
+                 for b in touched]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if paths:
+            # mergeSchema: after additive payload evolution, touched
+            # buckets can mix old/new schemas — union-by-name null-fills
+            existing = (spark.read.option("mergeSchema", "true")
+                        .parquet(*paths))
+        else:
+            existing = None
         merged = merge_snapshot(existing, bucketed.drop(self.BUCKET_COL),
                                 self.key_cols)
         out = (merged.withColumn(self.BUCKET_COL, self._bucket_expr())
