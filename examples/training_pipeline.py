@@ -111,8 +111,20 @@ def run_pipeline(spark, sf_dir: str, budget: int = 2048) -> dict[str, DataFrame]
     sampled = stratified_sample(semantic, "doc_id", "lang",
                                 {"en": 8000}, default_bp=2000)
 
-    # 8. pack into fixed token budgets per language stream
-    packed = pack_sequences(sampled, "doc_id", "n_chars", budget,
+    # 8. token accounting under a TRAINED BPE segmentation: train a
+    #    small merge table on the sampled corpus itself (batched rounds
+    #    — see functions/bpe.py), count real subword tokens per doc via
+    #    the distinct-word join, and pack by those counts. n_chars is a
+    #    poor budget proxy across languages/styles; token counts are
+    #    what the training job actually consumes.
+    from dbsync_spark.functions.bpe import bpe_token_counts, bpe_train
+
+    _, bpe_words = bpe_train(sampled, n_rounds=4, batch_k=4)
+    with_tokens = sampled.join(bpe_token_counts(sampled, bpe_words),
+                               "doc_id")
+
+    # pack into fixed token budgets per language stream
+    packed = pack_sequences(with_tokens, "doc_id", "n_tokens", budget,
                             stream_col="lang")
 
     # 9. sliding-window chunks of the sampled docs (embedding-index prep)
