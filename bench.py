@@ -288,6 +288,12 @@ def main() -> None:
            lambda: QUERIES["q_knn_classify"](spark, SF_DIR).count())
     timed2("outlier_mad",
            lambda: QUERIES["q_outlier_mad"](spark, SF_DIR).count())
+    timed2("bm25_topk",
+           lambda: QUERIES["q_bm25_topk"](spark, SF_DIR).count())
+    timed2("phrase_search",
+           lambda: QUERIES["q_phrase_search"](spark, SF_DIR).count())
+    timed2("compress_ratio",
+           lambda: QUERIES["q_compress_ratio"](spark, SF_DIR).count())
 
     # -- streaming micro-batch latency (BASELINE.md: <= 5 s / 10k-row batch) --
     from dbsync_spark.changelog import ORDERS_PAYLOAD_SCHEMA, build_log_orders

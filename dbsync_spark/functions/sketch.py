@@ -155,7 +155,6 @@ def decontaminate(df: DataFrame, test_filter, text_col: str = "text",
     fixed 128 KB bitmap regardless of test-set cardinality. Same
     two-phase summary+verify topology as LSH dedup and heavy_hitters.
     """
-    import numpy as np
     from pyspark.sql import functions as F  # noqa: F811 (local clarity)
 
     from dbsync_spark.functions.dedup import shingles
@@ -171,10 +170,35 @@ def decontaminate(df: DataFrame, test_filter, text_col: str = "text",
           .distinct())
     test_hashes = sh.where(F.col("_is_test")).select("shash").distinct()
     bitmap = _build_bloom(test_hashes, m)
-    bc = df.sparkSession.sparkContext.broadcast(bitmap)
+    train_sh = sh.where(~F.col("_is_test")).select(id_col, "shash")
+    return bloom_flag_clean(train_sh, test_hashes, bitmap, m, id_col=id_col)
+
+
+def shingle_hash_rows(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Distinct (id, shash) k-gram shingle-hash rows — the shared
+    front end of the decontamination family (h15 keys keep the wire
+    narrow; docs shorter than k tokens produce no rows)."""
+    from dbsync_spark.functions.dedup import shingles
+    from dbsync_spark.functions.text import h15
+    from dbsync_spark.sources.tables import fan_out
+
+    return (fan_out(df)
+            .select(F.col(id_col),
+                    F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+            .select(id_col, h15(F.col("shingle")).alias("shash"))
+            .distinct())
+
+
+def bloom_membership_udf(spark, bitmap: bytes, m: int):
+    """Vectorized Bloom membership test over a broadcast bitmap —
+    numpy bit tests inside an Arrow pandas_udf, no per-row Python."""
+    import numpy as np
+
+    bc = spark.sparkContext.broadcast(bitmap)
 
     @F.pandas_udf("boolean")
-    def maybe_in_test(col: pd.Series) -> pd.Series:
+    def maybe_member(col: pd.Series) -> pd.Series:
         bm = np.frombuffer(bc.value, dtype=np.uint8)
         h = col.to_numpy(dtype="int64").astype("uint64")
         res = np.ones(len(h), dtype=bool)
@@ -184,12 +208,22 @@ def decontaminate(df: DataFrame, test_filter, text_col: str = "text",
             res &= ((bm[idx] >> off) & np.uint8(1)).astype(bool)
         return pd.Series(res)
 
-    train_sh = (sh.where(~F.col("_is_test"))
-                .select(id_col, "shash")
-                .withColumn("_maybe", maybe_in_test(F.col("shash"))))
-    per_doc = train_sh.groupBy(id_col).agg(
+    return maybe_member
+
+
+def bloom_flag_clean(train_sh: DataFrame, test_hashes: DataFrame,
+                     bitmap: bytes, m: int,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Clean docs from pre-shingled inputs: (id, n_shingles) for every
+    train doc whose shingles never hit the exact test set; the Bloom
+    bitmap prefilters the verify join so only flagged residue shuffles.
+    Shared by the batch operator (decontaminate) and the streaming
+    service (streaming/bloom_index.py)."""
+    maybe = bloom_membership_udf(train_sh.sparkSession, bitmap, m)
+    flagged = train_sh.withColumn("_maybe", maybe(F.col("shash")))
+    per_doc = flagged.groupBy(id_col).agg(
         F.count("*").alias("n_shingles"))
-    dirty = (train_sh.where(F.col("_maybe"))
+    dirty = (flagged.where(F.col("_maybe"))
              .join(test_hashes, on="shash", how="semi")
              .select(id_col).distinct())
     return per_doc.join(dirty, on=id_col, how="anti")

@@ -520,3 +520,199 @@ def lm_surprisal(df: DataFrame, text_col: str = "text",
     return (scored.groupBy(id_col)
             .agg(F.count("*").alias("n_bigrams"),
                  F.avg("_nll").alias("surprisal")))
+
+
+# --------------------------------------------------------------------------
+# Relevance search: BM25 ranking and positional phrase search
+# --------------------------------------------------------------------------
+
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BM25 document ranking for a fixed term query, exact across engines.
+
+    Standard BM25 with k1 = 6/5, b = 3/4, written entirely in integer
+    rational arithmetic so the scores (not just the ranking) hash-match
+    SQL. Two substitutions make that possible:
+
+    - the idf factor ln((N - df + 0.5)/(df + 0.5)) is replaced by its
+      exact-rational odds argument (2N - 2df + 1)/(2df + 1) — the same
+      monotone-surrogate trick as distinctive_terms' exact-ratio idf
+      (ln is not cross-engine bit-exact; the odds form preserves the
+      per-term ordering and stays a ratio of BIGINTs);
+    - avgdl = S/N is never materialized as a float: multiplying the
+      saturation term through by 10*S gives
+
+        score(t, d) = (2N - 2df + 1) * 22 * tf * S
+                      ----------------------------------   (A / B)
+                      (2df + 1) * (10*S*tf + 3*S + 9*dl*N)
+
+      with A, B exact BIGINTs (A < 2^63 through sf1-scale corpora).
+
+    Each per-term score is quantized once — floor((A/B) * 1e6), one IEEE
+    division + one IEEE multiply, bit-identical in Spark and DuckDB —
+    and the per-document total is then a plain BIGINT sum, so the
+    aggregate is exact (float SUMs never hash-match; integer SUMs do).
+
+    Scale shape: tf and dl are computed ROW-LOCALLY from the token array
+    (size/filter inside codegen — no explode, no token shuffle); only
+    (doc, term, tf) rows for matching docs ever shuffle. df and the
+    corpus stats (N, S) are tiny broadcast aggregates. One scan, narrow
+    aggregates, a distributed TakeOrdered top-k at the end.
+    """
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    def _eq(term: str):
+        # single-arg lambda: a 2-param lambda would make F.filter pass
+        # the element INDEX as the second argument
+        lit_t = F.lit(term)
+        return lambda x: x == lit_t
+
+    base = toked.select(
+        id_col, F.size("_t").alias("dl"),
+        *[F.size(F.filter("_t", _eq(t))).cast("long").alias(f"_tf{i}")
+          for i, t in enumerate(query_terms)])
+    corpus = base.agg(F.count("*").alias("n_docs"),
+                      F.sum("dl").alias("s_dl"))
+    pairs = base.select(
+        id_col, F.col("dl").cast("long").alias("dl"),
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("term"), F.col(f"_tf{i}").alias("tf"))
+            for i, t in enumerate(query_terms)])).alias("_p"),
+    ).select(id_col, "dl", "_p.term", "_p.tf").where(F.col("tf") > 0)
+    return bm25_score_pairs(pairs, corpus, k=k, id_col=id_col)
+
+
+def bm25_score_pairs(pairs: DataFrame, corpus: DataFrame, k: int = 10,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Shared BM25 scoring core over pre-extracted term statistics:
+    `pairs` = (id, dl, term, tf > 0) rows, `corpus` = 1-row
+    (n_docs, s_dl). Used by the one-pass batch ranker (bm25_topk) and
+    the incremental search-index service (streaming/search_index.py) —
+    identical quantized arithmetic, so both hash-match the same oracle."""
+    dfreq = pairs.groupBy("term").agg(F.count("*").alias("df"))
+    n, s = F.col("n_docs"), F.col("s_dl")
+    a = ((2 * n - 2 * F.col("df") + 1) * 22 * F.col("tf") * s).cast("long")
+    b = ((2 * F.col("df") + 1)
+         * (10 * s * F.col("tf") + 3 * s + 9 * F.col("dl") * n)).cast("long")
+    scored = (pairs.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(corpus))
+              .select(id_col,
+                      F.floor((a.cast("double") / b.cast("double"))
+                              * F.lit(1000000.0)).alias("_sm")))
+    doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_terms"),
+        F.sum("_sm").alias("score_micro"))
+    # orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    # top-k then a k-row driver merge, never a single-task global window
+    return (doc.orderBy(F.col("score_micro").desc(), F.col(id_col))
+            .limit(k)
+            .select(id_col, "n_terms", "score_micro"))
+
+
+def build_posting_index(df: DataFrame, terms: list[str] | None = None,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Positional posting lists: one (doc_id, pos, term) row per token
+    occurrence, 1-based positions — the inverted-index building block a
+    search layer would persist (bucketed by term at scale). When `terms`
+    is given, only those terms' postings are produced and the filter
+    runs BEFORE any shuffle — the scan emits just the queried postings."""
+    posts = (df.select(F.col(id_col),
+                       F.posexplode(tokens(F.col(text_col)))
+                       .alias("pos0", "term"))
+             .select(id_col, (F.col("pos0") + 1).alias("pos"), "term"))
+    if terms is not None:
+        posts = posts.where(F.col("term").isin(list(terms)))
+    return posts
+
+
+def phrase_search(df: DataFrame, phrase: list[str],
+                  text_col: str = "text", id_col: str = "doc_id",
+                  index: DataFrame | None = None) -> DataFrame:
+    """Exact phrase search via positional posting-list intersection:
+    documents containing `phrase` as consecutive tokens, with occurrence
+    count and the first match position (1-based).
+
+    The classic positional-index conjunctive query: the i-th phrase term
+    joins on (doc_id, pos - i), so an n-term phrase is n-1 equi-joins
+    over ONLY those terms' posting rows (term filter at the scan — the
+    wire never carries a non-query token). An external `index` (a
+    persisted build_posting_index output) makes repeated queries pay
+    index-lookup cost instead of a corpus scan.
+
+    Equivalent to the row-local array scan (phrase_occurrences_rowlocal,
+    pytest-pinned equal); the join form is the one that works when the
+    index is already materialized and the corpus is not re-readable at
+    query time."""
+    posts = index if index is not None else build_posting_index(
+        df, terms=phrase, text_col=text_col, id_col=id_col)
+    anchor = (posts.where(F.col("term") == phrase[0])
+              .select(id_col, "pos"))
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = (posts.where(F.col("term") == t)
+               .select(F.col(id_col),
+                       (F.col("pos") - i).alias("pos")))
+        anchor = anchor.join(nxt, on=[id_col, "pos"])
+    return anchor.groupBy(id_col).agg(
+        F.count("*").alias("n_occurrences"),
+        F.min("pos").alias("first_pos"))
+
+
+def phrase_occurrences_rowlocal(df: DataFrame, phrase: list[str],
+                                text_col: str = "text",
+                                id_col: str = "doc_id") -> DataFrame:
+    """Row-local reference semantics for phrase_search: scan each token
+    array once with a positions filter — zero shuffle, the shape for
+    one-off phrase queries without a persisted index."""
+    n = len(phrase)
+    t = tokens(F.col(text_col))
+    conds = " AND ".join(
+        f"_t[i - 1 + {j}] = '{p}'" for j, p in enumerate(phrase))
+    hits = F.expr(
+        f"filter(sequence(1, greatest(size(_t) - {n - 1}, 0)), "
+        f"i -> {conds})")
+    return (df.select(F.col(id_col), t.alias("_t"))
+            .where(F.size("_t") >= n)
+            .select(id_col, hits.alias("_h"))
+            .where(F.size("_h") > 0)
+            .select(id_col, F.size("_h").alias("n_occurrences"),
+                    F.col("_h")[0].alias("first_pos")))
+
+
+def compression_signals(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", level: int = 6
+                        ) -> DataFrame:
+    """zlib compression-ratio quality signal per document — the classic
+    cheap junk detector (CCNet/RefinedWeb family): highly repetitive or
+    templated text compresses far below natural prose, random/encoded
+    walls compress near 1.0. Returns (doc_id, orig_bytes, deflate_bytes,
+    compress_ratio) with ratio = deflate/orig, one IEEE division.
+
+    Runs as an Arrow-batched mapInPandas over the scan — justified
+    Python path: DEFLATE is not expressible in Spark SQL, zlib releases
+    the GIL, output is one narrow row per input row, and nothing
+    shuffles. Deterministic for a fixed zlib version and level (pinned
+    vs direct python zlib in pytest); declared rows-only because SQL
+    engines cannot DEFLATE."""
+    import pandas as pd
+
+    from dbsync_spark.sources.tables import fan_out
+
+    def score(batches):
+        import zlib
+        for pdf in batches:
+            raw = [t.encode("utf-8") if t is not None else b""
+                   for t in pdf[text_col]]
+            orig = [len(b) for b in raw]
+            comp = [len(zlib.compress(b, level)) for b in raw]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "orig_bytes": pd.Series(orig, dtype="int64"),
+                "deflate_bytes": pd.Series(comp, dtype="int64"),
+            })
+
+    out = fan_out(df.select(id_col, text_col)).mapInPandas(
+        score, schema=f"{id_col} long, orig_bytes long, deflate_bytes long")
+    return out.select(
+        id_col, "orig_bytes", "deflate_bytes",
+        (F.col("deflate_bytes").cast("double") / F.col("orig_bytes"))
+        .alias("compress_ratio"))

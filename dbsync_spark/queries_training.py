@@ -721,9 +721,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(docs, capacity=200)
 
 
-@_register(
-    "q_decontaminate",
-    """
+_DECON_ORACLE = """
 WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
               FROM documents),
 shs AS (
@@ -745,8 +743,10 @@ dirty AS (SELECT DISTINCT t.doc_id FROM train t JOIN test_set USING (shash))
 SELECT p.doc_id, p.n_shingles
 FROM per_doc p
 WHERE p.doc_id NOT IN (SELECT doc_id FROM dirty)
-""",
-)
+"""
+
+
+@_register("q_decontaminate", _DECON_ORACLE)
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontaminated training corpus: train documents sharing NO 3-gram
     shingle with the held-out split (source 'src19'), found via a
@@ -985,3 +985,177 @@ def q_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(mr), int(rnd), a, b, int(n))
          for mr, rnd, a, b, n in merges],
         "merge_rank int, round int, lft string, rgt string, n bigint")
+
+
+@_register("q_streaming_decontaminate", _DECON_ORACLE)
+def q_streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination SERVICE (streaming/bloom_index.py) fed the
+    held-out split ('src19') in three micro-batches, then asked to score
+    the training split: because the Bloom bitmap is an OR (associative,
+    commutative, idempotent) and the exact hash set a plain union, the
+    streamed index state equals the one-pass batch build EXACTLY — so
+    this streaming query hash-matches the very same SQL oracle as
+    q_decontaminate. The eval-set-arrives-over-time shape: new
+    benchmarks register incrementally; the train corpus is rescored
+    against the accumulated index without rebuilding anything."""
+    import tempfile
+
+    from dbsync_spark.streaming.bloom_index import StreamingBloomIndex
+
+    docs = read_table(spark, sf_dir, "documents")
+    test = docs.where(F.col("source") == "src19")
+    idx = StreamingBloomIndex(
+        spark, tempfile.mkdtemp(prefix="dbsync_bloom_q_"), k=3)
+    for epoch in range(3):
+        idx.process_batch(test.where(F.col("doc_id") % 3 == epoch),
+                          epoch_id=epoch)
+    return idx.flag(docs.where(F.col("source") != "src19"))
+
+
+_BM25_TERMS = ("spark", "merge", "window")
+
+
+def _bm25_oracle(terms=_BM25_TERMS, k: int = 10) -> str:
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms))
+    unions = "\n    UNION ALL ".join(
+        f"SELECT doc_id, dl, '{t}' AS term, tf{i} AS tf FROM feat"
+        for i, t in enumerate(terms))
+    return f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+feat AS (
+  SELECT doc_id, len(t) AS dl,
+         {tf_cols}
+  FROM base
+),
+corpus AS (SELECT count(*) AS n_docs, sum(dl) AS s_dl FROM feat),
+pairs AS (
+  SELECT doc_id, dl, term, tf FROM ({unions}) u WHERE tf > 0
+),
+dfreq AS (SELECT term, count(*) AS df FROM pairs GROUP BY term),
+scored AS (
+  SELECT p.doc_id,
+         CAST(floor(
+           (CAST((2*c.n_docs - 2*d.df + 1) * 22 * p.tf * c.s_dl AS DOUBLE)
+            / CAST((2*d.df + 1) * (10*c.s_dl*p.tf + 3*c.s_dl
+                                   + 9*p.dl*c.n_docs) AS DOUBLE))
+           * 1000000.0) AS BIGINT) AS sm
+  FROM pairs p JOIN dfreq d USING (term), corpus c
+),
+doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(sm) AS BIGINT) AS score_micro
+        FROM scored GROUP BY doc_id)
+SELECT doc_id, n_terms, score_micro
+FROM (SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rn
+      FROM doc)
+WHERE rn <= {k}
+"""
+
+
+@_register("q_bm25_topk", _bm25_oracle())
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for a fixed 3-term query, scores and all
+    hash-matched: k1=6/5 and b=3/4 keep the saturation term an exact
+    integer rational (multiplied through by 10*S so avgdl never becomes
+    a float), the idf is the exact-rational odds surrogate
+    (2N-2df+1)/(2df+1), each per-term score is floor-quantized to
+    millionths in ONE IEEE division, and the per-doc total is a BIGINT
+    sum (functions/text.py::bm25_topk). tf/dl are row-local array ops —
+    no token explode, no wide shuffle; only matching (doc, term) rows
+    move."""
+    from dbsync_spark.functions.text import bm25_topk
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, list(_BM25_TERMS), k=10)
+
+
+_PHRASE = ("the", "table")
+
+
+def _phrase_oracle(phrase=_PHRASE) -> str:
+    n = len(phrase)
+    conds = " AND ".join(f"t[i + {j}] = '{p}'"
+                         for j, p in enumerate(phrase))
+    return f"""
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+hits AS (
+  SELECT doc_id,
+         list_filter(generate_series(1, greatest(len(t) - {n - 1}, 0)),
+                     i -> {conds}) AS h
+  FROM base WHERE len(t) >= {n}
+)
+SELECT doc_id, CAST(len(h) AS BIGINT) AS n_occurrences,
+       CAST(h[1] AS BIGINT) AS first_pos
+FROM hits WHERE len(h) > 0
+"""
+
+
+@_register("q_phrase_search", _phrase_oracle())
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search through a positional posting index: documents
+    containing the consecutive-token phrase 'the table', found by
+    intersecting the terms' posting lists on (doc_id, pos - i) —
+    the classic positional inverted-index conjunctive query
+    (functions/text.py::phrase_search). The term filter runs AT THE SCAN
+    (non-query tokens never shuffle); the oracle states the row-local
+    array semantics the join provably implements (equivalence vs
+    phrase_occurrences_rowlocal is pytest-pinned)."""
+    from dbsync_spark.functions.text import phrase_search
+
+    docs = read_table(spark, sf_dir, "documents")
+    return phrase_search(docs, list(_PHRASE))
+
+
+@_register("q_compress_ratio")  # rows-only: SQL engines cannot DEFLATE;
+# exactness vs direct python zlib is pytest-pinned
+def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal per document — the cheap
+    junk detector (templated text compresses hard, random/encoded walls
+    barely): Arrow-batched mapInPandas, GIL-releasing DEFLATE, one
+    narrow output row per doc (functions/text.py::compression_signals)."""
+    from dbsync_spark.functions.text import compression_signals
+
+    docs = read_table(spark, sf_dir, "documents")
+    return compression_signals(docs)
+
+
+@_register("q_streaming_bm25", _bm25_oracle())
+def q_streaming_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over the incrementally maintained search index
+    (streaming/search_index.py) fed the corpus in three micro-batches:
+    postings and doc stats are set unions over disjoint-doc epochs, and
+    the scoring core is the shared quantized-integer bm25_score_pairs —
+    so the streamed ranking hash-matches the very same SQL oracle as
+    the batch q_bm25_topk. The index-at-rest query shape: tf comes from
+    the queried terms' posting lists, never a corpus re-scan."""
+    import tempfile
+
+    from dbsync_spark.streaming.search_index import StreamingSearchIndex
+
+    docs = read_table(spark, sf_dir, "documents")
+    idx = StreamingSearchIndex(
+        spark, tempfile.mkdtemp(prefix="dbsync_search_q_"))
+    for epoch in range(3):
+        idx.process_batch(docs.where(F.col("doc_id") % 3 == epoch),
+                          epoch_id=epoch)
+    return idx.bm25(list(_BM25_TERMS), k=10)
+
+
+@_register("q_streaming_phrase", _phrase_oracle())
+def q_streaming_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search over the same incrementally built positional index:
+    posting-list intersection on (doc_id, pos - i) against accumulated
+    epoch state — hash-matches q_phrase_search's oracle because posting
+    rows are an exact set union over the disjoint-doc batches."""
+    import tempfile
+
+    from dbsync_spark.streaming.search_index import StreamingSearchIndex
+
+    docs = read_table(spark, sf_dir, "documents")
+    idx = StreamingSearchIndex(
+        spark, tempfile.mkdtemp(prefix="dbsync_search_q_"))
+    for epoch in range(3):
+        idx.process_batch(docs.where(F.col("doc_id") % 3 == epoch),
+                          epoch_id=epoch)
+    return idx.phrase(list(_PHRASE))

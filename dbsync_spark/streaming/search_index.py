@@ -1,0 +1,135 @@
+"""Streaming full-text search service: an incrementally maintained
+positional inverted index with corpus statistics.
+
+The batch operators (functions/text.py::bm25_topk / phrase_search) scan
+the corpus per query; this module maintains the index as a SERVICE:
+documents arrive in micro-batches, each batch appends its positional
+posting rows and per-doc length stats, and BM25 / phrase queries run
+against the accumulated state at any point — the index-at-rest shape a
+production search layer keeps, rather than a corpus re-scan per query.
+
+Why stream == batch is EXACT: batches carry disjoint documents (the CDC
+id contract shared with the LSH dedup index), so posting rows and doc
+stats are plain set unions over epochs; tf/df/dl/N/S derived from the
+union are identical for any batching, and the scoring core
+(bm25_score_pairs) is the very same quantized-integer arithmetic as the
+batch ranker — so the streamed BM25 and phrase queries hash-match the
+SAME DuckDB oracles as their batch counterparts.
+
+Storage layout (append-only, epoch-scoped for replay idempotence):
+- <root>/postings/epoch=N : (doc_id, pos, term) for epoch-N docs
+- <root>/docstats/epoch=N : (doc_id, dl)
+
+Scale: postings at rest would be bucketed by term (queries touch only
+the queried terms' buckets) and doc stats by doc_id; a phrase or BM25
+query reads |query terms| posting lists, never the corpus. Positions
+are 1-based; phrase intersection joins on (doc_id, pos - i).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (IntegerType, LongType, StringType,
+                               StructField, StructType)
+
+from dbsync_spark.functions.text import (bm25_score_pairs,
+                                         build_posting_index, tokens)
+from dbsync_spark.streaming.state import next_epoch
+
+_POSTINGS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("pos", IntegerType()),
+    StructField("term", StringType()),
+])
+_DOCSTATS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("dl", LongType()),
+])
+
+
+class StreamingSearchIndex:
+    """Incremental inverted index over parquet state dirs. Call
+    `process_batch` per micro-batch of (doc_id, text) documents
+    (directly or via `foreach_batch_handler()`); query with `bm25`
+    and `phrase`. Batch doc_ids must be globally unique."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def _epochs(self, sub: str) -> list[int]:
+        import os
+        import re
+
+        try:
+            entries = os.listdir(f"{self.root}/{sub}")
+        except FileNotFoundError:
+            return []
+        return sorted(int(m.group(1)) for e in entries
+                      if (m := re.fullmatch(r"epoch=(\d+)", e)))
+
+    def _read(self, sub: str, schema: StructType) -> DataFrame:
+        eps = self._epochs(sub)
+        if not eps:
+            return self.spark.createDataFrame([], schema)
+        paths = [f"{self.root}/{sub}/epoch={e}" for e in eps]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def process_batch(self, new_docs: DataFrame,
+                      epoch_id: int | None = None) -> None:
+        """Index one micro-batch: append its postings and doc stats.
+        Epoch-scoped overwrite — replaying a failed epoch rewrites
+        exactly its own files."""
+        if epoch_id is None:
+            epoch_id = next_epoch(self.root, "postings")
+        posts = build_posting_index(new_docs, text_col=self.text_col,
+                                    id_col=self.id_col)
+        posts.select(F.col(self.id_col).cast("long"),
+                     F.col("pos").cast("int"), "term"
+                     ).write.mode("overwrite").parquet(
+            f"{self.root}/postings/epoch={epoch_id}")
+        stats = new_docs.select(
+            F.col(self.id_col).cast("long"),
+            F.size(tokens(F.col(self.text_col))).cast("long").alias("dl"))
+        stats.coalesce(1).write.mode("overwrite").parquet(
+            f"{self.root}/docstats/epoch={epoch_id}")
+
+    def foreach_batch_handler(self):
+        def handle(batch_df: DataFrame, epoch_id: int) -> None:
+            self.process_batch(batch_df, epoch_id)
+
+        return handle
+
+    def postings(self, terms: list[str] | None = None) -> DataFrame:
+        posts = self._read("postings", _POSTINGS_SCHEMA)
+        if terms is not None:
+            posts = posts.where(F.col("term").isin(list(terms)))
+        return posts
+
+    def bm25(self, query_terms: list[str], k: int = 10) -> DataFrame:
+        """BM25 top-k over the accumulated index — tf from the queried
+        terms' posting lists only, dl/N/S from the doc-stats table;
+        equals (and hash-matches the oracle of) the batch ranker over
+        the union of every indexed batch."""
+        stats = self._read("docstats", _DOCSTATS_SCHEMA)
+        corpus = stats.agg(F.count("*").alias("n_docs"),
+                           F.sum("dl").alias("s_dl"))
+        tf = (self.postings(query_terms)
+              .groupBy(self.id_col, "term")
+              .agg(F.count("*").cast("long").alias("tf")))
+        pairs = tf.join(stats, on=self.id_col).select(
+            self.id_col, "dl", "term", "tf")
+        return bm25_score_pairs(pairs, corpus, k=k, id_col=self.id_col)
+
+    def phrase(self, phrase: list[str]) -> DataFrame:
+        """Exact phrase occurrences over the accumulated index — the
+        positional posting-list intersection of functions/text.py::
+        phrase_search, reading only the phrase terms' postings."""
+        from dbsync_spark.functions.text import phrase_search
+
+        return phrase_search(None, phrase, id_col=self.id_col,
+                             index=self.postings(list(set(phrase))))

@@ -1,0 +1,96 @@
+"""Streaming decontamination service (streaming/bloom_index.py):
+stream == batch exactness, epoch replay idempotence, incremental
+eval-set accumulation, and a real readStream drain."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbsync_spark.functions.sketch import decontaminate
+from dbsync_spark.sources.tables import read_table
+from dbsync_spark.streaming.bloom_index import StreamingBloomIndex
+
+
+def _rows(df):
+    return sorted((r["doc_id"], r["n_shingles"]) for r in df.collect())
+
+
+def test_stream_equals_batch(spark, sf_dir, tmp_path):
+    docs = read_table(spark, sf_dir, "documents")
+    test = docs.where(F.col("source") == "src19")
+    train = docs.where(F.col("source") != "src19")
+
+    idx = StreamingBloomIndex(spark, str(tmp_path / "bloom"), k=3)
+    for epoch in range(3):
+        idx.process_batch(test.where(F.col("doc_id") % 3 == epoch),
+                          epoch_id=epoch)
+
+    want = _rows(decontaminate(docs, F.col("source") == "src19", k=3))
+    assert _rows(idx.flag(train)) == want
+    assert want, "fixture must leave some clean docs"
+
+
+def test_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Replaying a non-latest epoch (the checkpointed-foreachBatch crash
+    contract) rewrites exactly its own delta: state and flag output are
+    unchanged."""
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300)
+    test = docs.where(F.col("source") == "src19")
+    train = docs.where(F.col("source") != "src19")
+
+    idx = StreamingBloomIndex(spark, str(tmp_path / "bloom"), k=3)
+    for epoch in range(3):
+        idx.process_batch(test.where(F.col("doc_id") % 3 == epoch),
+                          epoch_id=epoch)
+    before = _rows(idx.flag(train))
+    n_hashes = idx._hashes_through(idx._epochs("shash")).count()
+
+    idx.process_batch(test.where(F.col("doc_id") % 3 == 1), epoch_id=1)
+
+    assert idx._hashes_through(idx._epochs("shash")).count() == n_hashes
+    assert _rows(idx.flag(train)) == before
+
+
+def test_incremental_eval_sets_accumulate(spark, sf_dir, tmp_path):
+    """New benchmarks arriving later only shrink the clean set, and the
+    accumulated index equals the batch operator over the union of every
+    eval split processed so far."""
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.where(~F.col("source").isin("src19", "src18"))
+
+    idx = StreamingBloomIndex(spark, str(tmp_path / "bloom"), k=3)
+    idx.process_batch(docs.where(F.col("source") == "src19"))
+    clean1 = _rows(idx.flag(train))
+    idx.process_batch(docs.where(F.col("source") == "src18"))
+    clean2 = _rows(idx.flag(train))
+
+    assert set(d for d, _ in clean2) <= set(d for d, _ in clean1)
+    want = _rows(decontaminate(
+        docs.where(F.col("source") != "src18").unionByName(
+            docs.where(F.col("source") == "src18")),
+        F.col("source").isin("src19", "src18"), k=3)
+        .join(train.select("doc_id"), on="doc_id", how="semi"))
+    assert clean2 == want
+
+
+def test_bloom_via_real_foreachbatch(spark, sf_dir, tmp_path):
+    """The service on a real checkpointed readStream drain of the eval
+    split equals the one-pass batch decontaminate."""
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 400)
+    test = docs.where(F.col("source") == "src19")
+    train = docs.where(F.col("source") != "src19")
+    src = str(tmp_path / "evalsets")
+    test.repartition(3).write.parquet(src)
+
+    idx = StreamingBloomIndex(spark, str(tmp_path / "bloom"), k=3)
+    stream = (spark.readStream.schema(test.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(idx.foreach_batch_handler())
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    want = _rows(decontaminate(docs, F.col("source") == "src19", k=3))
+    assert _rows(idx.flag(train)) == want

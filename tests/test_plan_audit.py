@@ -22,6 +22,7 @@ BNLJ_ALLOWED = {
     "q_top_supplier",      # 1-row max join (scalar subquery shape)
     "q_mixture_weights",   # 1-row scale-factor broadcast
     "q_tfidf_topk",        # 1-row corpus-size (N) broadcast
+    "q_bm25_topk",         # 1-row corpus stats (N, sum dl) broadcast
     "q_bigram_pmi",        # 1-row (n_bigrams, n_tokens) totals broadcast
     "q_gap_fill",          # broadcast hour-spine x distinct-series cross
     "q_ngram_jaccard",     # broadcast query-doc shingle set

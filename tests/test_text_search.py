@@ -1,0 +1,177 @@
+"""Relevance-search operators: BM25 ranking, positional phrase search,
+and the zlib compression-ratio quality signal."""
+
+from __future__ import annotations
+
+import zlib
+
+from pyspark.sql import functions as F
+
+from dbsync_spark.functions.text import (bm25_topk, build_posting_index,
+                                         compression_signals,
+                                         phrase_occurrences_rowlocal,
+                                         phrase_search)
+from dbsync_spark.sources.tables import read_table
+from tests.compare import assert_matches
+
+TERMS = ["spark", "merge", "window"]
+
+
+def _bm25_python(docs: list[tuple[int, str]], terms: list[str],
+                 k: int = 10) -> list[tuple[int, int, int]]:
+    """Independent pure-Python reference for the exact quantized BM25
+    recurrence: same odds-form idf, same 10*S rational saturation, same
+    floor((A/B)*1e6) per-term quantization, BIGINT per-doc sum."""
+    toks = {d: t.split(" ") for d, t in docs}
+    dl = {d: len(t) for d, t in toks.items()}
+    n, s = len(docs), sum(dl.values())
+    tf = {(d, t): toks[d].count(t) for d, _ in docs for t in terms}
+    df = {t: sum(1 for d, _ in docs if tf[(d, t)] > 0) for t in terms}
+    scores = {}
+    for d, _ in docs:
+        total, n_terms = 0, 0
+        for t in terms:
+            f = tf[(d, t)]
+            if f == 0:
+                continue
+            a = (2 * n - 2 * df[t] + 1) * 22 * f * s
+            b = (2 * df[t] + 1) * (10 * s * f + 3 * s + 9 * dl[d] * n)
+            import math
+            total += math.floor((float(a) / float(b)) * 1000000.0)
+            n_terms += 1
+        if n_terms:
+            scores[d] = (n_terms, total)
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1][1], kv[0]))[:k]
+    return [(d, nt, sm) for d, (nt, sm) in ranked]
+
+
+def test_bm25_matches_python_reference(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    got = {r["doc_id"]: (r["n_terms"], r["score_micro"])
+           for r in bm25_topk(docs, TERMS, k=10).collect()}
+    raw = [(r["doc_id"], r["text"])
+           for r in docs.select("doc_id", "text").collect()]
+    want = {d: (nt, sm) for d, nt, sm in _bm25_python(raw, TERMS, k=10)}
+    assert got == want
+
+
+def test_bm25_matches_oracle(spark, sf_dir, duck):
+    from dbsync_spark.queries_training import _bm25_oracle
+
+    docs = read_table(spark, sf_dir, "documents")
+    assert_matches(bm25_topk(docs, TERMS, k=10), duck, _bm25_oracle())
+
+
+def test_bm25_scores_positive_and_ranked(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    rows = bm25_topk(docs, TERMS, k=10).collect()
+    assert rows, "query terms should match fixture docs"
+    micros = [r["score_micro"] for r in rows]
+    assert micros == sorted(micros, reverse=True)
+    assert all(m > 0 for m in micros)
+    assert all(1 <= r["n_terms"] <= len(TERMS) for r in rows)
+
+
+PHRASE = ["the", "table"]
+
+
+def test_phrase_join_equals_rowlocal(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    via_join = sorted(map(tuple, phrase_search(docs, PHRASE).collect()))
+    via_scan = sorted(map(tuple,
+                          phrase_occurrences_rowlocal(docs, PHRASE)
+                          .collect()))
+    assert via_join == via_scan
+    assert via_join, "phrase should occur in fixture corpus"
+
+
+def test_phrase_with_prebuilt_index(spark, sf_dir):
+    """A persisted full posting index answers the same phrase query —
+    the repeated-query amortization path."""
+    docs = read_table(spark, sf_dir, "documents")
+    idx = build_posting_index(docs)
+    with_idx = sorted(map(tuple,
+                          phrase_search(docs, PHRASE, index=idx).collect()))
+    fresh = sorted(map(tuple, phrase_search(docs, PHRASE).collect()))
+    assert with_idx == fresh
+
+
+def test_phrase_overlapping_occurrences(spark):
+    """Self-overlapping phrase: 'a a a a' contains 'a a' three times
+    (positions 1, 2, 3) — the (doc, pos-i) join must count overlaps."""
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "b a a b"), (3, "a b a b")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+           for r in phrase_search(docs, ["a", "a"]).collect()}
+    assert got == {1: (3, 1), 2: (1, 2)}
+    got3 = {r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+            for r in phrase_search(docs, ["a", "a", "a"]).collect()}
+    assert got3 == {1: (2, 1)}
+
+
+def test_compression_signals_match_zlib(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(200)
+    got = {r["doc_id"]: (r["orig_bytes"], r["deflate_bytes"])
+           for r in compression_signals(docs).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        raw = r["text"].encode("utf-8")
+        assert got[r["doc_id"]] == (len(raw), len(zlib.compress(raw, 6)))
+
+
+def test_compression_ratio_orders_repetition(spark):
+    """Highly repetitive text must compress strictly harder than
+    high-entropy text — the signal the quality gate relies on."""
+    import random
+
+    rng = random.Random(7)
+    noisy = " ".join("".join(rng.choice("abcdefghijklmnop")
+                             for _ in range(8)) for _ in range(100))
+    docs = spark.createDataFrame(
+        [(1, "spam ham " * 400), (2, noisy)], "doc_id long, text string")
+    got = {r["doc_id"]: r["compress_ratio"]
+           for r in compression_signals(docs).collect()}
+    assert got[1] < 0.1 < got[2]
+
+
+def test_streaming_search_index_equals_batch(spark, sf_dir, tmp_path):
+    """The incremental search index fed disjoint batches answers BM25 and
+    phrase queries identically to the one-pass batch operators, and a
+    non-latest epoch replay leaves both answers unchanged."""
+    from dbsync_spark.streaming.search_index import StreamingSearchIndex
+
+    docs = read_table(spark, sf_dir, "documents")
+    idx = StreamingSearchIndex(spark, str(tmp_path / "search"))
+    for epoch in range(3):
+        idx.process_batch(docs.where(F.col("doc_id") % 3 == epoch),
+                          epoch_id=epoch)
+
+    want_bm25 = sorted(map(tuple, bm25_topk(docs, TERMS, k=10).collect()))
+    want_phrase = sorted(map(tuple, phrase_search(docs, PHRASE).collect()))
+    assert sorted(map(tuple, idx.bm25(TERMS, k=10).collect())) == want_bm25
+    assert sorted(map(tuple, idx.phrase(PHRASE).collect())) == want_phrase
+
+    idx.process_batch(docs.where(F.col("doc_id") % 3 == 1), epoch_id=1)
+    assert sorted(map(tuple, idx.bm25(TERMS, k=10).collect())) == want_bm25
+    assert sorted(map(tuple, idx.phrase(PHRASE).collect())) == want_phrase
+
+
+def test_streaming_search_via_real_foreachbatch(spark, sf_dir, tmp_path):
+    """The search index wired to a real checkpointed readStream drain."""
+    from dbsync_spark.streaming.search_index import StreamingSearchIndex
+
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300)
+    src = str(tmp_path / "docs")
+    docs.repartition(3).write.parquet(src)
+
+    idx = StreamingSearchIndex(spark, str(tmp_path / "search"))
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(idx.foreach_batch_handler())
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    want = sorted(map(tuple, bm25_topk(docs, TERMS, k=10).collect()))
+    assert sorted(map(tuple, idx.bm25(TERMS, k=10).collect())) == want

@@ -40,6 +40,10 @@ QUERIES = [
     "q_semantic_dedup", "q_triangle_count", "q_knn_classify",
     "q_outlier_mad", "q_streaming_topk", "q_streaming_hll",
     "q_minhash_char",
+    # round-4 relevance-search wave: BM25 ranking, positional phrase
+    # intersection, DEFLATE quality scan, streaming bloom decontamination
+    "q_bm25_topk", "q_phrase_search", "q_compress_ratio",
+    "q_streaming_decontaminate",
 ]
 # the judge-flagged worst-alpha operators get the extra sf0.1 -> sf1
 # decade (plus the cheap sketch ops as controls)
