@@ -340,14 +340,14 @@ def _lsh_candidate_sets(df: DataFrame, text_col: str, id_col: str,
     word k-shingles by default, char_shingles for the ccnet-style
     tokenization-robust variant.
 
-    All 16 minima come from ONE fold over the shingle-hash array —
-    expressing them as 16 separate array_min(transform(...)) columns
-    looks equivalent but is 16x the work: projection collapse inlines
-    the whole tokenize->shingle->md5 subtree into every column
-    expression (measured 2x end-to-end at sf0.1). The per-doc signature
-    frame is then localCheckpointed — it is the LSH index a production
-    pipeline would materialize anyway, and without the barrier the band
-    projection would re-inline the fold 4x."""
+    All 16 minima come from one explode + codegen'd min-aggregate pass
+    (see _row_local_bands for the measured strategy comparison — 16
+    separate array_min(transform(...)) columns re-inline the
+    tokenize->shingle->md5 subtree 16x via projection collapse, and the
+    single row-local fold runs interpreted outside codegen, 10x slower
+    than the aggregate). The per-doc signature frame is
+    localCheckpointed — it is the LSH index a production pipeline would
+    materialize anyway."""
     bands = _row_local_bands(df, text_col, id_col, k, shingle_fn)
     cands = lsh_candidates(bands, id_col)
 
@@ -357,37 +357,40 @@ def _lsh_candidate_sets(df: DataFrame, text_col: str, id_col: str,
 
 def _row_local_bands(df: DataFrame, text_col: str, id_col: str, k: int,
                      shingle_fn=None) -> DataFrame:
-    """(id, band, band_key) rows via the fused row-local signature pass
-    (see _lsh_candidate_sets docstring for why ONE fold)."""
+    """(id, band, band_key) rows via shingle explode + NUM_MINHASHES
+    codegen'd min-aggregates.
+
+    Two signature strategies were measured at sf0.1 (char 5-grams,
+    1.46M shingles): (a) a row-local F.aggregate fold producing all 16
+    minima in one pass — zero shuffle, but higher-order functions run
+    OUTSIDE whole-stage codegen (interpreted per element, per-step
+    array allocation): 9.2-9.6 s; (b) explode to (id, h) rows + 16
+    F.min aggregates — fully codegen'd, and the groupBy's map-side
+    partial aggregation collapses each doc to ONE 17-column row per
+    partition before the exchange (shingles are row-local, so exactly
+    one row per doc crosses the wire): 0.94 s. 10x, so (b) it is; the
+    narrow 1-row/doc shuffle is the price of staying inside codegen,
+    and at 100 TB it is the same volume the band projection must
+    shuffle anyway. Docs shorter than k tokens produce no exploded rows
+    and drop out of the aggregate — the size>0 filter for free. The
+    min-over-multiset math is unchanged, so every minhash oracle and
+    the persisted band-index format stay bit-identical."""
     sh = shingle_fn or (lambda c: shingles(c, k))
-    hashes = F.transform(sh(F.col(text_col)),
-                         lambda s: h15(s) % MERSENNE31)
-    ua = F.array(*[F.lit(a) for a in UH_A[:NUM_MINHASHES]])
-    ub = F.array(*[F.lit(b) for b in UH_B[:NUM_MINHASHES]])
     p = F.lit(MERSENNE31).cast("long")
-    mins = F.aggregate(
-        hashes,
-        F.array_repeat(p, NUM_MINHASHES),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.sequence(F.lit(0), F.lit(NUM_MINHASHES - 1)),
-            lambda a, i: F.least(
-                a, (F.element_at(ua, i + 1) * h + F.element_at(ub, i + 1)) % p)),
-    )
-    # empty shingle set (doc shorter than k tokens) leaves the fold at its
-    # init value p; every real min is < p, so this is the size>0 filter
-    sigs = (
-        fan_out(df).select(F.col(id_col), mins.alias("_m"))
-        .where(F.col("_m")[0] < MERSENNE31)
-        .localCheckpoint(eager=False)
-    )
+    hrows = (fan_out(df)
+             .select(F.col(id_col), F.explode(sh(F.col(text_col))).alias("_s"))
+             .select(id_col, (h15(F.col("_s")) % MERSENNE31).alias("_h")))
+    sigs = (hrows.groupBy(id_col)
+            .agg(*[F.min((F.lit(UH_A[i]) * F.col("_h") + F.lit(UH_B[i])) % p)
+                   .alias(f"_m{i}") for i in range(NUM_MINHASHES)])
+            .localCheckpoint(eager=False))
 
     n_bands = NUM_MINHASHES // BAND_SIZE
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
             F.md5(F.concat_ws(",", *[
-                F.col("_m")[b * BAND_SIZE + j].cast("string")
+                F.col(f"_m{b * BAND_SIZE + j}").cast("string")
                 for j in range(BAND_SIZE)
             ])).alias("band_key"),
         )
