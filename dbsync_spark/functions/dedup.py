@@ -708,7 +708,11 @@ def _span_windows(df: DataFrame, text_col: str, id_col: str,
     wins = F.transform(
         F.sequence(F.lit(1), F.greatest(nwin, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, window_tokens)))
-    return (df.where(F.size(tokens(F.col(text_col))) >= window_tokens)
+    # fan_out: window production is CPU-bound (slice+concat+md5 per
+    # window) and small fixtures scan as 1 split — without it the whole
+    # index build serializes onto one core (measured 32x-parallel here)
+    return (fan_out(df.where(F.size(tokens(F.col(text_col)))
+                             >= window_tokens))
             .select(F.col(id_col),
                     F.posexplode(wins).alias("_p0", "_w"))
             .select(F.col(id_col),
