@@ -1684,3 +1684,174 @@ def q_ensemble_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "jaccard",
                     cos.alias("cosine_sim"),
                     (cos >= 0.9).alias("embed_agrees")))
+
+
+@_register(
+    "q_multimodal_resize",
+    """
+WITH img AS (
+  SELECT doc_id, doc_id % 3 AS m,
+         CAST(doc_id % 7 + 2 AS INT) AS w,
+         CAST((doc_id // 7) % 7 + 2 AS INT) AS h
+  FROM documents WHERE doc_id % 3 IN (0, 2)
+)
+SELECT doc_id,
+       CAST(5 AS INT) AS width, CAST(4 AS INT) AS height,
+       CAST(list_sum(flatten(list_transform(generate_series(0, 3), y ->
+         list_transform(generate_series(0, 4), x ->
+           (doc_id + 3*((x*w)//5) + 7*((y*h)//4)) % 256
+           + (5*doc_id + ((x*w)//5) + 2*((y*h)//4)) % 256
+           + (11*doc_id + 2*((x*w)//5) + ((y*h)//4)) % 256))))
+         AS BIGINT) AS px_sum
+FROM img
+""",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image thumbnailing chain, hash-exact: closed-form patterns ->
+    genuine BMP/PNG encode -> stdlib decode -> nearest-neighbor resample
+    to 5x4 (floor index map sx = x*w//5) -> BMP re-encode -> stdlib
+    RE-decode of the resized payload. The oracle computes the sampled
+    pattern sum directly, so a bug anywhere in the chain — resample
+    indexing, re-encode padding, BGR order — breaks the match
+    (functions/multimodal.py::resize_images)."""
+    import pandas as _pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                m = did % 3
+                if m not in (0, 2):
+                    continue
+                w, h = did % 7 + 2, (did // 7) % 7 + 2
+
+                def fn(x, y, did=did):
+                    return ((did + 3 * x + 7 * y) % 256,
+                            (5 * did + x + 2 * y) % 256,
+                            (11 * did + 2 * x + y) % 256)
+
+                enc = mm.encode_bmp if m == 0 else mm.encode_png
+                mtype = "image/bmp" if m == 0 else "image/png"
+                payload = enc(w, h, fn)
+                rows.append((did, payload, mtype, len(payload)))
+            yield _pd.DataFrame(rows, columns=[
+                "doc_id", "payload", "media_type", "n_bytes"])
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(gen, schema=mm.MEDIA_SCHEMA)
+    resized = mm.resize_images(media, 5, 4)
+    # round-trip proof: re-decode the re-encoded thumbnails and emit the
+    # decoder's own pixel sum, not the resampler's
+    redecoded = mm.decode_media(resized.select(
+        "doc_id", "payload", F.lit("image/bmp").alias("media_type"),
+        F.col("n_bytes")))
+    return redecoded.select("doc_id", "width", "height", "px_sum")
+
+
+@_register(
+    "q_multimodal_wav_features",
+    """
+WITH wav AS (
+  SELECT doc_id, CAST(doc_id % 50 + 10 AS BIGINT) AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+frames AS (
+  SELECT doc_id, n, unnest(generate_series(0, (n - 1) // 16)) AS frame_idx
+  FROM wav
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(least(16, n - frame_idx * 16) AS INT) AS n_in_frame,
+       CAST(list_sum(list_transform(
+         generate_series(frame_idx * 16, least(frame_idx * 16 + 15, n - 1)),
+         i -> abs((31*doc_id + 17*i) % 65536 - 32768))) AS BIGINT) AS abs_sum,
+       CAST(coalesce(list_sum(list_transform(
+         generate_series(frame_idx * 16 + 1, least(frame_idx * 16 + 15, n - 1)),
+         i -> CASE WHEN ((31*doc_id + 17*(i-1)) % 65536 - 32768)
+                        * ((31*doc_id + 17*i) % 65536 - 32768) < 0
+                   THEN 1 ELSE 0 END)), 0) AS INT) AS zero_crossings
+FROM frames
+""",
+)
+def q_multimodal_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio frame features: closed-form PCM16 signals encoded into
+    genuine RIFF/WAVE payloads, decoded by the stdlib chunk walker, then
+    per-16-sample-frame absolute-amplitude sum and zero-crossing count
+    (x[i-1]*x[i] < 0) — the energy/ZCR speech-gate features. All
+    integers; the oracle states the same frame arithmetic directly
+    (functions/multimodal.py::wav_frame_features)."""
+    import pandas as _pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 3 != 1:
+                    continue
+                n = did % 50 + 10
+                payload = mm.encode_wav(
+                    [((31 * did + 17 * i) % 65536) - 32768
+                     for i in range(n)], 8000 + did % 100)
+                rows.append((did, payload, "audio/wav", len(payload)))
+            yield _pd.DataFrame(rows, columns=[
+                "doc_id", "payload", "media_type", "n_bytes"])
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(gen, schema=mm.MEDIA_SCHEMA)
+    return mm.wav_frame_features(media, frame=16)
+
+
+@_register(
+    "q_multimodal_frames",
+    """
+WITH vid AS (
+  SELECT doc_id, CAST(doc_id % 5 + 1 AS INT) AS n_frames
+  FROM documents WHERE doc_id % 3 = 0
+),
+sampled AS (
+  SELECT doc_id, unnest(range(0, n_frames, 2)) AS f FROM vid
+)
+SELECT doc_id, CAST(f AS INT) AS frame_idx,
+       CAST(3 AS INT) AS width, CAST(2 AS INT) AS height,
+       CAST(list_sum(flatten(list_transform(generate_series(0, 1), y ->
+         list_transform(generate_series(0, 2), x ->
+           (doc_id + 13*f + 3*x + 7*y) % 256
+           + (5*doc_id + f + x + 2*y) % 256
+           + (11*doc_id + 2*f + 2*x + y) % 256))))
+         AS BIGINT) AS px_sum
+FROM sampled
+""",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling: per document a framepack container (magic +
+    length-prefixed genuine BMP frames — the documented no-ffmpeg video
+    stand-in) is assembled, then every 2nd frame is container-walked,
+    BMP-decoded, and reduced to integer pixel sums — the one-to-many
+    video decode shape with real byte parsing end-to-end
+    (functions/multimodal.py::sample_framepack)."""
+    import pandas as _pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 3 != 0:
+                    continue
+                frames = []
+                for f in range(did % 5 + 1):
+                    def fn(x, y, did=did, f=f):
+                        return ((did + 13 * f + 3 * x + 7 * y) % 256,
+                                (5 * did + f + x + 2 * y) % 256,
+                                (11 * did + 2 * f + 2 * x + y) % 256)
+
+                    frames.append(mm.encode_bmp(3, 2, fn))
+                payload = mm.encode_framepack(frames)
+                rows.append((did, payload, "video/framepack", len(payload)))
+            yield _pd.DataFrame(rows, columns=[
+                "doc_id", "payload", "media_type", "n_bytes"])
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(gen, schema=mm.MEDIA_SCHEMA)
+    return mm.sample_framepack(media, every_n=2)

@@ -222,3 +222,67 @@ def test_decode_media_unknown_type_raises(spark):
         [(1, b"\xff\xd8\xff", "image/jpeg", 3)], mm.MEDIA_SCHEMA)
     with pytest.raises(Exception, match="jpeg"):
         mm.decode_media(media).collect()
+
+
+def test_resize_pixels_known_case():
+    """2x2 -> 4x4 nearest neighbor: each source pixel becomes a 2x2
+    block (floor map x*2//4 = x//2)."""
+    px = [[(1, 1, 1), (2, 2, 2)], [(3, 3, 3), (4, 4, 4)]]
+    out = mm.resize_pixels(px, 2, 2, 4, 4)
+    assert out[0] == [(1, 1, 1)] * 2 + [(2, 2, 2)] * 2
+    assert out[3] == [(3, 3, 3)] * 2 + [(4, 4, 4)] * 2
+    # downscale keeps the floor-mapped representatives
+    down = mm.resize_pixels(px, 2, 2, 1, 1)
+    assert down == [[(1, 1, 1)]]
+
+
+def test_resize_images_roundtrip(spark):
+    media = spark.createDataFrame(
+        [(1, mm.encode_bmp(4, 4, _grad), "image/bmp", 0),
+         (2, mm.encode_png(4, 4, _grad), "image/png", 0)],
+        mm.MEDIA_SCHEMA)
+    got = {r["doc_id"]: r.asDict()
+           for r in mm.resize_images(media, 2, 2).collect()}
+    want = sum(sum(_grad(x * 4 // 2, y * 4 // 2)) for y in range(2)
+               for x in range(2))
+    for did in (1, 2):
+        assert got[did]["px_sum"] == want
+        w, h, px = mm.decode_bmp(bytes(got[did]["payload"]))
+        assert (w, h) == (2, 2)
+        assert sum(sum(p) for row in px for p in row) == want
+
+
+def test_framepack_roundtrip_and_sampling(spark):
+    frames = [mm.encode_bmp(3, 2, lambda x, y, f=f: (f, x, y))
+              for f in range(5)]
+    pack = mm.encode_framepack(frames)
+    assert mm.decode_framepack(pack) == frames
+    media = spark.createDataFrame(
+        [(7, pack, "video/framepack", len(pack))], mm.MEDIA_SCHEMA)
+    got = {r["frame_idx"]: r["px_sum"]
+           for r in mm.sample_framepack(media, every_n=2).collect()}
+    exp = {f: sum(f + x + y for y in range(2) for x in range(3))
+           for f in (0, 2, 4)}
+    assert got == exp
+
+
+def test_framepack_trailing_bytes_raise():
+    pack = mm.encode_framepack([b"ab"]) + b"x"
+    with pytest.raises(ValueError, match="trailing"):
+        mm.decode_framepack(pack)
+
+
+def test_wav_frame_features_hand_case(spark):
+    samples = [5, -3, 0, 7, -2, -2, 4, 1, -9]  # n=9, frame=4
+    media = spark.createDataFrame(
+        [(1, mm.encode_wav(samples, 8000), "audio/wav", 0)],
+        mm.MEDIA_SCHEMA)
+    got = {r["frame_idx"]: r.asDict()
+           for r in mm.wav_frame_features(media, frame=4).collect()}
+    # frame 0: [5,-3,0,7]  abs=15 zc: 5*-3<0, -3*0 not<0, 0*7 not<0 -> 1
+    # frame 1: [-2,-2,4,1] abs=9  zc: -2*-2 no, -2*4 yes, 4*1 no -> 1
+    # frame 2: [-9]        abs=9  zc: 0
+    assert got[0]["abs_sum"] == 15 and got[0]["zero_crossings"] == 1
+    assert got[1]["abs_sum"] == 9 and got[1]["zero_crossings"] == 1
+    assert got[2]["abs_sum"] == 9 and got[2]["zero_crossings"] == 0
+    assert got[2]["n_in_frame"] == 1
