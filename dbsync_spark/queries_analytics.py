@@ -2304,3 +2304,97 @@ def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = ev.groupBy("user_id").agg(F.count("*").alias("true_n"))
     est = idx.estimates(keys.select("user_id"))
     return keys.join(est, on="user_id").select("user_id", "est_n", "true_n")
+
+
+@_register(
+    "q_winsorize",
+    f"""
+WITH v AS (
+  SELECT event_id, event_type, {_CENTS.format(x="value")} AS v_cents
+  FROM events
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY v_cents, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+),
+q AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = (n + 19) // 20 THEN v_cents END) AS p5,
+         MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN v_cents END) AS p95
+  FROM ranked GROUP BY event_type
+)
+SELECT v.event_id, v.event_type, v.v_cents,
+       least(greatest(v.v_cents, q.p5), q.p95) AS v_winsorized
+FROM v JOIN q USING (event_type)
+""",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (clamp at exact rank-picked P5/P95 per event type) —
+    the robust feature-prep step before scale-sensitive models. The
+    percentiles are ELEMENTS of the data chosen by rank (ceil(n/20),
+    ceil(19n/20)), never interpolated floats, so everything stays in
+    BIGINT cents. Rank window, count window, and percentile aggregate
+    ride ONE event_type exchange; the per-type clamp frame joins back
+    broadcast. For ungrouped billion-row signals swap the rank window
+    for approx_percentile — this shape is for partitioned features."""
+    from pyspark.sql.window import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.select("event_id", "event_type",
+                  _cents(F.col("value")).alias("v_cents"))
+    wr = W.partitionBy("event_type").orderBy("v_cents", "event_id")
+    ranked = (v.withColumn("rn", F.row_number().over(wr))
+              .withColumn("n", F.count("*").over(
+                  W.partitionBy("event_type"))))
+    q = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.floor((F.col("n") + 19) / 20),
+                     F.col("v_cents"))).alias("p5"),
+        F.max(F.when(F.col("rn") == F.floor((19 * F.col("n") + 19) / 20),
+                     F.col("v_cents"))).alias("p95"))
+    return (v.join(F.broadcast(q.select("event_type", "p5", "p95")),
+                   on="event_type")
+            .select("event_id", "event_type", "v_cents",
+                    F.least(F.greatest(F.col("v_cents"), F.col("p5")),
+                            F.col("p95")).alias("v_winsorized")))
+
+
+@_register(
+    "q_minmax_scale",
+    f"""
+WITH v AS (
+  SELECT event_id, event_type, {_CENTS.format(x="value")} AS v_cents
+  FROM events
+),
+b AS (
+  SELECT event_type, min(v_cents) AS lo, max(v_cents) AS hi
+  FROM v GROUP BY event_type
+)
+SELECT v.event_id, v.event_type, v.v_cents,
+       CASE WHEN b.hi = b.lo THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(v.v_cents - b.lo AS DOUBLE) / (b.hi - b.lo)
+       END AS v_scaled
+FROM v JOIN b USING (event_type)
+""",
+)
+def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max feature scaling per event type: (x - min) / (max - min)
+    with exact integer bounds and ONE IEEE division per row (the only
+    float, bit-identical cross-engine; z-score needs a float mean/std
+    aggregate and can never hash-match — this is the exact-checkable
+    normalization). Bounds are a tiny broadcast aggregate; the scan
+    stays narrow."""
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.select("event_id", "event_type",
+                  _cents(F.col("value")).alias("v_cents"))
+    b = v.groupBy("event_type").agg(F.min("v_cents").alias("lo"),
+                                    F.max("v_cents").alias("hi"))
+    return (v.join(F.broadcast(b), on="event_type")
+            .select("event_id", "event_type", "v_cents",
+                    F.when(F.col("hi") == F.col("lo"),
+                           F.lit(0.0).cast("double"))
+                    .otherwise((F.col("v_cents") - F.col("lo"))
+                               .cast("double")
+                               / (F.col("hi") - F.col("lo")))
+                    .alias("v_scaled")))
