@@ -23,6 +23,7 @@ BNLJ_ALLOWED = {
     "q_mixture_weights",   # 1-row scale-factor broadcast
     "q_tfidf_topk",        # 1-row corpus-size (N) broadcast
     "q_bm25_topk",         # 1-row corpus stats (N, sum dl) broadcast
+    "q_streaming_bm25",    # same scoring core over the persisted index
     "q_bigram_pmi",        # 1-row (n_bigrams, n_tokens) totals broadcast
     "q_gap_fill",          # broadcast hour-spine x distinct-series cross
     "q_ngram_jaccard",     # broadcast query-doc shingle set
