@@ -927,3 +927,51 @@ scored AS (
 SELECT vec_id, bucket, rep_id, cosine_to_rep,
        (vec_id = rep_id OR cosine_to_rep < {threshold}) AS keep
 FROM scored"""
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  bits: int = 32, banks: int = 4) -> DataFrame:
+    """SimHash near-dup PAIRS by hamming distance — the Charikar
+    fingerprint + Manku et al. (WWW'07, public) pigeonhole search:
+    split the `bits`-bit fingerprint into `banks` disjoint banks; any
+    pair within hamming <= banks-1 must agree EXACTLY on at least one
+    bank (pigeonhole), so candidates come from `banks` narrow equi-joins
+    on (bank, bank_value) and the exact popcount verify
+    (bit_count(a XOR b) <= max_hamming) runs on candidates only — never
+    an all-pairs scan. Candidate recall is provably 1.0 for
+    max_hamming <= banks - 1.
+
+    Scale shape: bank rows are row-local projections of the signature
+    frame (one localCheckpoint — it is the fingerprint index a pipeline
+    would persist); each equi-join shuffles 1 row/doc/bank keyed by a
+    bank value. At fixture scale 32-bit/4x8-bit banks suffice; at
+    production corpus sizes use bits=64-ish with 16-bit banks (65k
+    buckets/bank) plus an LSH_MAX_BUCKET-style cap for degenerate
+    fingerprints (all-zero votes from empty docs), exactly as
+    lsh_candidates does."""
+    fp = simhash(df, text_col, id_col, bits).localCheckpoint(eager=False)
+    bank_bits = bits // banks
+    mask = (1 << bank_bits) - 1
+    bank_rows = fp.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("bank"),
+                F.shiftright("simhash", b * bank_bits)
+                .bitwiseAND(F.lit(mask)).alias("bval"))
+            for b in range(banks)])).alias("bk"),
+    ).select(id_col, "simhash", "bk.bank", "bk.bval")
+    left = bank_rows.select(F.col(id_col).alias("doc_a"),
+                            F.col("simhash").alias("sig_a"),
+                            "bank", "bval")
+    right = bank_rows.select(F.col(id_col).alias("doc_b"),
+                             F.col("simhash").alias("sig_b"),
+                             "bank", "bval")
+    cands = (left.join(right, on=["bank", "bval"])
+             .where(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b", "sig_a", "sig_b")
+             .distinct())
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+    return (cands.select("doc_a", "doc_b", ham.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))

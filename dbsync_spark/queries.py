@@ -692,6 +692,39 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(read_table(spark, sf_dir, "documents"))
 
 
+def _simhash_pairs_oracle(bits: int = 32, banks: int = 4,
+                          max_hamming: int = 3) -> str:
+    bank_bits = bits // banks
+    mask = (1 << bank_bits) - 1
+    return f"""
+WITH sigs AS ({_simhash_oracle(bits)}),
+bankrows AS (
+  SELECT doc_id, simhash, b AS bank,
+         (simhash >> (b * {bank_bits})) & {mask} AS bval
+  FROM sigs, (SELECT unnest(generate_series(0, {banks - 1})) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bankrows a JOIN bankrows b
+    ON a.bank = b.bank AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""
+
+
+@_register("q_simhash_pairs", _simhash_pairs_oracle())
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within hamming distance 3 — the Manku et
+    al. pigeonhole search: 4 disjoint 8-bit banks generate candidates
+    (a hamming<=3 pair MUST agree exactly on >= 1 bank), exact popcount
+    verifies candidates only. Never an all-pairs scan; the oracle
+    mirrors the banding so the hash-match also proves the pigeonhole
+    candidate set (functions/dedup.py::simhash_pairs)."""
+    return dd.simhash_pairs(read_table(spark, sf_dir, "documents"))
+
+
 _COSINE_ORACLE = """
 WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),

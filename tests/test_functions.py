@@ -908,3 +908,26 @@ def test_knn_classify_planted_clusters(spark):
     assert out[0]["pred_label"] == 0 and out[0]["correct"]
     assert out[10]["pred_label"] == 1 and out[10]["correct"]
     assert out[0]["n_votes"] == 5 and out[10]["n_votes"] == 5
+
+
+def test_simhash_pairs_equal_bruteforce(spark):
+    """Pigeonhole banding must return EXACTLY the hamming<=3 pairs — the
+    candidate set provably contains every such pair, and the popcount
+    verify removes the rest. Checked against a driver-side brute force
+    over all fingerprints."""
+    from dbsync_spark.functions.dedup import simhash_pairs
+
+    base = ("spark table merge join filter scan window batch stream hash "
+            "sort group row column value data query order part line key")
+    rows = [(i, base + f" extra{i % 4}") for i in range(20)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(df).collect()}
+    want = sorted(
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a in sigs for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3)
+    got = sorted(map(tuple, simhash_pairs(df).collect()))
+    assert got == want
+    assert want, "fixture must contain hamming<=3 pairs"
