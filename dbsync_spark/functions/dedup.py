@@ -267,7 +267,8 @@ def minhash_incremental_pairs(df: DataFrame, new_ids: DataFrame,
     new_bands = bands.join(F.broadcast(new_ids.select(id_col)), on=id_col,
                            how="semi")
     cands = probe_candidates(new_bands, bands, id_col)
-    sets = _candidate_shingle_sets(df, cands, text_col, id_col, k, shingle_fn)
+    sets = _candidate_shingle_sets(df, cands, text_col, id_col, k,
+                                   shingle_fn, hashed=True)
     return _verify_candidates(cands, sets, id_col, threshold)
 
 
@@ -305,29 +306,51 @@ def probe_candidates(probe_bands: DataFrame, index_bands: DataFrame,
 
 def _candidate_shingle_sets(df: DataFrame, cands: DataFrame, text_col: str,
                             id_col: str, k: int,
-                            shingle_fn=None) -> DataFrame:
+                            shingle_fn=None, hashed: bool = False
+                            ) -> DataFrame:
     """Distinct shingle-set arrays for exactly the candidate ids (broadcast
-    semi-join keeps the rebuild proportional to the candidate set)."""
+    semi-join keeps the rebuild proportional to the candidate set).
+
+    hashed=True builds sets of (h15(shingle) % MERSENNE31) longs instead
+    of shingle strings — the minhash verify path uses this: intersecting
+    long arrays is several times cheaper than string arrays and the
+    pair-join payload shrinks ~4x. The DuckDB oracles mirror the hash
+    (collisions — ~|set|^2/2^31 per doc — affect both engines
+    identically, the same contract as every h15-narrowed shuffle).
+    Containment keeps string sets (its oracle states string semantics)."""
     cand_ids = (cands.select(F.col("doc_a").alias(id_col))
                 .unionByName(cands.select(F.col("doc_b").alias(id_col)))
                 .distinct())
     sh = shingle_fn or (lambda c: shingles(c, k))
+    col = sh(F.col(text_col))
+    if hashed:
+        col = F.transform(col, lambda s: h15(s) % MERSENNE31)
     return (
         fan_out(df).join(F.broadcast(cand_ids), on=id_col, how="semi")
-        .select(F.col(id_col),
-                F.array_distinct(sh(F.col(text_col))).alias("_sh"))
+        .select(F.col(id_col), F.array_distinct(col).alias("_sh"))
     )
+
+
+_PAIR_BROADCAST_MAX = 1_000_000
 
 
 def _pair_sets(cands: DataFrame, sets: DataFrame, id_col: str) -> DataFrame:
     """(doc_a, doc_b, _sa, _sb) — each candidate pair with both shingle-set
-    arrays attached. The candidate pairs are broadcast: LSH/rare-shingle
-    blocking keeps them tiny relative to the corpus, and a sort-merge join
-    here would shuffle every document's shingle-set array (the widest
-    column in the pipeline)."""
+    arrays attached. The candidate frame is materialized once
+    (localCheckpoint — it feeds both joins anyway) and broadcast ONLY
+    when its measured row count is small: LSH blocking usually keeps it
+    tiny, and broadcasting then saves shuffling every document's
+    shingle-set array (the widest column in the pipeline) twice. But on
+    dup-dense corpora candidates reach millions of rows — there a forced
+    broadcast hands every task a multi-hundred-MB hash table, measured
+    strictly worse (sf1 char-gram fixture: 6.0M pairs) than letting the
+    sort-merge join shuffle the narrow hashed set arrays."""
+    cands = cands.localCheckpoint(eager=True)
+    if cands.count() <= _PAIR_BROADCAST_MAX:
+        cands = F.broadcast(cands)
     sets_a = sets.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa"))
     sets_b = sets.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sb"))
-    return F.broadcast(cands).join(sets_a, on="doc_a").join(sets_b, on="doc_b")
+    return cands.join(sets_a, on="doc_a").join(sets_b, on="doc_b")
 
 
 def _lsh_candidate_sets(df: DataFrame, text_col: str, id_col: str,
@@ -352,7 +375,7 @@ def _lsh_candidate_sets(df: DataFrame, text_col: str, id_col: str,
     cands = lsh_candidates(bands, id_col)
 
     return cands, _candidate_shingle_sets(df, cands, text_col, id_col, k,
-                                          shingle_fn)
+                                          shingle_fn, hashed=True)
 
 
 def _row_local_bands(df: DataFrame, text_col: str, id_col: str, k: int,

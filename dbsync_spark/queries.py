@@ -464,7 +464,7 @@ def _minhash_oracle(sh_cte: str = _WORD_SH_CTE,
 WITH {corpus_cte},
 {sh_cte},
 shh AS (
-  SELECT doc_id, shingle,
+  SELECT DISTINCT doc_id,
          ({_H15.format(s='shingle')}) % {dd.MERSENNE31} AS _h
   FROM sh
 ),
@@ -488,12 +488,12 @@ cand AS (
   JOIN bands_ok b ON a.band = b.band AND a.band_key = b.band_key
   WHERE a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS n_inter
   FROM cand c
-  JOIN sh sa ON sa.doc_id = c.doc_a
-  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  JOIN shh sa ON sa.doc_id = c.doc_a
+  JOIN shh sb ON sb.doc_id = c.doc_b AND sb._h = sa._h
   GROUP BY c.doc_a, c.doc_b
 ),
 scored AS (
@@ -712,6 +712,28 @@ cand AS (
 SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 """
+
+
+@_register("q_streaming_simhash", _simhash_pairs_oracle())
+def q_streaming_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash near-dup SERVICE (streaming/simhash_index.py) fed the
+    corpus in three micro-batches: each batch fingerprints its docs,
+    probes the persisted bank index, and emits exactly the pairs
+    touching new docs — a pair surfaces once, when its later member
+    arrives. The union over batches equals (and hash-matches the oracle
+    of) the one-pass batch q_simhash_pairs; verify needs no document
+    text, just a popcount over the two stored fingerprints."""
+    import tempfile
+
+    from dbsync_spark.streaming.simhash_index import StreamingSimhashIndex
+
+    docs = read_table(spark, sf_dir, "documents")
+    idx = StreamingSimhashIndex(
+        spark, tempfile.mkdtemp(prefix="dbsync_simhash_q_"))
+    for epoch in range(3):
+        idx.process_batch(docs.where(F.col("doc_id") % 3 == epoch),
+                          epoch_id=epoch)
+    return idx.pairs()
 
 
 @_register("q_simhash_pairs", _simhash_pairs_oracle())

@@ -102,7 +102,8 @@ class StreamingDedupIndex:
         cands = probe_candidates(new_bands, index, "doc_id")
         all_docs = self._read("docs", _DOCS_SCHEMA)
         sets = _candidate_shingle_sets(all_docs, cands, "text", "doc_id",
-                                       self.k, self.shingle_fn)
+                                       self.k, self.shingle_fn,
+                                       hashed=True)
         pairs = _verify_candidates(cands, sets, "doc_id", self.threshold)
         pairs.write.mode("overwrite").parquet(
             f"{self.root}/pairs/epoch={epoch_id}")

@@ -1,0 +1,151 @@
+"""Streaming SimHash near-dup service: a persisted fingerprint/bank
+index probed per micro-batch.
+
+The batch operator (functions/dedup.py::simhash_pairs) runs the Manku
+pigeonhole search in one pass; this module maintains it as a SERVICE:
+documents arrive in micro-batches, each batch fingerprints its docs,
+probes the accumulated bank index for hamming<=max_hamming partners,
+emits exactly the pairs touching the new docs, and appends its own bank
+rows. Over any batching of disjoint doc ids, the union of emitted pairs
+equals the batch operator's full-corpus pair set — each pair surfaces
+exactly once, when its later-arriving member shows up (new-vs-all join;
+new-vs-new pairs keep the doc_a < doc_b orientation inside the epoch).
+
+Unlike the MinHash service this one needs NO document text at verify
+time: the exact check is a popcount over the two stored fingerprints,
+so the whole state is the (doc_id, simhash, bank, bval) index — tiny
+and bucketable by (bank, bval) at scale.
+
+Storage layout (append-only, epoch-scoped for replay idempotence):
+- <root>/banks/epoch=N : (doc_id, simhash, bank, bval) for epoch-N docs
+- <root>/pairs/epoch=N : (doc_a, doc_b, hamming) emitted by epoch N
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+from dbsync_spark.functions.dedup import simhash
+from dbsync_spark.streaming.state import next_epoch
+
+_BANKS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("simhash", LongType()),
+    StructField("bank", IntegerType()),
+    StructField("bval", LongType()),
+])
+_PAIRS_SCHEMA = StructType([
+    StructField("doc_a", LongType()),
+    StructField("doc_b", LongType()),
+    StructField("hamming", IntegerType()),
+])
+
+
+class StreamingSimhashIndex:
+    """Incremental SimHash pair maintenance over parquet state dirs.
+    Call `process_batch` per micro-batch of (doc_id, text) documents
+    (directly or via `foreach_batch_handler()`). Batch doc_ids must be
+    globally unique (the CDC id contract)."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 max_hamming: int = 3, bits: int = 32, banks: int = 4,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.max_hamming = max_hamming
+        self.bits = bits
+        self.banks = banks
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def _epochs(self, sub: str) -> list[int]:
+        import os
+        import re
+
+        try:
+            entries = os.listdir(f"{self.root}/{sub}")
+        except FileNotFoundError:
+            return []
+        return sorted(int(m.group(1)) for e in entries
+                      if (m := re.fullmatch(r"epoch=(\d+)", e)))
+
+    def _read(self, sub: str, schema: StructType,
+              epochs: list[int]) -> DataFrame:
+        if not epochs:
+            return self.spark.createDataFrame([], schema)
+        paths = [f"{self.root}/{sub}/epoch={e}" for e in epochs]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def _bank_rows(self, docs: DataFrame) -> DataFrame:
+        fp = simhash(docs, self.text_col, self.id_col, self.bits)
+        bank_bits = self.bits // self.banks
+        mask = (1 << bank_bits) - 1
+        return fp.select(
+            F.col(self.id_col).alias("doc_id").cast("long"),
+            F.col("simhash").cast("long"),
+            F.explode(F.array(*[
+                F.struct(
+                    F.lit(b).cast("int").alias("bank"),
+                    F.shiftright("simhash", b * bank_bits)
+                    .bitwiseAND(F.lit(mask)).cast("long").alias("bval"))
+                for b in range(self.banks)])).alias("bk"),
+        ).select("doc_id", "simhash", "bk.bank", "bk.bval")
+
+    def process_batch(self, new_docs: DataFrame,
+                      epoch_id: int | None = None) -> DataFrame:
+        """Fingerprint a batch, probe the accumulated index, persist the
+        batch's bank rows and exactly-the-new pairs; returns the new
+        pairs. Epoch-scoped overwrite — a replayed epoch rewrites its
+        own files with identical content."""
+        if epoch_id is None:
+            epoch_id = next_epoch(self.root, "banks")
+        before = [e for e in self._epochs("banks") if e < epoch_id]
+
+        new_rows = self._bank_rows(new_docs)
+        new_rows.write.mode("overwrite").parquet(
+            f"{self.root}/banks/epoch={epoch_id}")
+        new_rows = self.spark.read.schema(_BANKS_SCHEMA).parquet(
+            f"{self.root}/banks/epoch={epoch_id}")
+        all_rows = (self._read("banks", _BANKS_SCHEMA, before)
+                    .unionByName(new_rows))
+
+        probe = new_rows.select(F.col("doc_id").alias("doc_n"),
+                                F.col("simhash").alias("sig_n"),
+                                "bank", "bval")
+        base = all_rows.select(F.col("doc_id").alias("doc_o"),
+                               F.col("simhash").alias("sig_o"),
+                               "bank", "bval")
+        cands = (probe.join(base, on=["bank", "bval"])
+                 .where(F.col("doc_n") != F.col("doc_o"))
+                 .select(
+                     F.least("doc_n", "doc_o").alias("doc_a"),
+                     F.greatest("doc_n", "doc_o").alias("doc_b"),
+                     F.when(F.col("doc_n") < F.col("doc_o"),
+                            F.col("sig_n")).otherwise(F.col("sig_o"))
+                     .alias("sig_a"),
+                     F.when(F.col("doc_n") < F.col("doc_o"),
+                            F.col("sig_o")).otherwise(F.col("sig_n"))
+                     .alias("sig_b"))
+                 .distinct())
+        ham = F.bit_count(
+            F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int")
+        pairs = (cands.select("doc_a", "doc_b", ham.alias("hamming"))
+                 .where(F.col("hamming") <= self.max_hamming))
+        pairs.write.mode("overwrite").parquet(
+            f"{self.root}/pairs/epoch={epoch_id}")
+        return self.spark.read.schema(_PAIRS_SCHEMA).parquet(
+            f"{self.root}/pairs/epoch={epoch_id}")
+
+    def foreach_batch_handler(self):
+        def handle(batch_df: DataFrame, epoch_id: int) -> None:
+            self.process_batch(batch_df, epoch_id)
+
+        return handle
+
+    def pairs(self) -> DataFrame:
+        """Distinct accumulated pairs (a pair is emitted by exactly one
+        epoch under disjoint batches; distinct also absorbs replays)."""
+        return self._read("pairs", _PAIRS_SCHEMA,
+                          self._epochs("pairs")).distinct()

@@ -931,3 +931,25 @@ def test_simhash_pairs_equal_bruteforce(spark):
     got = sorted(map(tuple, simhash_pairs(df).collect()))
     assert got == want
     assert want, "fixture must contain hamming<=3 pairs"
+
+
+def test_streaming_simhash_equals_batch(spark, tmp_path):
+    """The streaming SimHash service over disjoint batches accumulates
+    exactly the batch operator's pair set, replay included."""
+    from dbsync_spark.functions.dedup import simhash_pairs
+    from dbsync_spark.streaming.simhash_index import StreamingSimhashIndex
+
+    base = ("spark table merge join filter scan window batch stream hash "
+            "sort group row column value data query order part line key")
+    rows = [(i, base + f" extra{i % 4}") for i in range(20)]
+    rows += [(100, "alpha beta gamma delta epsilon zeta eta theta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    want = sorted(map(tuple, simhash_pairs(df).collect()))
+
+    idx = StreamingSimhashIndex(spark, str(tmp_path / "sh"))
+    for e in range(3):
+        idx.process_batch(df.where(F.col("doc_id") % 3 == e), epoch_id=e)
+    assert sorted(map(tuple, idx.pairs().collect())) == want
+
+    idx.process_batch(df.where(F.col("doc_id") % 3 == 1), epoch_id=1)
+    assert sorted(map(tuple, idx.pairs().collect())) == want

@@ -64,9 +64,9 @@ def main() -> int:
     out: dict[str, dict] = {}
     for name in QUERIES:
         fn = Q.QUERIES[name]
-        times = []
+        times, rows = [], []
         for sf in SFS:
-            fn(spark, sf).count()  # warm (file listing, code paths)
+            rows.append(fn(spark, sf).count())  # warm (listing, code paths)
             t0 = time.monotonic()
             fn(spark, sf).count()
             times.append(round(time.monotonic() - t0, 3))
@@ -74,11 +74,16 @@ def main() -> int:
         alpha = (math.log(max(times[2], 1e-3) / max(times[1], 1e-3))
                  / math.log(10))
         out[name] = {"sf0.001_s": times[0], "sf0.01_s": times[1],
-                     "sf0.1_s": times[2], "alpha_01_to_1": round(alpha, 3)}
+                     "sf0.1_s": times[2], "alpha_01_to_1": round(alpha, 3),
+                     # output rows per SF: distinguishes input growth
+                     # from WORKLOAD growth (a 10x fixture can hold a
+                     # much denser problem instance — see NOTES on
+                     # q_minhash_char's char-gram density at sf1)
+                     "rows": rows}
         line = (f"{name:24s} {times[0]:7.3f} {times[1]:7.3f} "
                 f"{times[2]:7.3f} alpha={alpha:+.3f}")
         if have_sf1 and name in SF1_QUERIES:
-            fn(spark, SF1).count()
+            n1 = fn(spark, SF1).count()
             t0 = time.monotonic()
             fn(spark, SF1).count()
             t1 = round(time.monotonic() - t0, 3)
@@ -86,6 +91,7 @@ def main() -> int:
                   / math.log(10))
             out[name]["sf1_s"] = t1
             out[name]["alpha_1_to_10"] = round(a1, 3)
+            out[name]["rows"].append(n1)
             line += f"  sf1={t1:7.3f} alpha1={a1:+.3f}"
         print(line, flush=True)
     payload = {"sfs": SFS + ([SF1] if have_sf1 else []), "queries": out}

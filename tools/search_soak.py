@@ -1,0 +1,70 @@
+"""Per-batch cost probe for the round-4 streaming services: feed the
+corpus (or its eval split) in K equal batches and time each
+process_batch plus a query after every batch.
+
+Graded growth shapes:
+- StreamingSearchIndex: appends are pure per-batch work (postings and
+  doc stats never read prior state), so per-batch time must stay FLAT
+  as the index grows K-fold; bm25 query time grows only with the
+  queried terms' posting volume.
+- StreamingBloomIndex: each batch anti-joins the accumulated hash set
+  (a scan that grows) but the bitmap OR and the delta write are
+  per-batch sized; flag() cost is dominated by the train corpus, not
+  the index.
+
+Usage: python tools/search_soak.py [K] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from dbsync_spark.session import get_spark
+    from dbsync_spark.sources.tables import read_table
+    from dbsync_spark.streaming.bloom_index import StreamingBloomIndex
+    from dbsync_spark.streaming.search_index import StreamingSearchIndex
+
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    spark = get_spark("search-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = read_table(spark, sf_dir, "documents")
+    docs.count()  # warm
+
+    print(f"== StreamingSearchIndex: {k} batches of the corpus ==")
+    sidx = StreamingSearchIndex(spark, tempfile.mkdtemp(prefix="soak_s_"))
+    for e in range(k):
+        batch = docs.where(F.col("doc_id") % k == e)
+        t0 = time.time()
+        sidx.process_batch(batch, epoch_id=e)
+        t1 = time.time()
+        n = sidx.bm25(["spark", "merge", "window"], k=10).count()
+        t2 = time.time()
+        print(f"epoch {e}: index {t1 - t0:.2f}s  bm25 {t2 - t1:.2f}s "
+              f"(topk rows {n})")
+
+    print(f"== StreamingBloomIndex: {k} batches of the eval split ==")
+    test = docs.where(F.col("source") == "src19")
+    train = docs.where(F.col("source") != "src19")
+    bidx = StreamingBloomIndex(spark, tempfile.mkdtemp(prefix="soak_b_"))
+    for e in range(k):
+        batch = test.where(F.col("doc_id") % k == e)
+        t0 = time.time()
+        bidx.process_batch(batch, epoch_id=e)
+        print(f"epoch {e}: index {time.time() - t0:.2f}s")
+    t0 = time.time()
+    n = bidx.flag(train).count()
+    print(f"flag(train): {time.time() - t0:.2f}s ({n} clean docs)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
