@@ -294,6 +294,10 @@ def main() -> None:
            lambda: QUERIES["q_phrase_search"](spark, SF_DIR).count())
     timed2("compress_ratio",
            lambda: QUERIES["q_compress_ratio"](spark, SF_DIR).count())
+    timed2("simhash_pairs",
+           lambda: QUERIES["q_simhash_pairs"](spark, SF_DIR).count())
+    timed2("winsorize",
+           lambda: QUERIES["q_winsorize"](spark, SF_DIR).count())
 
     # -- streaming micro-batch latency (BASELINE.md: <= 5 s / 10k-row batch) --
     from dbsync_spark.changelog import ORDERS_PAYLOAD_SCHEMA, build_log_orders

@@ -714,5 +714,7 @@ def compression_signals(df: DataFrame, text_col: str = "text",
         score, schema=f"{id_col} long, orig_bytes long, deflate_bytes long")
     return out.select(
         id_col, "orig_bytes", "deflate_bytes",
-        (F.col("deflate_bytes").cast("double") / F.col("orig_bytes"))
-        .alias("compress_ratio"))
+        # NULL for empty docs (ANSI mode raises on x/0)
+        F.when(F.col("orig_bytes") > 0,
+               F.col("deflate_bytes").cast("double")
+               / F.col("orig_bytes")).alias("compress_ratio"))

@@ -265,3 +265,68 @@ def test_knn_classify_single_neighbor(spark):
     assert len(out) == 1
     r = out[0]
     assert r.pred_label == 6 and r.n_votes == 1 and not r.correct
+
+
+def test_search_ops_on_degenerate_docs(spark):
+    """BM25 / phrase / posting / compression over empty text, one-token
+    docs, and docs without any query term."""
+    from dbsync_spark.functions.text import (bm25_topk, compression_signals,
+                                             phrase_occurrences_rowlocal,
+                                             phrase_search)
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "spark"), (3, "nothing matches here"),
+         (4, "spark merge spark")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["score_micro"]
+           for r in bm25_topk(docs, ["spark", "merge"], k=10).collect()}
+    assert set(got) == {2, 4} and got[4] > got[2]
+
+    assert phrase_search(docs, ["spark", "merge"]).collect()[0]["doc_id"] == 4
+    assert phrase_occurrences_rowlocal(docs, ["no", "match"]).count() == 0
+    assert phrase_search(docs, ["no", "match"]).count() == 0
+
+    comp = {r["doc_id"]: r["orig_bytes"]
+            for r in compression_signals(docs).collect()}
+    assert comp[1] == 0  # empty doc still emits a row (0 orig bytes)
+
+
+def test_simhash_pairs_no_pairs_and_single_doc(spark):
+    from dbsync_spark.functions.dedup import simhash_pairs
+
+    one = spark.createDataFrame([(1, "only doc here")],
+                                "doc_id long, text string")
+    assert simhash_pairs(one).count() == 0
+    far = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string")
+    got = simhash_pairs(far, max_hamming=0).collect()
+    assert all(r["hamming"] == 0 for r in got)
+
+
+def test_bloom_index_empty_eval_set(spark, tmp_path):
+    """Flagging against an index that has seen no test docs keeps every
+    train doc (nothing can be contaminated)."""
+    from dbsync_spark.streaming.bloom_index import StreamingBloomIndex
+
+    idx = StreamingBloomIndex(spark, str(tmp_path / "b"), k=3)
+    train = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i j")], "doc_id long, text string")
+    empty = train.where(F.lit(False))
+    idx.process_batch(empty, epoch_id=0)
+    got = sorted(r["doc_id"] for r in idx.flag(train).collect())
+    assert got == [1, 2]
+
+
+def test_search_index_empty_batch_and_missing_terms(spark, tmp_path):
+    from dbsync_spark.streaming.search_index import StreamingSearchIndex
+
+    idx = StreamingSearchIndex(spark, str(tmp_path / "s"))
+    docs = spark.createDataFrame(
+        [(1, "spark merge window")], "doc_id long, text string")
+    idx.process_batch(docs.where(F.lit(False)), epoch_id=0)
+    assert idx.bm25(["spark"], k=5).count() == 0
+    idx.process_batch(docs, epoch_id=1)
+    assert idx.bm25(["absent_term"], k=5).count() == 0
+    assert idx.bm25(["spark"], k=5).count() == 1
