@@ -23,6 +23,13 @@ Storage layout:
 - <root>/bitmap/epoch=N : (bm binary) 1 row — cumulative Bloom bitmap
   after epoch N (latest wins; epoch N reads only state < N)
 
+No per-document removal: the state is deliberately doc-AGNOSTIC (a
+hash set + a bitmap — shared shingles have no owner), so forgetting an
+eval document means rebuilding from the surviving eval docs; the
+doc-attributed indexes (search_index.ForgettingSearchIndex,
+dedup_index.ForgettingDedupIndex) are the ones that support tombstone
+forgetting.
+
 Scale: per batch, shingling is row-local and the anti-join touches only
 the batch's hashes; the bitmap is a fixed m/8 bytes (128 KB at the
 default 2^20 bits) no matter how many eval sets accumulate. Scoring a

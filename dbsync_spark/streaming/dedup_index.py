@@ -129,3 +129,52 @@ class StreamingDedupIndex:
                               StructField("doc_b", LongType()),
                               StructField("jaccard", DoubleType()),
                           ]))
+
+
+_FORGETS_SCHEMA = StructType([StructField("doc_id", LongType())])
+
+
+class ForgettingDedupIndex(StreamingDedupIndex):
+    """StreamingDedupIndex with document removal (right-to-be-forgotten):
+    `forget` writes a tombstone epoch; band/doc reads anti-join the
+    tombstones (future probes can no longer match a forgotten doc) and
+    `all_pairs` drops pairs touching forgotten ids — so the queryable
+    state equals an index that never saw those documents. The forgotten
+    doc's TEXT stops being reachable immediately through every accessor;
+    physically rewriting the parquet epochs minus tombstones is a
+    compaction maintenance op, not a correctness requirement (run it for
+    storage-level erasure obligations).
+
+    Storage addition:
+    - <root>/forgets/epoch=N : (doc_id) tombstones
+    """
+
+    def _forgotten(self) -> DataFrame:
+        return read_state(self.spark, f"{self.root}/forgets",
+                          read_schema=_FORGETS_SCHEMA,
+                          empty_schema=_FORGETS_SCHEMA)
+
+    def forget(self, doc_ids: DataFrame, epoch_id: int | None = None
+               ) -> None:
+        """Tombstone a frame of (doc_id) rows. Epoch-scoped overwrite —
+        replaying a forget rewrites identical tombstones."""
+        if epoch_id is None:
+            epoch_id = next_epoch(self.root, "forgets")
+        (doc_ids.select(F.col("doc_id").cast("long")).distinct().coalesce(1)
+         .write.mode("overwrite").parquet(
+             f"{self.root}/forgets/epoch={epoch_id}"))
+
+    def _read(self, sub: str, schema: StructType) -> DataFrame:
+        df = super()._read(sub, schema)
+        if sub in ("bands", "docs"):
+            return df.join(self._forgotten(), on="doc_id", how="anti")
+        return df
+
+    def all_pairs(self) -> DataFrame:
+        gone = self._forgotten()
+        return (super().all_pairs()
+                .join(gone.select(F.col("doc_id").alias("doc_a")),
+                      on="doc_a", how="anti")
+                .join(gone.select(F.col("doc_id").alias("doc_b")),
+                      on="doc_b", how="anti")
+                .select("doc_a", "doc_b", "jaccard"))

@@ -133,3 +133,46 @@ class StreamingSearchIndex:
 
         return phrase_search(None, phrase, id_col=self.id_col,
                              index=self.postings(list(set(phrase))))
+
+
+# Right-to-be-forgotten support: tombstone epochs applied at read time.
+_FORGETS_SCHEMA = StructType([StructField("doc_id", LongType())])
+
+
+class ForgettingSearchIndex(StreamingSearchIndex):
+    """StreamingSearchIndex with document removal (the right-to-be-
+    forgotten pass every training-data store eventually needs): `forget`
+    writes a tombstone epoch and every read anti-joins the accumulated
+    tombstones, so post-forget queries equal an index rebuilt without
+    those documents — EXACTLY, because postings/doc stats are per-doc
+    facts and tf/df/dl/N/S recompute from the surviving union. Periodic
+    compaction (rewriting posting epochs minus tombstones) is a
+    maintenance op, not a correctness requirement.
+
+    Storage addition:
+    - <root>/forgets/epoch=N : (doc_id) tombstones
+    """
+
+    def _forgotten(self) -> DataFrame:
+        eps = self._epochs("forgets")
+        if not eps:
+            return self.spark.createDataFrame([], _FORGETS_SCHEMA)
+        paths = [f"{self.root}/forgets/epoch={e}" for e in eps]
+        return self.spark.read.schema(_FORGETS_SCHEMA).parquet(*paths)
+
+    def forget(self, doc_ids: DataFrame, epoch_id: int | None = None
+               ) -> None:
+        """Tombstone a frame of (doc_id) rows. Epoch-scoped overwrite —
+        replaying a forget rewrites identical tombstones."""
+        if epoch_id is None:
+            epoch_id = next_epoch(self.root, "forgets")
+        (doc_ids.select(F.col(self.id_col).cast("long").alias("doc_id"))
+         .distinct().coalesce(1)
+         .write.mode("overwrite").parquet(
+             f"{self.root}/forgets/epoch={epoch_id}"))
+
+    def _read(self, sub: str, schema: StructType) -> DataFrame:
+        df = super()._read(sub, schema)
+        if sub in ("postings", "docstats"):
+            return df.join(self._forgotten(), on="doc_id", how="anti")
+        return df

@@ -1,0 +1,82 @@
+"""Right-to-be-forgotten on the streaming indexes: post-forget state
+must equal an index that never saw the forgotten documents."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbsync_spark.sources.tables import read_table
+from dbsync_spark.streaming.dedup_index import ForgettingDedupIndex
+from dbsync_spark.streaming.search_index import ForgettingSearchIndex
+
+TERMS = ["spark", "merge", "window"]
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_search_index_forget_equals_rebuild(spark, sf_dir, tmp_path):
+    docs = read_table(spark, sf_dir, "documents")
+    full = ForgettingSearchIndex(spark, str(tmp_path / "full"))
+    for e in range(3):
+        full.process_batch(docs.where(F.col("doc_id") % 3 == e), epoch_id=e)
+
+    gone = docs.where(F.col("doc_id") % 7 == 0).select("doc_id")
+    full.forget(gone)
+
+    rebuilt = ForgettingSearchIndex(spark, str(tmp_path / "rebuilt"))
+    survivors = docs.where(F.col("doc_id") % 7 != 0)
+    for e in range(3):
+        rebuilt.process_batch(survivors.where(F.col("doc_id") % 3 == e),
+                              epoch_id=e)
+
+    assert _rows(full.bm25(TERMS, k=10)) == _rows(rebuilt.bm25(TERMS, k=10))
+    assert _rows(full.phrase(["the", "table"])) == \
+        _rows(rebuilt.phrase(["the", "table"]))
+    # the forgotten ids are unreachable through every accessor
+    left = set(r["doc_id"] for r in full.postings().select("doc_id")
+               .distinct().collect())
+    assert not left & set(r["doc_id"] for r in gone.collect())
+
+
+def test_search_index_forget_replay_idempotent(spark, sf_dir, tmp_path):
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 200)
+    idx = ForgettingSearchIndex(spark, str(tmp_path / "s"))
+    idx.process_batch(docs, epoch_id=0)
+    gone = docs.where(F.col("doc_id") % 5 == 0).select("doc_id")
+    idx.forget(gone, epoch_id=0)
+    before = _rows(idx.bm25(TERMS, k=10))
+    idx.forget(gone, epoch_id=0)  # replay
+    assert _rows(idx.bm25(TERMS, k=10)) == before
+
+
+def test_dedup_index_forget_hides_docs_and_pairs(spark, tmp_path):
+    base = ("spark table merge join filter scan window batch stream hash "
+            "sort group row column value data query order part line key "
+            "extra tokens to make shingles ")
+    rows = [(i, base + f"suffix{i % 3}") for i in range(12)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    idx = ForgettingDedupIndex(spark, str(tmp_path / "full"), threshold=0.5)
+    for e in range(2):
+        idx.process_batch(docs.where(F.col("doc_id") % 2 == e), epoch_id=e)
+    assert idx.all_pairs().count() > 0
+
+    gone = docs.where(F.col("doc_id") < 4).select("doc_id")
+    idx.forget(gone)
+    gone_ids = {r["doc_id"] for r in gone.collect()}
+
+    pairs_after = idx.all_pairs().collect()
+    assert pairs_after, "unforgotten near-dups must survive"
+    for r in pairs_after:
+        assert r["doc_a"] not in gone_ids and r["doc_b"] not in gone_ids
+
+    # a future probe cannot match a forgotten doc: new batch of exact
+    # copies of a forgotten doc's text finds only unforgotten partners
+    probe = spark.createDataFrame([(100, rows[0][1])], ["doc_id", "text"])
+    new_pairs = idx.process_batch(probe, epoch_id=5).collect()
+    for r in new_pairs:
+        assert r["doc_a"] not in gone_ids and r["doc_b"] not in gone_ids
+    assert any(r["doc_a"] == 100 or r["doc_b"] == 100 for r in new_pairs)
