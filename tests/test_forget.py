@@ -80,3 +80,18 @@ def test_dedup_index_forget_hides_docs_and_pairs(spark, tmp_path):
     for r in new_pairs:
         assert r["doc_a"] not in gone_ids and r["doc_b"] not in gone_ids
     assert any(r["doc_a"] == 100 or r["doc_b"] == 100 for r in new_pairs)
+
+
+def test_corpus_service_example_runs(spark, sf_dir):
+    """The composed governed-corpus example (decontaminate -> index ->
+    retrieve -> forget) runs end-to-end and its internal invariant
+    assertions hold."""
+    import examples.corpus_service as svc
+
+    argv = ["corpus_service.py", sf_dir]
+    old = list(__import__("sys").argv)
+    try:
+        __import__("sys").argv = argv
+        assert svc.main() == 0
+    finally:
+        __import__("sys").argv = old
