@@ -65,6 +65,10 @@ def main() -> None:
     from dbsync_spark.operators.retention import sweep
     from dbsync_spark.operators.status import derive_status_fixture, status_counts
     from dbsync_spark.operators.window_agg import hourly_counts
+    # one long-lived JVM runs ~60 queries plus the 32x merge sweep;
+    # accumulated broadcasts/checkpoint blocks overflow the 8g default
+    # (observed heap OOM in the sweep after the round-4 query additions)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     from dbsync_spark.session import get_spark
     from dbsync_spark.sources.tables import read_table
 
