@@ -973,6 +973,11 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     buckets/bank) plus an LSH_MAX_BUCKET-style cap for degenerate
     fingerprints (all-zero votes from empty docs), exactly as
     lsh_candidates does."""
+    if max_hamming > banks - 1:
+        raise ValueError(
+            f"pigeonhole recall requires max_hamming <= banks - 1 "
+            f"(got max_hamming={max_hamming}, banks={banks}): a pair "
+            f"differing in every bank would silently never be a candidate")
     fp = simhash(df, text_col, id_col, bits).localCheckpoint(eager=False)
     bank_bits = bits // banks
     mask = (1 << bank_bits) - 1

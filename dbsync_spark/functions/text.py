@@ -546,10 +546,13 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
                       ----------------------------------   (A / B)
                       (2df + 1) * (10*S*tf + 3*S + 9*dl*N)
 
-      with A, B exact BIGINTs (A < 2^63 through sf1-scale corpora).
+      with the small idf factors exact int64 and the big products built
+      in IEEE doubles with a pinned left-assoc op order (int64 A would
+      overflow for a degenerate high-tf document once ~44*N*S*tf > 2^63;
+      doubles never overflow and each op is bit-identical cross-engine).
 
-    Each per-term score is quantized once — floor((A/B) * 1e6), one IEEE
-    division + one IEEE multiply, bit-identical in Spark and DuckDB —
+    Each per-term score is quantized once — floor((A/B) * 1e6), every
+    multiply/divide an IEEE double op mirrored char-for-char in DuckDB —
     and the per-document total is then a plain BIGINT sum, so the
     aggregate is exact (float SUMs never hash-match; integer SUMs do).
 
@@ -590,14 +593,21 @@ def bm25_score_pairs(pairs: DataFrame, corpus: DataFrame, k: int = 10,
     identical quantized arithmetic, so both hash-match the same oracle."""
     dfreq = pairs.groupBy("term").agg(F.count("*").alias("df"))
     n, s = F.col("n_docs"), F.col("s_dl")
-    a = ((2 * n - 2 * F.col("df") + 1) * 22 * F.col("tf") * s).cast("long")
-    b = ((2 * F.col("df") + 1)
-         * (10 * s * F.col("tf") + 3 * s + 9 * F.col("dl") * n)).cast("long")
+    # A and B are built in IEEE doubles with a pinned left-assoc op
+    # order (mirrored char-for-char in the SQL oracle): the int64 form
+    # overflows for a degenerate high-tf doc once ~44*N*S*tf > 2^63,
+    # while doubles never overflow and stay bit-identical cross-engine.
+    # The small idf factors stay exact int64 before their cast.
+    tf_d, s_d = F.col("tf").cast("double"), s.cast("double")
+    a = ((2 * n - 2 * F.col("df") + 1).cast("double")
+         * F.lit(22.0) * tf_d * s_d)
+    b = ((2 * F.col("df") + 1).cast("double")
+         * (F.lit(10.0) * s_d * tf_d + F.lit(3.0) * s_d
+            + F.lit(9.0) * F.col("dl").cast("double") * n.cast("double")))
     scored = (pairs.join(F.broadcast(dfreq), "term")
               .crossJoin(F.broadcast(corpus))
               .select(id_col,
-                      F.floor((a.cast("double") / b.cast("double"))
-                              * F.lit(1000000.0)).alias("_sm")))
+                      F.floor((a / b) * F.lit(1000000.0)).alias("_sm")))
     doc = scored.groupBy(id_col).agg(
         F.count("*").alias("n_terms"),
         F.sum("_sm").alias("score_micro"))
@@ -665,11 +675,20 @@ def phrase_occurrences_rowlocal(df: DataFrame, phrase: list[str],
     one-off phrase queries without a persisted index."""
     n = len(phrase)
     t = tokens(F.col(text_col))
-    conds = " AND ".join(
-        f"_t[i - 1 + {j}] = '{p}'" for j, p in enumerate(phrase))
-    hits = F.expr(
-        f"filter(sequence(1, greatest(size(_t) - {n - 1}, 0)), "
-        f"i -> {conds})")
+
+    def _match(i):
+        # Column API, not interpolated SQL text: a token containing a
+        # quote must stay a literal (element_at is 1-based)
+        cond = None
+        for j, p in enumerate(phrase):
+            e = F.element_at(F.col("_t"), i + j) == F.lit(p)
+            cond = e if cond is None else cond & e
+        return cond
+
+    hits = F.filter(
+        F.sequence(F.lit(1),
+                   F.greatest(F.size("_t") - (n - 1), F.lit(1))),
+        _match)
     return (df.select(F.col(id_col), t.alias("_t"))
             .where(F.size("_t") >= n)
             .select(id_col, hits.alias("_h"))

@@ -1037,9 +1037,12 @@ dfreq AS (SELECT term, count(*) AS df FROM pairs GROUP BY term),
 scored AS (
   SELECT p.doc_id,
          CAST(floor(
-           (CAST((2*c.n_docs - 2*d.df + 1) * 22 * p.tf * c.s_dl AS DOUBLE)
-            / CAST((2*d.df + 1) * (10*c.s_dl*p.tf + 3*c.s_dl
-                                   + 9*p.dl*c.n_docs) AS DOUBLE))
+           ((CAST(2*c.n_docs - 2*d.df + 1 AS DOUBLE)
+             * 22.0 * CAST(p.tf AS DOUBLE) * CAST(c.s_dl AS DOUBLE))
+            / (CAST(2*d.df + 1 AS DOUBLE)
+               * (10.0 * CAST(c.s_dl AS DOUBLE) * CAST(p.tf AS DOUBLE)
+                  + 3.0 * CAST(c.s_dl AS DOUBLE)
+                  + 9.0 * CAST(p.dl AS DOUBLE) * CAST(c.n_docs AS DOUBLE))))
            * 1000000.0) AS BIGINT) AS sm
   FROM pairs p JOIN dfreq d USING (term), corpus c
 ),

@@ -69,15 +69,9 @@ class StreamingBloomIndex:
         self.id_col = id_col
 
     def _epochs(self, sub: str) -> list[int]:
-        import os
-        import re
+        from dbsync_spark.streaming.state import list_epochs
 
-        try:
-            entries = os.listdir(f"{self.root}/{sub}")
-        except FileNotFoundError:
-            return []
-        return sorted(int(m.group(1)) for e in entries
-                      if (m := re.fullmatch(r"epoch=(\d+)", e)))
+        return list_epochs(self.root, sub)
 
     def _hashes_through(self, epochs: list[int]) -> DataFrame:
         if not epochs:
@@ -135,12 +129,26 @@ class StreamingBloomIndex:
     def flag(self, train_df: DataFrame) -> DataFrame:
         """(id, n_shingles) for train docs sharing NO shingle with the
         accumulated held-out set — equals the batch decontaminate over
-        the union of every processed test batch."""
-        eps = self._epochs("shash")
-        test_hashes = self._hashes_through(eps)
+        the union of every processed test batch.
+
+        Soundness guard (no false-clean window): the exact hash set is
+        restricted to epochs whose BITMAP write also landed, and the
+        bitmap used is the OR of every persisted bitmap epoch. Each
+        bitmap epoch contains its own delta's bits, so every hash in the
+        used exact set is covered — even if process_batch crashed
+        between the shash and bitmap writes (that epoch's hashes are
+        excluded until replay) or epochs were processed out of order
+        (a later-written earlier epoch's bits OR in regardless of which
+        epoch is 'latest')."""
+        import numpy as np
+
         bm_eps = self._epochs("bitmap")
-        bitmap = self._bitmap(bm_eps[-1] if bm_eps else None)
+        covered = [e for e in self._epochs("shash") if e in set(bm_eps)]
+        test_hashes = self._hashes_through(covered)
+        acc = np.frombuffer(bytes(self.m // 8), dtype=np.uint8).copy()
+        for e in bm_eps:
+            acc |= np.frombuffer(self._bitmap(e), dtype=np.uint8)
         train_sh = shingle_hash_rows(train_df, text_col=self.text_col,
                                      id_col=self.id_col, k=self.k)
-        return bloom_flag_clean(train_sh, test_hashes, bitmap, self.m,
+        return bloom_flag_clean(train_sh, test_hashes, bytes(acc), self.m,
                                 id_col=self.id_col)

@@ -62,15 +62,9 @@ class StreamingSearchIndex:
         self.id_col = id_col
 
     def _epochs(self, sub: str) -> list[int]:
-        import os
-        import re
+        from dbsync_spark.streaming.state import list_epochs
 
-        try:
-            entries = os.listdir(f"{self.root}/{sub}")
-        except FileNotFoundError:
-            return []
-        return sorted(int(m.group(1)) for e in entries
-                      if (m := re.fullmatch(r"epoch=(\d+)", e)))
+        return list_epochs(self.root, sub)
 
     def _read(self, sub: str, schema: StructType) -> DataFrame:
         eps = self._epochs(sub)
@@ -88,12 +82,15 @@ class StreamingSearchIndex:
             epoch_id = next_epoch(self.root, "postings")
         posts = build_posting_index(new_docs, text_col=self.text_col,
                                     id_col=self.id_col)
-        posts.select(F.col(self.id_col).cast("long"),
+        # state is always stored under 'doc_id' regardless of the
+        # caller's id_col: the read schemas are fixed, so an unaliased
+        # custom column name would read back as all-NULL doc_ids
+        posts.select(F.col(self.id_col).cast("long").alias("doc_id"),
                      F.col("pos").cast("int"), "term"
                      ).write.mode("overwrite").parquet(
             f"{self.root}/postings/epoch={epoch_id}")
         stats = new_docs.select(
-            F.col(self.id_col).cast("long"),
+            F.col(self.id_col).cast("long").alias("doc_id"),
             F.size(tokens(F.col(self.text_col))).cast("long").alias("dl"))
         stats.coalesce(1).write.mode("overwrite").parquet(
             f"{self.root}/docstats/epoch={epoch_id}")
@@ -119,11 +116,12 @@ class StreamingSearchIndex:
         corpus = stats.agg(F.count("*").alias("n_docs"),
                            F.sum("dl").alias("s_dl"))
         tf = (self.postings(query_terms)
-              .groupBy(self.id_col, "term")
+              .groupBy("doc_id", "term")
               .agg(F.count("*").cast("long").alias("tf")))
-        pairs = tf.join(stats, on=self.id_col).select(
-            self.id_col, "dl", "term", "tf")
-        return bm25_score_pairs(pairs, corpus, k=k, id_col=self.id_col)
+        pairs = tf.join(stats, on="doc_id").select(
+            "doc_id", "dl", "term", "tf")
+        out = bm25_score_pairs(pairs, corpus, k=k, id_col="doc_id")
+        return out.withColumnRenamed("doc_id", self.id_col)
 
     def phrase(self, phrase: list[str]) -> DataFrame:
         """Exact phrase occurrences over the accumulated index — the
@@ -131,8 +129,10 @@ class StreamingSearchIndex:
         phrase_search, reading only the phrase terms' postings."""
         from dbsync_spark.functions.text import phrase_search
 
-        return phrase_search(None, phrase, id_col=self.id_col,
-                             index=self.postings(list(set(phrase))))
+        return phrase_search(
+            None, phrase, id_col="doc_id",
+            index=self.postings(list(set(phrase)))
+        ).withColumnRenamed("doc_id", self.id_col)
 
 
 # Right-to-be-forgotten support: tombstone epochs applied at read time.

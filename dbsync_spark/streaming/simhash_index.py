@@ -52,6 +52,10 @@ class StreamingSimhashIndex:
     def __init__(self, spark: SparkSession, root: str,
                  max_hamming: int = 3, bits: int = 32, banks: int = 4,
                  text_col: str = "text", id_col: str = "doc_id"):
+        if max_hamming > banks - 1:
+            raise ValueError(
+                f"pigeonhole recall requires max_hamming <= banks - 1 "
+                f"(got max_hamming={max_hamming}, banks={banks})")
         self.spark = spark
         self.root = root.rstrip("/")
         self.max_hamming = max_hamming
@@ -61,15 +65,9 @@ class StreamingSimhashIndex:
         self.id_col = id_col
 
     def _epochs(self, sub: str) -> list[int]:
-        import os
-        import re
+        from dbsync_spark.streaming.state import list_epochs
 
-        try:
-            entries = os.listdir(f"{self.root}/{sub}")
-        except FileNotFoundError:
-            return []
-        return sorted(int(m.group(1)) for e in entries
-                      if (m := re.fullmatch(r"epoch=(\d+)", e)))
+        return list_epochs(self.root, sub)
 
     def _read(self, sub: str, schema: StructType,
               epochs: list[int]) -> DataFrame:

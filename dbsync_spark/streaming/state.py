@@ -21,3 +21,18 @@ def next_epoch(root: str, sub: str) -> int:
         if m:
             best = max(best, int(m.group(1)))
     return best + 1
+
+
+def list_epochs(root: str, sub: str) -> list[int]:
+    """Sorted epoch ids of the epoch=N subdirs under <root>/<sub> —
+    the single definition of the listing the epoch-scoped services
+    (bloom/search/simhash/cms/...) previously each re-implemented."""
+    import os
+    import re as _re
+
+    try:
+        entries = os.listdir(os.path.join(root, sub))
+    except FileNotFoundError:
+        return []
+    return sorted(int(m.group(1)) for e in entries
+                  if (m := _re.fullmatch(r"epoch=(\d+)", e)))

@@ -32,9 +32,12 @@ import tempfile
 
 
 def main() -> int:
+    import os
+
     from pyspark.sql import functions as F
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     from dbsync_spark.session import get_spark
     from dbsync_spark.sources.tables import read_table
     from dbsync_spark.streaming.bloom_index import StreamingBloomIndex
@@ -69,6 +72,10 @@ def main() -> int:
 
     # 4. retrieval
     top = index.bm25(["spark", "merge", "window"], k=5).collect()
+    if not top:
+        print("no documents match the demo query terms in this corpus; "
+              "nothing to retrieve or forget")
+        return 0
     print("bm25 top-5:", [(r["doc_id"], r["score_micro"]) for r in top])
     hits = index.phrase(["the", "table"]).count()
     print(f"phrase 'the table': {hits} matching docs")

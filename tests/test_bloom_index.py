@@ -94,3 +94,35 @@ def test_bloom_via_real_foreachbatch(spark, sf_dir, tmp_path):
 
     want = _rows(decontaminate(docs, F.col("source") == "src19", k=3))
     assert _rows(idx.flag(train)) == want
+
+
+def test_flag_sound_when_bitmap_write_lost(spark, sf_dir, tmp_path):
+    """Crash window between the shash and bitmap writes must NOT produce
+    false-clean verdicts: an epoch whose bitmap is missing is excluded
+    from the exact set (so its docs are simply not yet decontaminated
+    against), and verdicts against the covered epochs stay exact."""
+    import shutil
+
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300)
+    test = docs.where(F.col("source") == "src19")
+    train = docs.where(F.col("source") != "src19")
+
+    idx = StreamingBloomIndex(spark, str(tmp_path / "bloom"), k=3)
+    idx.process_batch(test.where(F.col("doc_id") % 2 == 0), epoch_id=0)
+    idx.process_batch(test.where(F.col("doc_id") % 2 == 1), epoch_id=1)
+    # simulate the crash: epoch 1's bitmap write never landed
+    shutil.rmtree(f"{tmp_path}/bloom/bitmap/epoch=1")
+
+    got = _rows(idx.flag(train))
+    # equals batch decontamination against ONLY the covered epoch's docs
+    want = _rows(decontaminate(
+        docs.where((F.col("source") != "src19")
+                   | (F.col("doc_id") % 2 == 0)),
+        F.col("source") == "src19", k=3))
+    assert got == want
+
+    # replaying the lost epoch restores the full verdict
+    idx.process_batch(test.where(F.col("doc_id") % 2 == 1), epoch_id=1)
+    full = _rows(decontaminate(docs, F.col("source") == "src19", k=3))
+    assert _rows(idx.flag(train)) == full

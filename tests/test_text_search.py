@@ -34,10 +34,14 @@ def _bm25_python(docs: list[tuple[int, str]], terms: list[str],
             f = tf[(d, t)]
             if f == 0:
                 continue
-            a = (2 * n - 2 * df[t] + 1) * 22 * f * s
-            b = (2 * df[t] + 1) * (10 * s * f + 3 * s + 9 * dl[d] * n)
+            # python floats are IEEE doubles; same left-assoc op order
+            # as the Spark/SQL implementations
+            a = float(2 * n - 2 * df[t] + 1) * 22.0 * float(f) * float(s)
+            b = float(2 * df[t] + 1) * (10.0 * float(s) * float(f)
+                                        + 3.0 * float(s)
+                                        + 9.0 * float(dl[d]) * float(n))
             import math
-            total += math.floor((float(a) / float(b)) * 1000000.0)
+            total += math.floor((a / b) * 1000000.0)
             n_terms += 1
         if n_terms:
             scores[d] = (n_terms, total)
@@ -175,3 +179,48 @@ def test_streaming_search_via_real_foreachbatch(spark, sf_dir, tmp_path):
 
     want = sorted(map(tuple, bm25_topk(docs, TERMS, k=10).collect()))
     assert sorted(map(tuple, idx.bm25(TERMS, k=10).collect())) == want
+
+
+def test_search_index_custom_id_col(spark, tmp_path):
+    """A non-default id_col round-trips through the persisted state
+    (state is stored under 'doc_id'; outputs rename back)."""
+    from dbsync_spark.streaming.search_index import StreamingSearchIndex
+
+    docs = spark.createDataFrame(
+        [(1, "spark merge"), (2, "spark spark window")],
+        "uid long, text string")
+    idx = StreamingSearchIndex(spark, str(tmp_path / "s"), id_col="uid")
+    idx.process_batch(docs, epoch_id=0)
+    got = {r["uid"]: r["score_micro"]
+           for r in idx.bm25(["spark"], k=5).collect()}
+    assert set(got) == {1, 2} and all(v > 0 for v in got.values())
+    ph = idx.phrase(["spark", "merge"]).collect()
+    assert [r["uid"] for r in ph] == [1]
+
+
+def test_phrase_tokens_with_quotes(spark):
+    """Tokens containing quotes are legal (whitespace tokenization) and
+    must not break or corrupt the row-local expression."""
+    docs = spark.createDataFrame(
+        [(1, "don't stop now"), (2, "do stop now")],
+        "doc_id long, text string")
+    got = sorted(map(tuple,
+                     phrase_occurrences_rowlocal(
+                         docs, ["don't", "stop"]).collect()))
+    assert got == [(1, 1, 1)]
+    via_join = sorted(map(tuple,
+                          phrase_search(docs, ["don't", "stop"]).collect()))
+    assert via_join == got
+
+
+def test_simhash_max_hamming_validated(spark):
+    from dbsync_spark.functions.dedup import simhash_pairs
+    from dbsync_spark.streaming.simhash_index import StreamingSimhashIndex
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs, max_hamming=4, banks=4)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        StreamingSimhashIndex(spark, "/tmp/unused", max_hamming=5)
