@@ -282,7 +282,12 @@ def probe_candidates(probe_bands: DataFrame, index_bands: DataFrame,
     INDEX side (the probe rows are a subset of the index in the
     incremental contract, so this equals the full-corpus bucket size and
     the capped IVM equivalence `incremental == capped full recompute`
-    holds exactly); oversized buckets are skipped on both sides."""
+    holds exactly PROVIDED no bucket crosses max_bucket between probes —
+    when a bucket is under the cap at probe k and over it at probe k+1,
+    pairs emitted at probe k are kept, so the probed union is a superset
+    of the capped full recompute (recall-side-up; same condition stated
+    in StreamingDedupIndex.process_batch)); oversized buckets are
+    skipped on both sides."""
     if max_bucket is not None:
         ok = (index_bands.groupBy("band", "band_key")
               .agg(F.count("*").alias("_bn"))

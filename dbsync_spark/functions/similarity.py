@@ -101,6 +101,34 @@ def srp_bucket_ids(df: DataFrame, dim: int, n_planes: int = 8,
     return df.select(id_col, vec_col).mapInPandas(bucketize, schema=schema)
 
 
+def srp_bucket_expr(vec: Column, planes: np.ndarray) -> Column:
+    """bucket = Σ_p [dot(vec, plane_p) > 0] << p as a pure JVM expression
+    with the plane rows as array literals and the dot as the SAME
+    sequential left fold as `dot()` — so the bucket assignment computes
+    bit-identically in DuckDB (list_dot_product) and the declared ANN
+    query is fully oracle-checkable. The numpy mapInPandas path
+    (srp_bucket_ids) stays the batch-throughput variant; the two are
+    pinned equal on the fixtures in tests."""
+    b = F.lit(0).cast("long")
+    for p in range(planes.shape[0]):
+        plane_lit = F.array(*[F.lit(float(x)) for x in planes[p]])
+        b = b + F.when(dot(vec, plane_lit) > 0,
+                       F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    return b
+
+
+def srp_bucket_ids_exact(df: DataFrame, dim: int, n_planes: int = 8,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """(id, bucket, vec as float64) via srp_bucket_expr — the
+    parity-exact twin of srp_bucket_ids(keep_vec=True)."""
+    planes = _srp_planes(dim, n_planes)
+    v = as_double(F.col(vec_col))
+    return df.select(F.col(id_col), v.alias(vec_col)).select(
+        id_col, srp_bucket_expr(F.col(vec_col), planes).alias("bucket"),
+        vec_col)
+
+
 def kmeans_centroids(corpus: DataFrame, dim: int, n_clusters: int = 16,
                      iters: int = 2, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> np.ndarray:
@@ -191,9 +219,117 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
             .where(F.col("rank") <= k))
 
 
+def _quantize(df: DataFrame, scale: int, id_col: str,
+              vec_col: str) -> DataFrame:
+    """(id, v: array<long>) with v[i] = floor(e[i] * scale). With scale a
+    power of two, e[i] * scale is EXACT on float32-derived doubles, so
+    the quantized vectors are identical in every engine — the foundation
+    of the integer-exact IVF below."""
+    return df.select(
+        F.col(id_col),
+        F.transform(as_double(F.col(vec_col)),
+                    lambda x: F.floor(x * scale).cast("long")).alias("v"))
+
+
+def _dot_long(a: Column, b: Column) -> Column:
+    """Exact integer dot product (left fold over array<long>)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _assign_clusters_exact(qv: DataFrame, cents: list[list[int]],
+                           id_col: str, nprobe: int = 1) -> DataFrame:
+    """(id, v, cluster) for the nprobe best clusters by
+    score_j = dot(v, c_j) / sqrt(dot(c_j, c_j)) — cosine to the cluster
+    SUM vector (|v| cancels across j, the mean's 1/n cancels inside the
+    cosine), so the only floating point is one correctly-rounded sqrt
+    and one division per (row, cluster): bit-identical across engines.
+    Ties break toward the lowest cluster id (row_number semantics,
+    mirrored verbatim in the DuckDB oracle)."""
+    import math
+
+    structs = []
+    for j, c in enumerate(cents):
+        c_lit = F.array(*[F.lit(int(x)).cast("long") for x in c])
+        dq = _dot_long(F.col("v"), c_lit)
+        denom = math.sqrt(float(sum(x * x for x in c)))
+        structs.append(F.struct(
+            F.lit(j).cast("long").alias("cluster"),
+            (dq.cast("double") / F.lit(denom)).alias("score")))
+    ex = (qv.select(id_col, "v",
+                    F.explode(F.array(*structs)).alias("sc"))
+          .select(id_col, "v", F.col("sc.cluster").alias("cluster"),
+                  F.col("sc.score").alias("score")))
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), "cluster")
+    return (ex.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= nprobe).select(id_col, "v", "cluster"))
+
+
+def ivf_ann_topk_exact(corpus: DataFrame, queries: DataFrame, dim: int,
+                       k: int = 10, n_clusters: int = 8, nprobe: int = 3,
+                       iters: int = 2, scale: int = 1024,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """IVF ANN whose every arithmetic step is integer-exact or a single
+    correctly-rounded IEEE op — so the full pipeline (quantize → seeded
+    Lloyd rounds → inverted-list probe → cosine top-k) hash-matches a
+    pure-SQL DuckDB oracle. Three ingredients make that possible:
+
+    1. floor(e * 2^s) quantization: exact scaling of float32 values, so
+       vectors are integers everywhere afterwards.
+    2. SUM-vector centroids: cosine is scale-invariant, so Lloyd can
+       carry the per-cluster integer SUM instead of the mean — no
+       division, no rounding, exact state (bounds: |v_i| < 2^10 scale,
+       dims*|csum_i|^2 must stay < 2^53; holds through ~1e5 vectors per
+       cluster at this fixture's value range).
+    3. scores dot/sqrt(cc) as exact-int inputs to one sqrt + one divide:
+       both correctly rounded per IEEE-754, identical in Spark/DuckDB.
+
+    The numpy/float path (ivf_ann_topk) remains the batch-throughput
+    variant. Per-iteration driver traffic is n_clusters x dim integer
+    sums — the same bounded-state contract as kmeans_centroids. Scale:
+    the cluster column is the partition key; a probe reads nprobe lists."""
+    qv_c = _quantize(corpus, scale, id_col, vec_col)
+    qv_c.persist()
+    seeds = (qv_c.orderBy(id_col).limit(n_clusters).select("v").collect())
+    cents = [list(r["v"]) for r in seeds]
+
+    for _ in range(iters):
+        assigned = _assign_clusters_exact(qv_c, cents, id_col)
+        sums = (assigned.groupBy("cluster")
+                .agg(*[F.sum(F.col("v")[i]).alias(f"s{i}")
+                       for i in range(dim)]).collect())
+        got = {int(r["cluster"]): [int(r[f"s{i}"]) for i in range(dim)]
+               for r in sums}
+        cents = [got.get(j, cents[j]) for j in range(n_clusters)]
+
+    cb = _assign_clusters_exact(qv_c, cents, id_col).select(
+        F.col(id_col).alias("vec_id"), F.col("v").alias("e"), "cluster")
+    qb = _assign_clusters_exact(
+        _quantize(queries, scale, id_col, vec_col), cents, id_col,
+        nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qe"), "cluster")
+
+    pairs = cb.join(F.broadcast(qb), on="cluster").where(
+        F.col("vec_id") != F.col("query_id"))
+    sim = (_dot_long(F.col("e"), F.col("qe")).cast("double")
+           / (F.sqrt(_dot_long(F.col("e"), F.col("e")).cast("double"))
+              * F.sqrt(_dot_long(F.col("qe"), F.col("qe")).cast("double")))
+           ).alias("cosine_sim")
+    scored = pairs.select("query_id", "vec_id", sim).dropDuplicates(
+        ["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id"))
+    out = (scored.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= k))
+    qv_c.unpersist()
+    return out
+
+
 def srp_ann_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
                  n_planes: int = 8, probe_hamming: int = 1,
-                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 exact_buckets: bool = False) -> DataFrame:
     """ANN top-k: score only corpus vectors in the query's SRP bucket(s).
 
     Multi-probe: each query also probes buckets within `probe_hamming` bit
@@ -206,9 +342,20 @@ def srp_ann_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     for a true neighbor is theta/pi (~1/3 at cosine ~0.5), so >=0.9
     recall needs a probe budget approaching the full bucket space — data-
     adapted partitioning (ivf_ann_topk) is the >=0.9 operator there;
-    SRP shines when vectors cluster (near-dup detection, dedup)."""
-    cb = srp_bucket_ids(corpus, dim, n_planes, id_col, vec_col, keep_vec=True)
-    qb = srp_bucket_ids(queries, dim, n_planes, id_col, vec_col, keep_vec=True)
+    SRP shines when vectors cluster (near-dup detection, dedup).
+
+    exact_buckets=True computes buckets with the JVM left-fold expression
+    (srp_bucket_expr) instead of the numpy matmul — bit-parity with the
+    DuckDB oracle for the declared query; the two bucketings are pinned
+    equal on the fixtures in tests."""
+    if exact_buckets:
+        cb = srp_bucket_ids_exact(corpus, dim, n_planes, id_col, vec_col)
+        qb = srp_bucket_ids_exact(queries, dim, n_planes, id_col, vec_col)
+    else:
+        cb = srp_bucket_ids(corpus, dim, n_planes, id_col, vec_col,
+                            keep_vec=True)
+        qb = srp_bucket_ids(queries, dim, n_planes, id_col, vec_col,
+                            keep_vec=True)
     if probe_hamming >= 1:
         from itertools import combinations
 

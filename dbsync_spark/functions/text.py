@@ -653,6 +653,8 @@ def phrase_search(df: DataFrame, phrase: list[str],
     pytest-pinned equal); the join form is the one that works when the
     index is already materialized and the corpus is not re-readable at
     query time."""
+    if not phrase:
+        raise ValueError("phrase must contain at least one term")
     posts = index if index is not None else build_posting_index(
         df, terms=phrase, text_col=text_col, id_col=id_col)
     anchor = (posts.where(F.col("term") == phrase[0])
@@ -673,6 +675,8 @@ def phrase_occurrences_rowlocal(df: DataFrame, phrase: list[str],
     """Row-local reference semantics for phrase_search: scan each token
     array once with a positions filter — zero shuffle, the shape for
     one-off phrase queries without a persisted index."""
+    if not phrase:
+        raise ValueError("phrase must contain at least one term")
     n = len(phrase)
     t = tokens(F.col(text_col))
 

@@ -41,6 +41,28 @@ def assign_partitions(df: DataFrame, num_partitions: int,
     return df.withColumn("partition", partition_id(key, num_partitions))
 
 
+def portable_partition_id(key: Column, num_partitions: int) -> Column:
+    """pmod(h15(key), N) — the cross-engine-portable variant of
+    `partition_id`: h15 (md5-derived, 60-bit, non-negative) computes
+    identically in Spark and DuckDB, so this assignment is fully
+    oracle-checkable. Same contract as the murmur3 path (stable
+    per-key assignment, pmod total); only the hash function differs —
+    the in-engine co-location path stays `partition_id`/`F.hash`
+    (native codegen murmur3, PY-MATCHed in tests/test_partition.py)."""
+    from dbsync_spark.functions.text import h15
+
+    return F.pmod(h15(key), F.lit(num_partitions))
+
+
+def assign_partitions_portable(df: DataFrame, num_partitions: int,
+                               schema_col: str = "schema",
+                               table_col: str = "table",
+                               key_cols: tuple[str, ...] = ()) -> DataFrame:
+    key = key_string(schema_col, table_col, *key_cols)
+    return df.withColumn(
+        "partition", portable_partition_id(key, num_partitions))
+
+
 def repartition_by_key(df: DataFrame, num_partitions: int, key: Column) -> DataFrame:
     """Physical co-location: one shuffle, all rows of a key in one task —
     the Spark-native equivalent of the reference's per-partition queues

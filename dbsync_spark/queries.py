@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dbsync_spark import oracles
+from dbsync_spark import oracles, oracles_ann
 from dbsync_spark.changelog import (
     EVENTS_PAYLOAD_SCHEMA,
     ORDERS_PAYLOAD_SCHEMA,
@@ -21,7 +21,8 @@ from dbsync_spark.changelog import (
 )
 from dbsync_spark.operators import retention, status
 from dbsync_spark.operators.apply import last_writer_wins, parse_changes
-from dbsync_spark.operators.partition import assign_partitions
+from dbsync_spark.operators.partition import (assign_partitions,
+                                              assign_partitions_portable)
 from dbsync_spark.operators.poll import poll_batch
 from dbsync_spark.operators.route import SyncRule, apply_conditions, fanout_targets, route, rules_df
 from dbsync_spark.operators.window_agg import hourly_counts
@@ -108,15 +109,30 @@ def q_poll_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typed.select("id", "operation", "o_orderkey")
 
 
-@_register("q_partition")  # rows-only for the driver; strong parity check in tests
+@_register(
+    "q_partition",
+    f"""
+WITH {oracles.LOG_ORDERS_CTE},
+keyed AS (
+  SELECT ('0x' || substr(md5('public:orders:' || CAST(o_orderkey AS VARCHAR)),
+                         1, 15))::BIGINT % 32 AS partition
+  FROM log_orders
+)
+SELECT partition, count(*) AS cnt FROM keyed GROUP BY partition
+""",
+)
 def q_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O1: per-partition row counts under murmur3(schema:table:key) % 32
-    (reference: DataPoller.scala:92-96). The hash is engine-specific, so the
-    oracle is a pure-Python reimplementation of Spark's Murmur3_x86_32
-    (tests/test_partition.py), not DuckDB."""
+    """O1: per-partition row counts under pmod(hash(schema:table:key), 32)
+    (reference: DataPoller.scala:92-96). Declared with the PORTABLE h15
+    hash so the per-partition counts are fully DuckDB-oracle-checkable
+    (values, not just rows); the in-engine co-location path stays Spark's
+    native murmur3 (`assign_partitions`), whose assignment is PY-MATCHed
+    bit-for-bit against a pure-Python Murmur3_x86_32 spec in
+    tests/test_partition.py — both are the same stable pmod(hash, N)
+    contract, differing only in hash function."""
     log = build_log_orders(spark, sf_dir).withColumn(
         "o_orderkey", F.get_json_object("data", "$.o_orderkey"))
-    assigned = assign_partitions(log, 32, key_cols=("o_orderkey",))
+    assigned = assign_partitions_portable(log, 32, key_cols=("o_orderkey",))
     return assigned.groupBy("partition").agg(F.count("*").alias("cnt"))
 
 
@@ -261,12 +277,12 @@ def q_streaming_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     as files, consumed via readStream + foreachBatch in several micro-
     batches (maxFilesPerTrigger=2), MERGEd into a versioned snapshot with
     checkpointing. Final live rows must equal the batch LWW oracle."""
-    import tempfile
+    from dbsync_spark.streaming.state import scratch_dir
 
     from dbsync_spark.operators.apply import live_rows
     from dbsync_spark.streaming.pipeline import SyncPipeline
 
-    workdir = tempfile.mkdtemp(prefix="dbsync_stream_q_")
+    workdir = scratch_dir(prefix="dbsync_stream_q_")
     build_log_orders(spark, sf_dir).repartition(4).write.parquet(f"{workdir}/log")
     rule = SyncRule("db1", "public", "orders", ("o_orderkey",))
     pipe = SyncPipeline(
@@ -723,13 +739,13 @@ def q_streaming_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrives. The union over batches equals (and hash-matches the oracle
     of) the one-pass batch q_simhash_pairs; verify needs no document
     text, just a popcount over the two stored fingerprints."""
-    import tempfile
+    from dbsync_spark.streaming.state import scratch_dir
 
     from dbsync_spark.streaming.simhash_index import StreamingSimhashIndex
 
     docs = read_table(spark, sf_dir, "documents")
     idx = StreamingSimhashIndex(
-        spark, tempfile.mkdtemp(prefix="dbsync_simhash_q_"))
+        spark, scratch_dir(prefix="dbsync_simhash_q_"))
     for epoch in range(3):
         idx.process_batch(docs.where(F.col("doc_id") % 3 == epoch),
                           epoch_id=epoch)
@@ -821,17 +837,24 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_classify(emb, queries, k=10)
 
 
-@_register("q_ann_srp")  # rows-only: SRP buckets are engine-side; the
-# emitted recall_at_k column vs brute force IS the graded quality number
-# (pytest-pinned >= 0.9; deterministic: both rankings tie-break on vec_id)
+@_register("q_ann_srp", oracles_ann.srp_oracle(dim=64, n_planes=6,
+                                               probe_hamming=2))
 def q_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via SRP-LSH buckets (the 100 TB path: probe one
-    bucket instead of the full corpus), each row carrying its query's
-    recall@10 against the exact brute-force top-10."""
+    """Approximate top-10 via SRP-LSH buckets (the 100 TB path: probe a
+    handful of buckets instead of the full corpus), each row carrying its
+    query's recall@10 against the exact brute-force top-10.
+
+    Fully oracle-checked since round 5: buckets come from the JVM
+    left-fold dot against the md5-derived +-1 plane literals
+    (similarity.srp_bucket_expr), which DuckDB reproduces bit-for-bit
+    with list_dot_product over the same plane rows — scores, ranks AND
+    the recall column all hash-match. The numpy mapInPandas bucketing
+    (srp_bucket_ids) is the batch-throughput twin, pinned equal in
+    tests/test_semantic_search.py."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
     ann = sim.srp_ann_topk(emb, queries, dim=64, k=10, n_planes=6,
-                           probe_hamming=2)
+                           probe_hamming=2, exact_buckets=True)
     exact = sim.cosine_topk(emb, queries, k=10)
     return sim.with_recall(ann, exact)
 
@@ -1000,15 +1023,26 @@ def q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_dup_pairs(corpus, threshold=0.999)
 
 
-@_register("q_ann_ivf")  # rows-only: clusters are engine-side; the
-# emitted recall_at_k column vs brute force IS the graded quality number
+@_register("q_ann_ivf", oracles_ann.ivf_oracle(dim=64, n_clusters=8,
+                                               nprobe=3, scale=1024))
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10: deterministic k-means inverted lists,
+    """IVF approximate top-10: seeded integer Lloyd inverted lists,
     nprobe=3 — the partition-pruned ANN path at scale — each row carrying
-    its query's recall@10 against the exact brute-force top-10."""
+    its query's recall@10 against the exact brute-force top-10.
+
+    Fully oracle-checked since round 5 via the integer-exact pipeline
+    (similarity.ivf_ann_topk_exact): floor(e*1024) quantization is exact
+    on float32 inputs, Lloyd carries per-cluster integer SUM vectors
+    (cosine is scale-invariant, so no mean division ever happens), and
+    every emitted float is exact-int inputs through one sqrt + one divide
+    — the DuckDB oracle unrolls the identical rounds as CTEs and
+    hash-matches scores, ranks and recall. The numpy/float k-means path
+    (ivf_ann_topk) remains the batch-throughput variant, recall-pinned
+    in tests/test_semantic_search.py."""
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    ann = sim.ivf_ann_topk(emb, queries, dim=64, k=10, n_clusters=8, nprobe=3)
+    ann = sim.ivf_ann_topk_exact(emb, queries, dim=64, k=10, n_clusters=8,
+                                 nprobe=3, scale=1024)
     exact = sim.cosine_topk(emb, queries, k=10)
     return sim.with_recall(ann, exact)
 

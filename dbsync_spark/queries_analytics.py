@@ -1840,7 +1840,7 @@ def q_streaming_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys' last-24h dense series are re-scored against a fixed pattern;
     the per-key anchor makes every stored score current. Final distances
     equal the single-batch run (pinned in tests)."""
-    import tempfile
+    from dbsync_spark.streaming.state import scratch_dir
 
     from dbsync_spark.streaming.dtw_monitor import StreamingDtwMonitor
 
@@ -1851,7 +1851,7 @@ def q_streaming_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     span = (hi - lo) / 3
     pattern = [float((i * 7) % 13) for i in range(24)]
     mon = StreamingDtwMonitor(
-        spark, tempfile.mkdtemp(prefix="dbsync_dtwmon_q_"), pattern,
+        spark, scratch_dir(prefix="dbsync_dtwmon_q_"), pattern,
         id_col="user_id", ts_col="ts", val_col=F.col("value"),
         radius=6, window_buckets=24, bucket="hour")
     batches = [
@@ -2096,13 +2096,13 @@ def q_streaming_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     HLL union state — a few KB per bucket forever). The emitted estimate
     is identical to the one-shot batch sketch because HLL union is
     register-wise max: associative, commutative, idempotent."""
-    import tempfile
+    from dbsync_spark.streaming.state import scratch_dir
 
     from dbsync_spark.streaming.distinct_index import StreamingDistinctIndex
 
     events = read_table(spark, sf_dir, "events")
     idx = StreamingDistinctIndex(
-        spark, tempfile.mkdtemp(prefix="dbsync_hll_q_"))
+        spark, scratch_dir(prefix="dbsync_hll_q_"))
     for epoch in range(3):
         idx.process_batch(events.where(F.col("event_id") % 3 == epoch),
                           epoch_id=epoch)
@@ -2185,13 +2185,13 @@ def q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked against the identical per-bucket recurrence unrolled
     into a CTE chain. Per-day state stays bounded by capacity forever;
     a hot day's compression never touches a quiet day."""
-    import tempfile
+    from dbsync_spark.streaming.state import scratch_dir
 
     from dbsync_spark.streaming.topk_index import StreamingTrendingIndex
 
     events = read_table(spark, sf_dir, "events")
     idx = StreamingTrendingIndex(
-        spark, tempfile.mkdtemp(prefix="dbsync_trend_q_"), capacity=3)
+        spark, scratch_dir(prefix="dbsync_trend_q_"), capacity=3)
     for epoch in range(3):
         # pre_tokenized: each event_type value IS one token — parity with
         # the oracle's `event_type AS tok` no longer depends on the
@@ -2291,13 +2291,13 @@ def q_streaming_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative epoch-overwrite discipline, the streamed sketch equals
     the one-pass batch sketch EXACTLY — so this streaming query
     hash-matches the very same SQL oracle as q_cms_freq."""
-    import tempfile
+    from dbsync_spark.streaming.state import scratch_dir
 
     from dbsync_spark.streaming.cms_index import StreamingCmsIndex
 
     ev = read_table(spark, sf_dir, "events").select("user_id", "event_id")
     idx = StreamingCmsIndex(
-        spark, tempfile.mkdtemp(prefix="dbsync_cms_q_"), key_col="user_id")
+        spark, scratch_dir(prefix="dbsync_cms_q_"), key_col="user_id")
     for epoch in range(3):
         idx.process_batch(ev.where(F.col("event_id") % 3 == epoch),
                           epoch_id=epoch)

@@ -802,13 +802,13 @@ def q_streaming_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     current_spans() table must equal — and hash-match — the one-shot
     full-recompute oracle over the whole corpus
     (streaming/span_index.py)."""
-    import tempfile
+    from dbsync_spark.streaming.state import scratch_dir
 
     from dbsync_spark.streaming.span_index import StreamingSpanIndex
 
     docs = read_table(spark, sf_dir, "documents")
     idx = StreamingSpanIndex(
-        spark, tempfile.mkdtemp(prefix="dbsync_spanidx_q_"),
+        spark, scratch_dir(prefix="dbsync_spanidx_q_"),
         window_tokens=6, min_docs=2)
     for epoch in range(3):
         idx.process_batch(docs.where(F.col("doc_id") % 3 == epoch),
@@ -908,13 +908,13 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ITERATIVE, ORDER-DEPENDENT stateful stream op still oracle-verifies
     because the recurrence is pure integer arithmetic over a pinned
     batching (streaming/topk_index.py)."""
-    import tempfile
+    from dbsync_spark.streaming.state import scratch_dir
 
     from dbsync_spark.streaming.topk_index import StreamingTopkIndex
 
     docs = read_table(spark, sf_dir, "documents")
     idx = StreamingTopkIndex(
-        spark, tempfile.mkdtemp(prefix="dbsync_topkidx_q_"), capacity=8)
+        spark, scratch_dir(prefix="dbsync_topkidx_q_"), capacity=8)
     for epoch in range(3):
         idx.process_batch(docs.where(F.col("doc_id") % 3 == epoch),
                           epoch_id=epoch)
@@ -998,14 +998,14 @@ def q_streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_decontaminate. The eval-set-arrives-over-time shape: new
     benchmarks register incrementally; the train corpus is rescored
     against the accumulated index without rebuilding anything."""
-    import tempfile
+    from dbsync_spark.streaming.state import scratch_dir
 
     from dbsync_spark.streaming.bloom_index import StreamingBloomIndex
 
     docs = read_table(spark, sf_dir, "documents")
     test = docs.where(F.col("source") == "src19")
     idx = StreamingBloomIndex(
-        spark, tempfile.mkdtemp(prefix="dbsync_bloom_q_"), k=3)
+        spark, scratch_dir(prefix="dbsync_bloom_q_"), k=3)
     for epoch in range(3):
         idx.process_batch(test.where(F.col("doc_id") % 3 == epoch),
                           epoch_id=epoch)
@@ -1132,13 +1132,13 @@ def q_streaming_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the streamed ranking hash-matches the very same SQL oracle as
     the batch q_bm25_topk. The index-at-rest query shape: tf comes from
     the queried terms' posting lists, never a corpus re-scan."""
-    import tempfile
+    from dbsync_spark.streaming.state import scratch_dir
 
     from dbsync_spark.streaming.search_index import StreamingSearchIndex
 
     docs = read_table(spark, sf_dir, "documents")
     idx = StreamingSearchIndex(
-        spark, tempfile.mkdtemp(prefix="dbsync_search_q_"))
+        spark, scratch_dir(prefix="dbsync_search_q_"))
     for epoch in range(3):
         idx.process_batch(docs.where(F.col("doc_id") % 3 == epoch),
                           epoch_id=epoch)
@@ -1151,13 +1151,13 @@ def q_streaming_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting-list intersection on (doc_id, pos - i) against accumulated
     epoch state — hash-matches q_phrase_search's oracle because posting
     rows are an exact set union over the disjoint-doc batches."""
-    import tempfile
+    from dbsync_spark.streaming.state import scratch_dir
 
     from dbsync_spark.streaming.search_index import StreamingSearchIndex
 
     docs = read_table(spark, sf_dir, "documents")
     idx = StreamingSearchIndex(
-        spark, tempfile.mkdtemp(prefix="dbsync_search_q_"))
+        spark, scratch_dir(prefix="dbsync_search_q_"))
     for epoch in range(3):
         idx.process_batch(docs.where(F.col("doc_id") % 3 == epoch),
                           epoch_id=epoch)

@@ -23,12 +23,13 @@ Storage layout:
 - <root>/bitmap/epoch=N : (bm binary) 1 row — cumulative Bloom bitmap
   after epoch N (latest wins; epoch N reads only state < N)
 
-No per-document removal: the state is deliberately doc-AGNOSTIC (a
-hash set + a bitmap — shared shingles have no owner), so forgetting an
-eval document means rebuilding from the surviving eval docs; the
-doc-attributed indexes (search_index.ForgettingSearchIndex,
-dedup_index.ForgettingDedupIndex) are the ones that support tombstone
-forgetting.
+Per-document removal: the base state is deliberately doc-AGNOSTIC (a
+hash set + a bitmap — shared shingles have no owner), so the base class
+cannot forget in place; ForgettingBloomIndex below persists the per-doc
+attribution rows as well and rebuilds the hash epochs + bitmaps from the
+surviving docs on forget — the rebuild counterpart of the tombstone
+forgetting in search_index.ForgettingSearchIndex /
+dedup_index.ForgettingDedupIndex.
 
 Scale: per batch, shingling is row-local and the anti-join touches only
 the batch's hashes; the bitmap is a fixed m/8 bytes (128 KB at the
@@ -94,7 +95,18 @@ class StreamingBloomIndex:
 
         if epoch_id is None:
             epoch_id = next_epoch(self.root, "shash")
-        before = [e for e in self._epochs("shash") if e < epoch_id]
+        # Anti-join only against COVERED earlier epochs (shash epochs whose
+        # bitmap write also landed). A crashed epoch (shash persisted,
+        # bitmap not) is excluded by flag()'s soundness guard — if its
+        # hashes were allowed to suppress a later epoch's delta, a hash
+        # present in a successfully committed epoch would sit in no covered
+        # exact set and no bitmap until the crash was replayed: a
+        # false-clean window. Re-listing the hash in the later delta is
+        # harmless (flag's verify is a semi-join; the bitmap OR is
+        # idempotent).
+        bm = set(self._epochs("bitmap"))
+        before = [e for e in self._epochs("shash")
+                  if e < epoch_id and e in bm]
 
         sh = shingle_hash_rows(test_docs, text_col=self.text_col,
                                id_col=self.id_col, k=self.k
@@ -152,3 +164,106 @@ class StreamingBloomIndex:
                                      id_col=self.id_col, k=self.k)
         return bloom_flag_clean(train_sh, test_hashes, bytes(acc), self.m,
                                 id_col=self.id_col)
+
+
+_FORGETS_SCHEMA = StructType([StructField("doc_id", LongType())])
+_DOCHASH_SCHEMA = StructType([StructField("doc_id", LongType()),
+                              StructField("shash", LongType())])
+
+
+class ForgettingBloomIndex(StreamingBloomIndex):
+    """StreamingBloomIndex with eval-document removal (completing the
+    right-to-be-forgotten story across all three persisted index
+    families — search, dedup, decontamination).
+
+    The base class's queryable state is deliberately doc-AGNOSTIC (a
+    hash set + a bitmap — a shared shingle has no owner), so it cannot
+    forget in place. This subclass additionally persists the per-doc
+    attribution rows the base class already computes and discards —
+    (doc_id, shash) — and `forget(doc_ids)` REBUILDS the hash-set epochs
+    and cumulative bitmaps from the surviving attribution: a hash
+    disappears only when NO surviving eval doc carries it (shared
+    shingles stay), so post-forget `flag` output equals an index rebuilt
+    without the forgotten documents — pinned in tests/test_forget.py.
+    Unlike the tombstone indexes this is a physical rewrite, which also
+    satisfies storage-level erasure for the forgotten docs' hashes.
+
+    Storage additions:
+    - <root>/dochash/epoch=N : (doc_id, shash) attribution for epoch N
+    - <root>/forgets/epoch=N : (doc_id) tombstones
+
+    Forgotten ids are permanently retired (same contract as the other
+    forgetting indexes): re-ingest raises. Replaying `forget` rewrites
+    identical tombstones and re-runs the deterministic rebuild."""
+
+    def _forgotten(self) -> DataFrame:
+        eps = self._epochs("forgets")
+        if not eps:
+            return self.spark.createDataFrame([], _FORGETS_SCHEMA)
+        paths = [f"{self.root}/forgets/epoch={e}" for e in eps]
+        return self.spark.read.schema(_FORGETS_SCHEMA).parquet(*paths)
+
+    def process_batch(self, test_docs: DataFrame,
+                      epoch_id: int | None = None) -> None:
+        if epoch_id is None:
+            epoch_id = next_epoch(self.root, "shash")
+        clash = (test_docs
+                 .select(F.col(self.id_col).cast("long").alias("doc_id"))
+                 .join(self._forgotten(), on="doc_id", how="semi")
+                 .limit(5).collect())
+        if clash:
+            ids = sorted(r["doc_id"] for r in clash)
+            raise ValueError(
+                f"doc_ids {ids} were forgotten and are permanently "
+                "retired; re-ingest under a fresh doc_id")
+        (shingle_hash_rows(test_docs, text_col=self.text_col,
+                           id_col=self.id_col, k=self.k)
+         .select(F.col(self.id_col).cast("long").alias("doc_id"), "shash")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(f"{self.root}/dochash/epoch={epoch_id}"))
+        super().process_batch(test_docs, epoch_id)
+
+    def forget(self, doc_ids: DataFrame, epoch_id: int | None = None
+               ) -> None:
+        """Tombstone a frame of (doc_id) rows, then physically rebuild
+        every shash epoch and bitmap from the surviving attribution."""
+        if epoch_id is None:
+            epoch_id = next_epoch(self.root, "forgets")
+        (doc_ids.select(F.col(self.id_col).cast("long").alias("doc_id"))
+         .distinct().coalesce(1).write.mode("overwrite")
+         .parquet(f"{self.root}/forgets/epoch={epoch_id}"))
+        self._rebuild()
+
+    def _rebuild(self) -> None:
+        """Rewrite shash/bitmap epochs from surviving (doc_id, shash)
+        rows, preserving the epoch structure (epoch e keeps the surviving
+        hashes FIRST seen at e; attribution of a shared hash to the
+        earliest surviving epoch is irrelevant to flag(), which unions
+        covered epochs). Per epoch: one anti-join against the rebuilt
+        prefix + one bounded m/8-byte bitmap OR — the same work shape as
+        process_batch, run E times."""
+        import numpy as np
+
+        gone = self._forgotten()
+        acc = np.frombuffer(bytes(self.m // 8), dtype=np.uint8).copy()
+        rebuilt: list[str] = []
+        for e in self._epochs("dochash"):
+            dh = self.spark.read.schema(_DOCHASH_SCHEMA).parquet(
+                f"{self.root}/dochash/epoch={e}")
+            delta = (dh.join(gone, on="doc_id", how="anti")
+                     .select("shash").distinct())
+            if rebuilt:
+                prior = self.spark.read.schema(_SHASH_SCHEMA).parquet(
+                    *rebuilt)
+                delta = delta.join(prior, on="shash", how="anti")
+            delta.coalesce(1).write.mode("overwrite").parquet(
+                f"{self.root}/shash/epoch={e}")
+            rebuilt.append(f"{self.root}/shash/epoch={e}")
+            acc |= np.frombuffer(
+                _build_bloom(self.spark.read.schema(_SHASH_SCHEMA)
+                             .parquet(rebuilt[-1]), self.m),
+                dtype=np.uint8)
+            (self.spark.createDataFrame([(bytearray(bytes(acc)),)],
+                                        _BITMAP_SCHEMA)
+             .coalesce(1).write.mode("overwrite")
+             .parquet(f"{self.root}/bitmap/epoch={e}"))

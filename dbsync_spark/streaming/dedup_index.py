@@ -59,12 +59,16 @@ class StreamingDedupIndex:
     `foreach_batch_handler()` from a writeStream)."""
 
     def __init__(self, spark: SparkSession, root: str,
-                 threshold: float = 0.5, k: int = 3, shingle_fn=None):
+                 threshold: float = 0.5, k: int = 3, shingle_fn=None,
+                 max_bucket: int | None = None):
+        from dbsync_spark.functions.dedup import LSH_MAX_BUCKET
+
         self.spark = spark
         self.root = root.rstrip("/")
         self.threshold = threshold
         self.k = k
         self.shingle_fn = shingle_fn
+        self.max_bucket = LSH_MAX_BUCKET if max_bucket is None else max_bucket
 
     def _read(self, sub: str, schema: StructType) -> DataFrame:
         # "no data yet" reads as empty; real corruption propagates
@@ -99,7 +103,8 @@ class StreamingDedupIndex:
         # earlier epochs — the stream's union is a (recall-side-up)
         # superset of a capped full recompute in that corner; equality
         # holds whenever no bucket crosses the cap mid-stream.
-        cands = probe_candidates(new_bands, index, "doc_id")
+        cands = probe_candidates(new_bands, index, "doc_id",
+                                 max_bucket=self.max_bucket)
         all_docs = self._read("docs", _DOCS_SCHEMA)
         sets = _candidate_shingle_sets(all_docs, cands, "text", "doc_id",
                                        self.k, self.shingle_fn,
@@ -169,6 +174,23 @@ class ForgettingDedupIndex(StreamingDedupIndex):
         if sub in ("bands", "docs"):
             return df.join(self._forgotten(), on="doc_id", how="anti")
         return df
+
+    def process_batch(self, new_docs: DataFrame,
+                      epoch_id: int | None = None) -> DataFrame:
+        """Reject re-ingest of a forgotten doc_id: tombstones apply to
+        ALL epochs at read time (no epoch ordering), so a doc ingested
+        after its forget would be silently invisible forever. Forgotten
+        ids are permanently retired from the id space — a collision is a
+        caller bug, surfaced loudly instead of swallowed."""
+        clash = (new_docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+                 .join(self._forgotten(), on="doc_id", how="semi")
+                 .limit(5).collect())
+        if clash:
+            ids = sorted(r["doc_id"] for r in clash)
+            raise ValueError(
+                f"doc_ids {ids} were forgotten and are permanently "
+                "retired; re-ingest under a fresh doc_id")
+        return super().process_batch(new_docs, epoch_id)
 
     def all_pairs(self) -> DataFrame:
         gone = self._forgotten()

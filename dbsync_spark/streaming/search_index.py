@@ -176,3 +176,21 @@ class ForgettingSearchIndex(StreamingSearchIndex):
         if sub in ("postings", "docstats"):
             return df.join(self._forgotten(), on="doc_id", how="anti")
         return df
+
+    def process_batch(self, new_docs: DataFrame,
+                      epoch_id: int | None = None) -> None:
+        """Reject re-ingest of a forgotten doc_id: tombstones apply to
+        ALL epochs at read time (no epoch ordering), so a doc ingested
+        after its forget would be silently invisible forever. Forgotten
+        ids are permanently retired from the id space — a collision is a
+        caller bug, surfaced loudly instead of swallowed."""
+        clash = (new_docs
+                 .select(F.col(self.id_col).cast("long").alias("doc_id"))
+                 .join(self._forgotten(), on="doc_id", how="semi")
+                 .limit(5).collect())
+        if clash:
+            ids = sorted(r["doc_id"] for r in clash)
+            raise ValueError(
+                f"doc_ids {ids} were forgotten and are permanently "
+                "retired; re-ingest under a fresh doc_id")
+        super().process_batch(new_docs, epoch_id)

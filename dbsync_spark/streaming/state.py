@@ -2,6 +2,25 @@
 
 from __future__ import annotations
 
+_SCRATCH_DIRS: list[str] = []
+
+
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp whose directory is removed at interpreter exit. The demo
+    queries build per-invocation index state under a temp root; a bare
+    mkdtemp leaks one directory per sweep/bench invocation (round-4
+    ADVICE), so every query-site temp root goes through here."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    if not _SCRATCH_DIRS:
+        atexit.register(lambda: [shutil.rmtree(p, ignore_errors=True)
+                                 for p in _SCRATCH_DIRS])
+    _SCRATCH_DIRS.append(path)
+    return path
+
 
 def next_epoch(root: str, sub: str) -> int:
     """Auto-assign the next epoch id for a direct (non-foreachBatch)

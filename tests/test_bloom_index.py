@@ -126,3 +126,31 @@ def test_flag_sound_when_bitmap_write_lost(spark, sf_dir, tmp_path):
     idx.process_batch(test.where(F.col("doc_id") % 2 == 1), epoch_id=1)
     full = _rows(decontaminate(docs, F.col("source") == "src19", k=3))
     assert _rows(idx.flag(train)) == full
+
+
+def test_crashed_epoch_causes_no_false_clean(spark, tmp_path):
+    """Round-4 ADVICE: an epoch that persisted its shash delta but died
+    before its bitmap write must not suppress a shared hash from a LATER
+    committed epoch's delta — otherwise the hash sits in no covered
+    exact set and no bitmap until the crash is replayed (a false-clean
+    window for contamination present in a committed epoch)."""
+    import shutil
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    idx = StreamingBloomIndex(spark, str(tmp_path / "bloom"), k=3)
+    idx.process_batch(mk([(0, "zero zip zap zop")]), epoch_id=0)
+    # crash: epoch 1's shash delta lands, its bitmap never does
+    idx.process_batch(mk([(1, "alpha beta gamma")]), epoch_id=1)
+    shutil.rmtree(str(tmp_path / "bloom" / "bitmap" / "epoch=1"))
+    # epoch 2 commits fine and contains the SAME shingle
+    idx.process_batch(mk([(2, "alpha beta gamma delta")]), epoch_id=2)
+
+    train = mk([(100, "alpha beta gamma"),
+                (101, "wholly unrelated clean words")])
+    clean = {r["doc_id"] for r in idx.flag(train).collect()}
+    assert clean == {101}, "epoch-2 contamination must flag doc 100"
+    # replaying the crashed epoch changes nothing
+    idx.process_batch(mk([(1, "alpha beta gamma")]), epoch_id=1)
+    assert {r["doc_id"] for r in idx.flag(train).collect()} == {101}

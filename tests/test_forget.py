@@ -95,3 +95,78 @@ def test_corpus_service_example_runs(spark, sf_dir):
         assert svc.main() == 0
     finally:
         __import__("sys").argv = old
+
+
+def test_reingest_after_forget_raises(spark, tmp_path):
+    """Tombstones apply to all epochs at read time, so a forgotten id is
+    permanently retired: re-ingesting it must fail loudly, not vanish
+    silently (round-4 ADVICE)."""
+    import pytest
+
+    rows = [(i, f"doc number {i} spark merge window join filter extra "
+                f"tokens for shingles {i}") for i in range(8)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    sidx = ForgettingSearchIndex(spark, str(tmp_path / "s"))
+    sidx.process_batch(docs.where(F.col("doc_id") < 4), epoch_id=0)
+    sidx.forget(docs.where(F.col("doc_id") == 2).select("doc_id"))
+    with pytest.raises(ValueError, match="permanently"):
+        sidx.process_batch(docs.where(F.col("doc_id") >= 2), epoch_id=1)
+    # disjoint batches still ingest fine
+    sidx.process_batch(docs.where(F.col("doc_id") > 4), epoch_id=2)
+
+    didx = ForgettingDedupIndex(spark, str(tmp_path / "d"))
+    didx.process_batch(docs.where(F.col("doc_id") < 4), epoch_id=0)
+    didx.forget(docs.where(F.col("doc_id") == 1).select("doc_id"))
+    with pytest.raises(ValueError, match="permanently"):
+        didx.process_batch(docs.where(F.col("doc_id") <= 1), epoch_id=1)
+    didx.process_batch(docs.where(F.col("doc_id") > 4), epoch_id=2)
+
+
+def test_bloom_index_forget_equals_rebuild(spark, tmp_path):
+    """ForgettingBloomIndex: after forgetting eval docs, flag() must equal
+    an index built from only the surviving eval docs — including the
+    shared-shingle subtlety (a hash carried by BOTH a forgotten and a
+    surviving doc must keep contaminating)."""
+    from dbsync_spark.streaming.bloom_index import ForgettingBloomIndex
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    evals = [
+        (0, "alpha beta gamma delta"),          # forget
+        (1, "epsilon zeta eta theta"),          # keep
+        (2, "alpha beta gamma iota"),           # keep — shares shingle w/ 0
+        (3, "kappa lambda mu nu"),              # forget
+    ]
+    train = mk([
+        (100, "alpha beta gamma"),    # shared with surviving doc 2: dirty
+        (101, "kappa lambda mu"),     # only in forgotten doc 3: clean
+        (102, "totally novel words here"),  # clean
+        (103, "epsilon zeta eta"),    # surviving doc 1: dirty
+    ])
+
+    idx = ForgettingBloomIndex(spark, str(tmp_path / "f"), k=3)
+    idx.process_batch(mk(evals[:2]), epoch_id=0)
+    idx.process_batch(mk(evals[2:]), epoch_id=1)
+    idx.forget(mk([(0, ""), (3, "")]).select("doc_id"))
+
+    rebuilt = ForgettingBloomIndex(spark, str(tmp_path / "r"), k=3)
+    rebuilt.process_batch(mk([evals[1]]), epoch_id=0)
+    rebuilt.process_batch(mk([evals[2]]), epoch_id=1)
+
+    got = sorted((r["doc_id"], r["n_shingles"])
+                 for r in idx.flag(train).collect())
+    want = sorted((r["doc_id"], r["n_shingles"])
+                  for r in rebuilt.flag(train).collect())
+    assert got == want
+    assert {d for d, _ in got} == {101, 102}
+
+    # forget replay is idempotent; re-ingest of a forgotten id raises
+    idx.forget(mk([(0, ""), (3, "")]).select("doc_id"), epoch_id=0)
+    assert sorted((r["doc_id"], r["n_shingles"])
+                  for r in idx.flag(train).collect()) == got
+    import pytest
+
+    with pytest.raises(ValueError, match="permanently"):
+        idx.process_batch(mk([(3, "kappa lambda mu nu")]), epoch_id=5)

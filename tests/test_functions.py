@@ -953,3 +953,46 @@ def test_streaming_simhash_equals_batch(spark, tmp_path):
 
     idx.process_batch(df.where(F.col("doc_id") % 3 == 1), epoch_id=1)
     assert sorted(map(tuple, idx.pairs().collect())) == want
+
+
+def test_srp_exact_buckets_equal_numpy(spark, sf_dir):
+    """The JVM left-fold bucket expression (the oracle-parity path behind
+    the declared q_ann_srp) must assign every fixture vector to the same
+    bucket as the numpy matmul path — the two differ only in float
+    summation order, which can flip a sign only when a projection is
+    within ulps of zero (never on real data)."""
+    from dbsync_spark.functions.similarity import (srp_bucket_ids,
+                                                   srp_bucket_ids_exact)
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    np_b = {r["vec_id"]: r["bucket"]
+            for r in srp_bucket_ids(emb, dim=64, n_planes=6).collect()}
+    jvm_b = {r["vec_id"]: r["bucket"]
+             for r in srp_bucket_ids_exact(emb, dim=64,
+                                           n_planes=6).collect()}
+    assert np_b == jvm_b
+
+
+def test_ivf_exact_matches_float_scores_on_overlap(spark, sf_dir):
+    """floor(e*1024) quantization perturbs cosine by O(1e-3): wherever the
+    integer-exact IVF (declared q_ann_ivf) and the exact float ranking
+    agree on a neighbor, the scores must differ by less than 2e-3 — and
+    the pipeline must be deterministic across runs."""
+    from dbsync_spark.functions.similarity import ivf_ann_topk_exact
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact_sims = {(r["query_id"], r["vec_id"]): r["cosine_sim"]
+                  for r in cosine_topk(emb, queries, k=10).collect()}
+    got = ivf_ann_topk_exact(emb, queries, dim=64, k=10,
+                             n_clusters=8, nprobe=3)
+    rows = {(r["query_id"], r["vec_id"]): r["cosine_sim"]
+            for r in got.collect()}
+    overlap = set(rows) & set(exact_sims)
+    assert overlap, "quantized IVF found none of the true neighbors"
+    for key in overlap:
+        assert abs(rows[key] - exact_sims[key]) < 2e-3
+    again = {(r["query_id"], r["vec_id"]): r["cosine_sim"]
+             for r in ivf_ann_topk_exact(emb, queries, dim=64, k=10,
+                                         n_clusters=8, nprobe=3).collect()}
+    assert again == rows

@@ -224,3 +224,18 @@ def test_simhash_max_hamming_validated(spark):
         simhash_pairs(docs, max_hamming=4, banks=4)
     with pytest.raises(ValueError, match="pigeonhole"):
         StreamingSimhashIndex(spark, "/tmp/unused", max_hamming=5)
+
+
+def test_empty_phrase_raises(spark):
+    """Round-4 ADVICE: an empty phrase list must raise a clear ValueError
+    instead of an IndexError from phrase[0]."""
+    import pytest
+
+    from dbsync_spark.functions.text import (phrase_occurrences_rowlocal,
+                                             phrase_search)
+
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="at least one term"):
+        phrase_search(docs, [])
+    with pytest.raises(ValueError, match="at least one term"):
+        phrase_occurrences_rowlocal(docs, [])
