@@ -65,21 +65,38 @@ def pg_upsert(schema: str, table: str, columns: list[str], keys: list[str],
             f"ON CONFLICT ({key_cols}) {action}")
 
 
-def mysql_upsert(schema: str, table: str, columns: list[str], keys: list[str]) -> str:
+def mysql_upsert(schema: str, table: str, columns: list[str], keys: list[str],
+                 watermark_col: str | None = None) -> str:
+    """With `watermark_col`, every SET clause is wrapped in
+    IF(VALUES(wm) > wm, new, old) — MySQL applies assignments LEFT TO
+    RIGHT with earlier assignments visible to later ones, so the
+    watermark column is assigned LAST and every payload guard reads the
+    row's OLD watermark (same replay-idempotence contract as
+    pg_upsert's DO UPDATE ... WHERE)."""
     tgt = _qual(schema, table, "`")
     cols = ", ".join(f"`{_ident(c)}`" for c in columns)
     ph = ", ".join(["?"] * len(columns))
     non_keys = [c for c in columns if c not in keys]
     if not non_keys:
         return f"INSERT IGNORE INTO {tgt} ({cols}) VALUES ({ph})"
-    sets = ", ".join(f"`{_ident(c)}` = VALUES(`{_ident(c)}`)" for c in non_keys)
+    if watermark_col is None:
+        sets = ", ".join(f"`{_ident(c)}` = VALUES(`{_ident(c)}`)"
+                         for c in non_keys)
+    else:
+        wm = _ident(watermark_col)
+        guarded = [c for c in non_keys if c != watermark_col] + [wm]
+        sets = ", ".join(
+            f"`{_ident(c)}` = IF(VALUES(`{wm}`) > `{wm}`, "
+            f"VALUES(`{_ident(c)}`), `{_ident(c)}`)" for c in guarded)
     return (f"INSERT INTO {tgt} ({cols}) VALUES ({ph}) "
             f"ON DUPLICATE KEY UPDATE {sets}")
 
 
 def gp_upsert(schema: str, table: str, columns: list[str], keys: list[str]) -> str:
     """Update-else-insert for engines without ON CONFLICT, as one
-    statement (parameters bound twice: once for UPDATE, once for INSERT)."""
+    statement (parameters bound twice: once for UPDATE, once for INSERT).
+    The watermark-guarded variant is gp_upsert_steps (two statements —
+    the shape that also parses on SQLite for rehearsal)."""
     tgt = _qual(schema, table, '"')
     non_keys = [c for c in columns if c not in keys]
     key_pred = " AND ".join(f'"{_ident(k)}" = ?' for k in keys)
@@ -92,6 +109,44 @@ def gp_upsert(schema: str, table: str, columns: list[str], keys: list[str]) -> s
     return (f"WITH upd AS (UPDATE {tgt} SET {sets} WHERE {key_pred} RETURNING 1) "
             f"INSERT INTO {tgt} ({cols}) SELECT {ph} "
             f"WHERE NOT EXISTS (SELECT 1 FROM upd)")
+
+
+def gp_upsert_steps(schema: str, table: str, columns: list[str],
+                    keys: list[str], watermark_col: str
+                    ) -> list[tuple[str, list[int]]]:
+    """Watermark-guarded update-else-insert as TWO plain-SQL statements
+    (the reference's server-side gp_upsert shape, GpOperation.scala:47-96,
+    done client-side):
+
+      1. UPDATE tgt SET payload..., wm WHERE keys AND wm < new-wm
+      2. INSERT ... SELECT ... WHERE NOT EXISTS (row with these keys)
+
+    A fresh key inserts (1 matches nothing, 2 fires); a newer change
+    updates (1 fires, 2 sees the row and skips); a replayed or stale
+    change is a full no-op (1's guard fails, 2 still sees the row).
+    Statement 2 checks the TABLE, not the update's row count — a stale
+    change must not fall through to a duplicate insert. Plain SQL on
+    purpose: executes identically on Greenplum and on SQLite (the
+    rehearsal engine). Not atomic across the two statements; safe under
+    the per-key single-writer partitioning merge_changes guarantees.
+
+    Returns [(sql, param_indices_into_columns)] — columns must include
+    watermark_col."""
+    tgt = _qual(schema, table, '"')
+    wm = _ident(watermark_col)
+    non_keys = [c for c in columns if c not in keys and c != watermark_col]
+    key_pred = " AND ".join(f'"{_ident(k)}" = ?' for k in keys)
+    cols = ", ".join(f'"{_ident(c)}"' for c in columns)
+    ph = ", ".join(["?"] * len(columns))
+    sets = ", ".join(f'"{_ident(c)}" = ?' for c in non_keys + [wm])
+    idx = {c: i for i, c in enumerate(columns)}
+    upd = (f"UPDATE {tgt} SET {sets} WHERE {key_pred} AND \"{wm}\" < ?",
+           [idx[c] for c in non_keys] + [idx[watermark_col]]
+           + [idx[k] for k in keys] + [idx[watermark_col]])
+    ins = (f"INSERT INTO {tgt} ({cols}) SELECT {ph} "
+           f"WHERE NOT EXISTS (SELECT 1 FROM {tgt} WHERE {key_pred})",
+           list(range(len(columns))) + [idx[k] for k in keys])
+    return [upd, ins]
 
 
 def delete_by_keys(schema: str, table: str, keys: list[str],
@@ -139,17 +194,40 @@ DIALECTS = {
 def upsert_sql(dialect: str, schema: str, table: str,
                columns: list[str], keys: list[str],
                watermark_col: str | None = None) -> str:
+    """Single-statement upsert for the dialect. The greenplum watermark
+    variant is inherently two statements — use upsert_steps (the writer
+    does)."""
+    steps = upsert_steps(dialect, schema, table, columns, keys,
+                         watermark_col)
+    if len(steps) != 1:
+        raise ValueError(
+            f"{dialect!r} watermark upsert is {len(steps)} statements; "
+            "use upsert_steps")
+    return steps[0][0]
+
+
+def upsert_steps(dialect: str, schema: str, table: str,
+                 columns: list[str], keys: list[str],
+                 watermark_col: str | None = None
+                 ) -> list[tuple[str, list[int]]]:
+    """Upsert as an ordered list of (sql, param_indices_into_columns)
+    statements — one for the ON CONFLICT / ON DUPLICATE KEY dialects,
+    two for greenplum's watermark-guarded update-else-insert. All three
+    watermark variants enforce the same replay-idempotence contract
+    (apply only when the change advances the row's watermark)."""
     if dialect not in DIALECTS:
         raise ValueError(f"unsupported dialect {dialect!r}; "
                          f"one of {sorted(DIALECTS)}")
-    if watermark_col is not None:
-        if dialect != "postgresql":
-            raise ValueError(
-                "watermark-guarded upserts are postgresql-dialect only "
-                "(MySQL would need per-column IF(); Greenplum lacks "
-                "ON CONFLICT)")
-        return pg_upsert(schema, table, columns, keys, watermark_col)
-    return DIALECTS[dialect](schema, table, columns, keys)
+    ident = list(range(len(columns)))
+    if watermark_col is None:
+        return [(DIALECTS[dialect](schema, table, columns, keys), ident)]
+    if dialect == "postgresql":
+        return [(pg_upsert(schema, table, columns, keys, watermark_col),
+                 ident)]
+    if dialect == "mysql":
+        return [(mysql_upsert(schema, table, columns, keys, watermark_col),
+                 ident)]
+    return gp_upsert_steps(schema, table, columns, keys, watermark_col)
 
 
 def _sqlite_connect(path: str):
@@ -187,7 +265,8 @@ def write_upserts(df, dialect: str, url: str, schema: str, table: str,
     statement cannot pin the pool. Without it, one connection is opened
     and closed per partition (still retried)."""
     columns = [c for c in df.columns if c != "operation"]
-    up_sql = upsert_sql(dialect, schema, table, columns, keys, watermark_col)
+    up_steps = upsert_steps(dialect, schema, table, columns, keys,
+                            watermark_col)
     del_sql = delete_by_keys(schema, table, keys, dialect, watermark_col)
     key_idx = [columns.index(k) for k in keys]
     if watermark_col is not None:
@@ -228,7 +307,16 @@ def write_upserts(df, dialect: str, url: str, schema: str, table: str,
 
             def flush():
                 if buf:
-                    cur.executemany(del_sql if cur_op == "D" else up_sql, buf)
+                    if cur_op == "D":
+                        cur.executemany(del_sql, buf)
+                    else:
+                        # a multi-statement dialect (greenplum watermark
+                        # path) runs each step over the whole batch in
+                        # order — executemany preserves row order within
+                        # a step, and the steps are per-key independent
+                        for sql, idxs in up_steps:
+                            cur.executemany(
+                                sql, [[r[i] for i in idxs] for r in buf])
                     buf.clear()
 
             for row in rows:

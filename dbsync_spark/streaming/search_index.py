@@ -101,6 +101,68 @@ class StreamingSearchIndex:
 
         return handle
 
+    def compact(self) -> None:
+        """OPTIMIZE-style maintenance: merge every epoch's postings/doc
+        stats into ONE epoch directory (keeping the max epoch id so
+        next_epoch keeps advancing) and physically drop rows the read
+        path already hides (the Forgetting subclass's tombstoned docs —
+        this is the storage-level-erasure counterpart of its read-time
+        anti-join). Query results are unchanged by construction: the
+        state is a set union over epochs and compaction only
+        re-associates it (pinned in tests + tools/search_soak.py).
+
+        Crash-safe in the BucketedTable staging style: the merged copy
+        lands in a `_compacting` staging dir (underscore-hidden from
+        Spark and from list_epochs) with a `_covers.json` manifest, the
+        covered epoch dirs are deleted, then one atomic rename publishes
+        the staging dir as the surviving epoch. A crash before the
+        manifest leaves the old state untouched; a crash after it leaves
+        a window where reads are partial — re-running compact() first
+        completes the interrupted swap from the staged full copy, so no
+        data is ever lost. File count: O(n_epochs) -> O(1) per sub."""
+        for sub in ("postings", "docstats"):
+            self._compact_sub(sub)
+
+    def _compact_sub(self, sub: str) -> None:
+        import json
+        import os
+        import shutil
+
+        schema = _POSTINGS_SCHEMA if sub == "postings" else _DOCSTATS_SCHEMA
+        stage = f"{self.root}/{sub}/_compacting"
+        if os.path.exists(f"{stage}/_covers.json"):
+            self._finish_compact(sub)
+        eps = self._epochs(sub)
+        if len(eps) <= 1 and not self._has_hidden_rows(sub):
+            return
+        if not eps:
+            return
+        df = self._read(sub, schema)  # Forgetting: tombstones applied
+        shutil.rmtree(stage, ignore_errors=True)
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        with open(f"{stage}/_covers.json", "w") as fh:
+            json.dump(eps, fh)
+        self._finish_compact(sub)
+
+    def _has_hidden_rows(self, sub: str) -> bool:
+        """Whether compaction would change the stored bytes even with a
+        single epoch (rows hidden at read time — overridden by the
+        Forgetting subclass)."""
+        return False
+
+    def _finish_compact(self, sub: str) -> None:
+        import json
+        import os
+        import shutil
+
+        stage = f"{self.root}/{sub}/_compacting"
+        with open(f"{stage}/_covers.json") as fh:
+            covers = json.load(fh)
+        for e in covers:
+            shutil.rmtree(f"{self.root}/{sub}/epoch={e}",
+                          ignore_errors=True)
+        os.rename(stage, f"{self.root}/{sub}/epoch={max(covers)}")
+
     def postings(self, terms: list[str] | None = None) -> DataFrame:
         posts = self._read("postings", _POSTINGS_SCHEMA)
         if terms is not None:

@@ -239,3 +239,91 @@ def test_empty_phrase_raises(spark):
         phrase_search(docs, [])
     with pytest.raises(ValueError, match="at least one term"):
         phrase_occurrences_rowlocal(docs, [])
+
+
+def test_search_index_compaction(spark, sf_dir, tmp_path):
+    """compact() merges all posting/docstat epochs into one, leaves every
+    query's results unchanged, keeps epoch ids advancing, and physically
+    drops tombstoned docs' rows for the Forgetting index (storage-level
+    erasure, not just read-time hiding)."""
+    import os
+
+    from dbsync_spark.sources.tables import read_table
+    from dbsync_spark.streaming.search_index import ForgettingSearchIndex
+    from dbsync_spark.streaming.state import list_epochs
+
+    docs = read_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < 300)
+    idx = ForgettingSearchIndex(spark, str(tmp_path / "c"))
+    for e in range(6):
+        idx.process_batch(docs.where(F.col("doc_id") % 6 == e), epoch_id=e)
+    idx.forget(docs.where(F.col("doc_id") % 11 == 0).select("doc_id"))
+
+    terms = ["spark", "merge", "window"]
+    bm_before = sorted(map(tuple, idx.bm25(terms, k=10).collect()))
+    ph_before = sorted(map(tuple, idx.phrase(["the", "table"]).collect()))
+
+    idx.compact()
+
+    assert list_epochs(str(tmp_path / "c"), "postings") == [5]
+    assert list_epochs(str(tmp_path / "c"), "docstats") == [5]
+    assert sorted(map(tuple, idx.bm25(terms, k=10).collect())) == bm_before
+    assert sorted(map(tuple,
+                      idx.phrase(["the", "table"]).collect())) == ph_before
+
+    # physical erasure: raw parquet (no tombstone anti-join) has no rows
+    # for forgotten docs
+    raw = spark.read.parquet(str(tmp_path / "c" / "postings" / "epoch=5"))
+    gone = {r["doc_id"] for r in idx._forgotten().collect()}
+    left = {r["doc_id"] for r in raw.select("doc_id").distinct().collect()}
+    assert not (left & gone)
+
+    # bounded file count: one data file per sub after compaction
+    files = [f for f in os.listdir(tmp_path / "c" / "postings" / "epoch=5")
+             if f.endswith(".parquet")]
+    assert len(files) == 1
+
+    # the index keeps working after compaction: new epochs append past
+    # the surviving id and queries reflect them
+    extra = spark.createDataFrame(
+        [(100_001, "spark merge window spark merge window")],
+        ["doc_id", "text"])
+    idx.process_batch(extra)  # auto epoch = 6
+    assert 6 in list_epochs(str(tmp_path / "c"), "postings")
+    top = idx.bm25(terms, k=3).collect()
+    assert any(r["doc_id"] == 100_001 for r in top)
+
+
+def test_search_index_compaction_crash_recovery(spark, tmp_path):
+    """A compact() that crashed after writing the staging manifest (the
+    delete/rename window) completes on the next compact(): no data loss,
+    queries equal the pre-compaction state."""
+    import json
+    import shutil
+
+    from dbsync_spark.streaming.search_index import StreamingSearchIndex
+    from dbsync_spark.streaming.state import list_epochs
+
+    rows = [(i, f"alpha beta doc {i} gamma delta spark") for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    idx = StreamingSearchIndex(spark, str(tmp_path / "x"))
+    for e in range(4):
+        idx.process_batch(docs.where(F.col("doc_id") % 4 == e), epoch_id=e)
+    want = sorted(map(tuple, idx.bm25(["alpha", "spark"], k=10).collect()))
+
+    # simulate the crash: stage the merged copy + manifest, delete ONE
+    # covered epoch, then 'die' before the rename
+    stage = str(tmp_path / "x" / "postings" / "_compacting")
+    from dbsync_spark.streaming.search_index import _POSTINGS_SCHEMA
+
+    idx._read("postings", _POSTINGS_SCHEMA).coalesce(1).write.mode(
+        "overwrite").parquet(stage)
+    with open(f"{stage}/_covers.json", "w") as fh:
+        json.dump([0, 1, 2, 3], fh)
+    shutil.rmtree(str(tmp_path / "x" / "postings" / "epoch=1"))
+
+    idx.compact()  # completes the interrupted swap, then no-ops
+
+    assert list_epochs(str(tmp_path / "x"), "postings") == [3]
+    got = sorted(map(tuple, idx.bm25(["alpha", "spark"], k=10).collect()))
+    assert got == want

@@ -17,7 +17,10 @@ Replication is KEY-SPACE scaling, not row duplication games:
   md5-derived noise for copies 1-9, breaking cross-copy near-dup
   structure for the same reason.
 
-Usage: python tools/gen_sf1.py [out_dir]   (default /root/repo/.scratch/sf1)
+Usage: python tools/gen_sf1.py [out_dir] [copies]
+       (defaults /root/repo/.scratch/sf1, 10; copies=30 writes the
+        sf3-equivalent decade-and-a-half fixture for tools/scaling.py's
+        third datapoint on the worst-alpha operators)
 """
 
 from __future__ import annotations
@@ -28,7 +31,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 SRC = "/root/testdata/sf0.1"
-COPIES = 10
+COPIES = 10  # overridden by argv[2]
 
 
 def main() -> int:
@@ -36,7 +39,10 @@ def main() -> int:
 
     from dbsync_spark.session import get_spark
 
+    global COPIES
     out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scratch/sf1"
+    if len(sys.argv) > 2:
+        COPIES = int(sys.argv[2])
     os.makedirs(out, exist_ok=True)
     spark = get_spark("gen-sf1")
     spark.sparkContext.setLogLevel("ERROR")
