@@ -122,6 +122,41 @@ class StreamingDedupIndex:
 
         return handle
 
+    def compact(self) -> None:
+        """OPTIMIZE-style maintenance, same staged crash-safe contract as
+        StreamingSearchIndex.compact (streaming/state.staged_compact):
+        merge every docs/bands/pairs epoch into one, keeping query
+        results identical (all state is a set union over epochs) and
+        file count O(1). For ForgettingDedupIndex this PHYSICALLY erases
+        the forgotten docs' raw text, band rows, and pairs — the
+        storage-level counterpart of its read-time tombstone hiding,
+        and the erasure obligation that matters most here because the
+        docs table stores full document text. Run only when the feeding
+        stream is quiescent past the compacted epochs (replaying an old
+        epoch id afterwards would re-append rows)."""
+        from dbsync_spark.streaming.state import (finish_compact,
+                                                  list_epochs,
+                                                  pending_compaction,
+                                                  staged_compact)
+
+        for sub in ("docs", "bands", "pairs"):
+            if pending_compaction(self.root, sub):
+                finish_compact(self.root, sub)
+            eps = list_epochs(self.root, sub)
+            if not eps or (len(eps) <= 1 and not self._has_hidden_rows()):
+                continue
+            if sub == "pairs":
+                df = self.all_pairs()  # Forgetting: tombstone pairs gone
+            else:
+                df = self._read(
+                    sub, _DOCS_SCHEMA if sub == "docs" else _BANDS_SCHEMA)
+            staged_compact(df, self.root, sub, eps)
+
+    def _has_hidden_rows(self) -> bool:
+        """Overridden by ForgettingDedupIndex (pending tombstones make a
+        single-epoch compaction still worthwhile: physical erasure)."""
+        return False
+
     def all_pairs(self) -> DataFrame:
         """Every near-dup pair persisted so far (empty frame before the
         first batch; real corruption still propagates — read_state)."""
@@ -174,6 +209,11 @@ class ForgettingDedupIndex(StreamingDedupIndex):
         if sub in ("bands", "docs"):
             return df.join(self._forgotten(), on="doc_id", how="anti")
         return df
+
+    def _has_hidden_rows(self) -> bool:
+        from dbsync_spark.streaming.state import list_epochs
+
+        return bool(list_epochs(self.root, "forgets"))
 
     def process_batch(self, new_docs: DataFrame,
                       epoch_id: int | None = None) -> DataFrame:

@@ -124,44 +124,24 @@ class StreamingSearchIndex:
             self._compact_sub(sub)
 
     def _compact_sub(self, sub: str) -> None:
-        import json
-        import os
-        import shutil
+        from dbsync_spark.streaming.state import (finish_compact,
+                                                  pending_compaction,
+                                                  staged_compact)
 
         schema = _POSTINGS_SCHEMA if sub == "postings" else _DOCSTATS_SCHEMA
-        stage = f"{self.root}/{sub}/_compacting"
-        if os.path.exists(f"{stage}/_covers.json"):
-            self._finish_compact(sub)
+        if pending_compaction(self.root, sub):
+            finish_compact(self.root, sub)
         eps = self._epochs(sub)
-        if len(eps) <= 1 and not self._has_hidden_rows(sub):
+        if not eps or (len(eps) <= 1 and not self._has_hidden_rows(sub)):
             return
-        if not eps:
-            return
-        df = self._read(sub, schema)  # Forgetting: tombstones applied
-        shutil.rmtree(stage, ignore_errors=True)
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        with open(f"{stage}/_covers.json", "w") as fh:
-            json.dump(eps, fh)
-        self._finish_compact(sub)
+        # Forgetting subclass: tombstoned rows filtered here
+        staged_compact(self._read(sub, schema), self.root, sub, eps)
 
     def _has_hidden_rows(self, sub: str) -> bool:
         """Whether compaction would change the stored bytes even with a
         single epoch (rows hidden at read time — overridden by the
         Forgetting subclass)."""
         return False
-
-    def _finish_compact(self, sub: str) -> None:
-        import json
-        import os
-        import shutil
-
-        stage = f"{self.root}/{sub}/_compacting"
-        with open(f"{stage}/_covers.json") as fh:
-            covers = json.load(fh)
-        for e in covers:
-            shutil.rmtree(f"{self.root}/{sub}/epoch={e}",
-                          ignore_errors=True)
-        os.rename(stage, f"{self.root}/{sub}/epoch={max(covers)}")
 
     def postings(self, terms: list[str] | None = None) -> DataFrame:
         posts = self._read("postings", _POSTINGS_SCHEMA)
@@ -238,6 +218,9 @@ class ForgettingSearchIndex(StreamingSearchIndex):
         if sub in ("postings", "docstats"):
             return df.join(self._forgotten(), on="doc_id", how="anti")
         return df
+
+    def _has_hidden_rows(self, sub: str) -> bool:
+        return bool(self._epochs("forgets"))
 
     def process_batch(self, new_docs: DataFrame,
                       epoch_id: int | None = None) -> None:

@@ -55,3 +55,51 @@ def list_epochs(root: str, sub: str) -> list[int]:
         return []
     return sorted(int(m.group(1)) for e in entries
                   if (m := _re.fullmatch(r"epoch=(\d+)", e)))
+
+
+def staged_compact(df, root: str, sub: str, covers: list[int]) -> None:
+    """Crash-safe epoch-directory compaction shared by the streaming
+    index services: write `df` (the merged, read-path-filtered state) to
+    a `_compacting` staging dir (underscore-hidden from Spark listings
+    and list_epochs), record the covered epochs in a manifest, delete
+    them, then atomically rename the staging dir to the max covered
+    epoch (so next_epoch keeps advancing past it).
+
+    Crash windows: before the manifest lands the old state is untouched
+    and a re-run restages; after it, reads may be partial until
+    finish_compact completes the swap from the staged full copy — no
+    data loss either way. Callers must be quiescent: replaying a
+    pre-compaction epoch id afterwards would re-append rows the
+    compacted epoch already holds (the standard OPTIMIZE-vs-writer
+    discipline; run compaction only past the stream's checkpoint)."""
+    import json
+    import shutil
+
+    stage = f"{root}/{sub}/_compacting"
+    shutil.rmtree(stage, ignore_errors=True)
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    with open(f"{stage}/_covers.json", "w") as fh:
+        json.dump(covers, fh)
+    finish_compact(root, sub)
+
+
+def finish_compact(root: str, sub: str) -> None:
+    """Complete a staged compaction (idempotent crash recovery): delete
+    the covered epoch dirs and publish the staging dir as the surviving
+    epoch."""
+    import json
+    import os
+    import shutil
+
+    stage = f"{root}/{sub}/_compacting"
+    with open(f"{stage}/_covers.json") as fh:
+        covers = json.load(fh)
+    for e in covers:
+        shutil.rmtree(f"{root}/{sub}/epoch={e}", ignore_errors=True)
+    os.rename(stage, f"{root}/{sub}/epoch={max(covers)}")
+
+
+def pending_compaction(root: str, sub: str) -> bool:
+    import os
+
+    return os.path.exists(f"{root}/{sub}/_compacting/_covers.json")

@@ -170,3 +170,51 @@ def test_bloom_index_forget_equals_rebuild(spark, tmp_path):
 
     with pytest.raises(ValueError, match="permanently"):
         idx.process_batch(mk([(3, "kappa lambda mu nu")]), epoch_id=5)
+
+
+def test_dedup_index_compaction_physically_erases(spark, tmp_path):
+    """ForgettingDedupIndex.compact(): pairs/docs/bands collapse to one
+    epoch each, queryable state is unchanged, and the forgotten docs'
+    TEXT is physically gone from the parquet files (not just hidden by
+    the read-time anti-join)."""
+    import os
+
+    from dbsync_spark.streaming.state import list_epochs
+
+    base = ("spark table merge join filter scan window batch stream hash "
+            "sort group row column value data query order part line key ")
+    rows = [(i, base + f"suffix{i % 3}") for i in range(12)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    idx = ForgettingDedupIndex(spark, str(tmp_path / "dc"), threshold=0.5)
+    for e in range(3):
+        idx.process_batch(docs.where(F.col("doc_id") % 3 == e), epoch_id=e)
+    idx.forget(docs.where(F.col("doc_id") < 2).select("doc_id"))
+
+    before = sorted(map(tuple, idx.all_pairs().collect()))
+    idx.compact()
+
+    for sub in ("docs", "bands", "pairs"):
+        assert list_epochs(str(tmp_path / "dc"), sub) == [2], sub
+    assert sorted(map(tuple, idx.all_pairs().collect())) == before
+
+    raw_docs = spark.read.parquet(str(tmp_path / "dc" / "docs"))
+    assert {r["doc_id"] for r in raw_docs.collect()} & {0, 1} == set()
+    raw_pairs = spark.read.parquet(str(tmp_path / "dc" / "pairs"))
+    touched = {r["doc_a"] for r in raw_pairs.collect()} | {
+        r["doc_b"] for r in raw_pairs.collect()}
+    assert touched & {0, 1} == set()
+
+    # file count bounded: one data file per sub
+    for sub in ("docs", "bands", "pairs"):
+        d = tmp_path / "dc" / sub / "epoch=2"
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (sub, files)
+
+    # the index keeps working: a new batch probes the compacted state
+    extra = spark.createDataFrame([(100, base + "suffix2")],
+                                  ["doc_id", "text"])
+    new_pairs = idx.process_batch(extra)  # auto epoch 3
+    partners = {r["doc_b"] for r in new_pairs.collect()} | {
+        r["doc_a"] for r in new_pairs.collect()}
+    assert 100 in partners and len(partners) > 1

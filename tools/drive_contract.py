@@ -57,8 +57,14 @@ def main() -> int:
     assert n >= 0
 
     con = duckdb.connect()
+    import os
+
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        src = f"{sf_dir}/{t}.parquet"
+        # driver fixtures are single files; generated decades
+        # (.scratch/sf1, sf3) are Spark-written directories
+        pat = f"{src}/*.parquet" if os.path.isdir(src) else src
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
 
     queries, oracles = mod.queries(), mod.oracle_sql()
     fails = []
@@ -76,24 +82,10 @@ def main() -> int:
                 ok_vals = ok_cols and ok_rows and canon(spdf) == canon(dpdf)
                 status = "MATCH" if ok_vals else "MISMATCH"
                 detail = f"rows={len(spdf)}/{len(dpdf)} cols_ok={ok_cols}"
-            elif name == "q_partition":
-                # stronger-than-driver check: recompute the distribution
-                # with the pure-Python Murmur3_x86_32 parity spec
-                from dbsync_spark.operators.partition import partition_id_py
-
-                okeys = con.execute(
-                    f"SELECT o_orderkey FROM '{sf_dir}/orders.parquet'").fetchall()
-                from collections import Counter
-
-                exp = Counter()
-                for (k,) in okeys:
-                    weight = 1 + (k % 5 == 0) + (k % 17 == 0)
-                    exp[partition_id_py(f"public:orders:{k}", 32)] += weight
-                got = {r.partition: r.cnt for r in spdf.itertuples(index=False)}
-                ok = got == dict(exp)
-                status = "PY-MATCH" if ok else "MISMATCH"
-                detail = f"rows={len(spdf)} python_hash_ok={ok}"
             else:
+                # (q_partition is fully oracle-checked since r5; the
+                # murmur3 engine path's pure-Python parity spec is
+                # pinned in tests/test_partition.py)
                 status, detail = "ROWS-ONLY", f"rows={len(spdf)}"
             print(f"  {name:28s} {status:9s} {detail}  {time.time()-t0:.1f}s")
             results[name] = {"status": status, "detail": detail,
