@@ -53,6 +53,10 @@ def get_spark(app_name: str = "dbsync-spark", shuffle_partitions: int | None = N
         # skipping on timestamp filters; micros is the modern type
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # evidence runs compare whole result frames at generated decades
+        # (sf1/sf3); the 1g default kills the COLLECT, not the query
+        .config("spark.driver.maxResultSize",
+                os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

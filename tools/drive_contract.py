@@ -56,8 +56,19 @@ def main() -> int:
     print(f"entry(): {n} rows, schema={[f.name for f in edf.schema.fields]}, {time.time()-t0:.1f}s")
     assert n >= 0
 
-    con = duckdb.connect()
     import os
+
+    con = duckdb.connect()
+    # big generated-SQL oracles (minhash at sf1) spill; the default
+    # relative ".tmp" dir failed mid-sweep — pin an absolute tmpfs path
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # fail fast instead of filling the disk: the char-5-gram minhash
+    # oracle at sf1 spilled 69 GB before this cap existed (the ENGINE
+    # side runs sf1 in ~22 s — the generated SQL oracle is the
+    # intractable half; its verified decade tops out at sf0.1)
+    con.execute("SET max_temp_directory_size='%s'"
+                % os.environ.get("DUCKDB_MAX_TEMP", "20GB"))
 
     for t in TABLES:
         src = f"{sf_dir}/{t}.parquet"
