@@ -265,6 +265,41 @@ def _assign_clusters_exact(qv: DataFrame, cents: list[list[int]],
             .where(F.col("_rn") <= nprobe).select(id_col, "v", "cluster"))
 
 
+def _lloyd_exact(qv: DataFrame, dim: int, n_clusters: int, iters: int,
+                 id_col: str) -> list[list[int]]:
+    """Seeded integer Lloyd rounds over a quantized corpus: returns the
+    final SUM-vector centroids (exact ints; empty clusters keep their
+    previous centroid). Shared by ivf_ann_topk_exact and
+    kmeans_assign_exact; per-round driver traffic is n_clusters x dim
+    integer sums."""
+    seeds = qv.orderBy(id_col).limit(n_clusters).select("v").collect()
+    cents = [list(r["v"]) for r in seeds]
+    for _ in range(iters):
+        assigned = _assign_clusters_exact(qv, cents, id_col)
+        sums = (assigned.groupBy("cluster")
+                .agg(*[F.sum(F.col("v")[i]).alias(f"s{i}")
+                       for i in range(dim)]).collect())
+        got = {int(r["cluster"]): [int(r[f"s{i}"]) for i in range(dim)]
+               for r in sums}
+        cents = [got.get(j, cents[j]) for j in range(n_clusters)]
+    return cents
+
+
+def kmeans_assign_exact(corpus: DataFrame, dim: int, n_clusters: int = 8,
+                        iters: int = 2, scale: int = 1024,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """(id, cluster) k-means assignment under the integer-exact Lloyd
+    discipline of ivf_ann_topk_exact — fully DuckDB-oracle-checkable
+    (the numpy/float kmeans_assign stays the batch-throughput variant)."""
+    qv = _quantize(corpus, scale, id_col, vec_col)
+    qv.persist()
+    cents = _lloyd_exact(qv, dim, n_clusters, iters, id_col)
+    out = _assign_clusters_exact(qv, cents, id_col).select(id_col, "cluster")
+    qv.unpersist()
+    return out
+
+
 def ivf_ann_topk_exact(corpus: DataFrame, queries: DataFrame, dim: int,
                        k: int = 10, n_clusters: int = 8, nprobe: int = 3,
                        iters: int = 2, scale: int = 1024,
@@ -291,17 +326,7 @@ def ivf_ann_topk_exact(corpus: DataFrame, queries: DataFrame, dim: int,
     the cluster column is the partition key; a probe reads nprobe lists."""
     qv_c = _quantize(corpus, scale, id_col, vec_col)
     qv_c.persist()
-    seeds = (qv_c.orderBy(id_col).limit(n_clusters).select("v").collect())
-    cents = [list(r["v"]) for r in seeds]
-
-    for _ in range(iters):
-        assigned = _assign_clusters_exact(qv_c, cents, id_col)
-        sums = (assigned.groupBy("cluster")
-                .agg(*[F.sum(F.col("v")[i]).alias(f"s{i}")
-                       for i in range(dim)]).collect())
-        got = {int(r["cluster"]): [int(r[f"s{i}"]) for i in range(dim)]
-               for r in sums}
-        cents = [got.get(j, cents[j]) for j in range(n_clusters)]
+    cents = _lloyd_exact(qv_c, dim, n_clusters, iters, id_col)
 
     cb = _assign_clusters_exact(qv_c, cents, id_col).select(
         F.col(id_col).alias("vec_id"), F.col("v").alias("e"), "cluster")

@@ -153,3 +153,32 @@ ann AS (
 ),
 fc AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 {_EXACT_RECALL_TAIL.lstrip()}"""
+
+
+def kmeans_oracle(dim: int = 64, n_clusters: int = 8,
+                  scale: int = 1024) -> str:
+    """(vec_id, cluster) after two integer-exact Lloyd rounds — the
+    assignment prefix of ivf_oracle."""
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * {scale}) AS BIGINT)) AS v
+  FROM embeddings
+),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+         v AS c
+  FROM (SELECT vec_id, v FROM qv ORDER BY vec_id LIMIT {n_clusters})
+),
+{_ivf_assign("x1", "seeds", "a1", 1)},
+{_ivf_sums("a1", "s1", dim)},
+c1 AS (SELECT s.cluster, COALESCE(s1.c, s.c) AS c
+       FROM seeds s LEFT JOIN s1 USING (cluster)),
+{_ivf_assign("x2", "c1", "a2", 1)},
+{_ivf_sums("a2", "s2", dim)},
+c2 AS (SELECT c1.cluster, COALESCE(s2.c, c1.c) AS c
+       FROM c1 LEFT JOIN s2 USING (cluster)),
+{_ivf_assign("x3", "c2", "ca", 1)}
+SELECT vec_id, cluster FROM ca
+"""

@@ -382,16 +382,28 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(corpus, dim=64, n_planes=12, threshold=0.99)
 
 
-@_register("q_cluster_assign")  # rows-only: float centroid means are not
-# bit-stable across engines; geometry properties are pytest-verified
+def _kmeans_oracle() -> str:
+    from dbsync_spark.oracles_ann import kmeans_oracle
+
+    return kmeans_oracle(dim=64, n_clusters=8, scale=1024)
+
+
+@_register("q_cluster_assign", _kmeans_oracle())
 def q_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means cluster assignment over the embeddings corpus (8 clusters,
     2 Lloyd iterations, deterministic lowest-id seeding) — iterative
-    algorithm on Spark with only aggregate state crossing the driver."""
-    from dbsync_spark.functions.similarity import kmeans_assign
+    algorithm on Spark with only aggregate state crossing the driver.
+
+    Fully oracle-checked since round 5 via the integer-exact Lloyd
+    (similarity.kmeans_assign_exact: floor(e*1024) quantization,
+    SUM-vector centroids, one-sqrt-one-divide scoring — see
+    ivf_ann_topk_exact); the DuckDB oracle unrolls the identical rounds.
+    The numpy/float kmeans_assign stays the batch-throughput variant,
+    geometry-pinned in tests."""
+    from dbsync_spark.functions.similarity import kmeans_assign_exact
 
     emb = read_table(spark, sf_dir, "embeddings")
-    return kmeans_assign(emb, dim=64, n_clusters=8, iters=2)
+    return kmeans_assign_exact(emb, dim=64, n_clusters=8, iters=2)
 
 
 @_register(
