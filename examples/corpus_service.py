@@ -87,7 +87,38 @@ def main() -> int:
     assert all(r["doc_id"] != victim for r in after), "forget leaked"
     print(f"after forget({victim}): top-5 =",
           [(r["doc_id"], r["score_micro"]) for r in after])
-    print("OK: forgotten id unreachable; invariants hold")
+
+    # 6. maintenance: compact the posting epochs — queries unchanged,
+    # the forgotten doc's postings PHYSICALLY erased (storage-level
+    # erasure, not just read-time hiding), file count O(1)
+    index.compact()
+    compacted = index.bm25(["spark", "merge", "window"], k=5).collect()
+    assert [(r["doc_id"], r["score_micro"]) for r in compacted] == \
+        [(r["doc_id"], r["score_micro"]) for r in after], "compact changed results"
+    raw = spark.read.parquet(f"{index.root}/postings")
+    assert raw.where(F.col("doc_id") == victim).count() == 0, \
+        "compaction left forgotten postings on disk"
+    print(f"after compact: results unchanged; doc {victim}'s postings "
+          "physically erased")
+
+    # 7. eval-set governance: a registered benchmark doc can be forgotten
+    # too (ForgettingBloomIndex rebuilds the bitmap from survivors)
+    from dbsync_spark.streaming.bloom_index import ForgettingBloomIndex
+
+    fbloom = ForgettingBloomIndex(spark,
+                                  tempfile.mkdtemp(prefix="svc_fbloom_"))
+    for e in range(2):
+        fbloom.process_batch(evals.where(F.col("doc_id") % 2 == e),
+                             epoch_id=e)
+    gone_eval = evals.limit(1).select("doc_id")
+    before_n = fbloom.flag(train).count()
+    fbloom.forget(gone_eval)
+    after_n = fbloom.flag(train).count()
+    print(f"eval forget: clean-train count {before_n} -> {after_n} "
+          "(never decreases — fewer eval shingles can only free docs)")
+    assert after_n >= before_n
+    print("OK: forgotten ids unreachable; compaction exact; "
+          "invariants hold")
     return 0
 
 
