@@ -307,6 +307,8 @@ def main() -> None:
            lambda: QUERIES["q_simhash_pairs"](spark, SF_DIR).count())
     timed2("winsorize",
            lambda: QUERIES["q_winsorize"](spark, SF_DIR).count())
+    timed2("dsir_select",
+           lambda: QUERIES["q_dsir_select"](spark, SF_DIR).count())
 
     # -- streaming micro-batch latency (BASELINE.md: <= 5 s / 10k-row batch) --
     from dbsync_spark.changelog import ORDERS_PAYLOAD_SCHEMA, build_log_orders

@@ -134,6 +134,198 @@ def pack_sequences(df: DataFrame, id_col: str, len_col: str,
     return df.select(*out_cols)
 
 
+# ---------------------------------------------------------------------------
+# DSIR: Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
+# ---------------------------------------------------------------------------
+#
+# Select raw-corpus documents whose hashed-n-gram distribution looks like a
+# small TARGET corpus: featurize every document as a bag of unigrams+bigrams
+# hashed into DSIR_BUCKETS buckets, fit per-bucket counts on target and raw,
+# and score each raw document by how target-like its buckets are. The paper
+# scores log( p_target(b) / p_raw(b) ) summed over the document's grams and
+# resamples by Gumbel top-k; both are implemented below (dsir_log_weights /
+# gumbel_topk). The DEFAULT weight here is the centered integer ratio
+#
+#     w_b = ((t_b + 1) * DSIR_SCALE) // (r_b + 1)  -  DSIR_SCALE
+#
+# i.e. DSIR_SCALE * ((t_b+1)/(r_b+1) - 1), the first-order expansion
+# ln x ~= x - 1 of the paper's log ratio: target-like buckets score
+# positive, raw-like negative, unseen exactly 0 — and every value is
+# integer, so scores (not just rankings) reproduce bit-exactly in any
+# engine (the DuckDB oracles hash-match them). The global normalization
+# constant (R+B)/(T+B) of the true probability ratio multiplies every w_b
+# equally and the document score is LINEAR in w_b, so dropping it never
+# reorders documents — unlike the log form, where it adds per-gram and
+# must be kept.
+#
+# Scale shape (the reason DSIR is THE data-selection recipe at 100 TB):
+# the feature space is a fixed B buckets no matter the corpus size, so the
+# fitted "model" is 2*B integers — a broadcast table. Scoring is one scan:
+# explode grams, map-side-combined (doc, bucket) counts, broadcast join,
+# integer sum. No shuffle wider than one row per (doc, distinct-bucket).
+
+DSIR_BUCKETS = 10_000
+DSIR_SCALE = 1 << 20
+
+
+def _grams(text: Column) -> Column:
+    """Unigrams + space-joined bigrams from the shared whitespace
+    tokenizer — the paper's feature set. Row-local array ops (codegen;
+    no explode until the caller needs one)."""
+    t = F.split(text, " ")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.zip_with(F.slice(t, 1, F.size(t) - 1),
+                   F.slice(t, 2, F.size(t) - 1),
+                   lambda a, b: F.concat(a, F.lit(" "), b)),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(t, bigrams)
+
+
+def hashed_gram_buckets(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """One (id, bucket) row per gram occurrence: h15(gram) % n_buckets,
+    the engine-portable hashing-trick featurizer (same md5-derived hash
+    the oracles reproduce in SQL)."""
+    return (df.select(F.col(id_col),
+                      F.explode(_grams(F.col(text_col))).alias("_g"))
+            .select(id_col,
+                    (h15(F.col("_g")) % n_buckets).alias("bucket")))
+
+
+def dsir_bucket_weights(target: DataFrame, raw: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Fit the bucket model: (bucket, t_n, r_n, weight) with the centered
+    integer-ratio weight described in the module note. Both count frames
+    are at most n_buckets rows — broadcastable regardless of corpus size."""
+    t_cnt = (hashed_gram_buckets(target, id_col, text_col, n_buckets)
+             .groupBy("bucket").agg(F.count("*").alias("t_n")))
+    r_cnt = (hashed_gram_buckets(raw, id_col, text_col, n_buckets)
+             .groupBy("bucket").agg(F.count("*").alias("r_n")))
+    return dsir_weights_from_counts(t_cnt, r_cnt)
+
+
+def dsir_weights_from_counts(t_cnt: DataFrame,
+                             r_cnt: DataFrame) -> DataFrame:
+    """Counts -> centered integer weights; shared by the one-pass batch
+    fit above and the streaming index (streaming/dsir_index.py), whose
+    target counts are a sum over epoch deltas — integer addition is
+    associative/commutative, so streamed == batch is exact."""
+    joined = (t_cnt.join(r_cnt, "bucket", "full_outer")
+              .select("bucket",
+                      F.coalesce("t_n", F.lit(0)).cast("long").alias("t_n"),
+                      F.coalesce("r_n", F.lit(0)).cast("long").alias("r_n")))
+    return joined.withColumn(
+        "weight",
+        F.expr(f"((t_n + 1) * {DSIR_SCALE}) DIV (r_n + 1) - {DSIR_SCALE}"))
+
+
+def dsir_log_weights(target: DataFrame, raw: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """The paper's weight verbatim: add-1-smoothed log probability ratio
+    ln((t_b+1)/(T+B)) - ln((r_b+1)/(R+B)) as a double `weight` column.
+    Float path — rankings only (ln is not cross-engine bit-exact; the
+    pure-python parity and the agreement with the integer surrogate are
+    pytest-pinned instead of oracle-checked)."""
+    w = dsir_bucket_weights(target, raw, id_col, text_col, n_buckets)
+    totals = w.agg(F.sum("t_n").alias("_t_tot"), F.sum("r_n").alias("_r_tot"))
+    b = F.lit(float(n_buckets))
+    return (w.join(F.broadcast(totals))
+            .select("bucket", "t_n", "r_n",
+                    (F.log((F.col("t_n") + 1).cast("double")
+                           / (F.col("_t_tot").cast("double") + b))
+                     - F.log((F.col("r_n") + 1).cast("double")
+                             / (F.col("_r_tot").cast("double") + b)))
+                    .alias("weight")))
+
+
+def per_bucket_counts(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """(id, bucket, _c) gram-occurrence counts per document — the shared
+    featurized form: scoring consumes it directly, and summing it by
+    bucket gives the corpus counts, so a fit-and-score over the same
+    corpus reads the corpus ONCE (the identical shuffle subtree is
+    deduplicated by Spark's ReuseExchange — verified in the q_dsir_select
+    physical plan)."""
+    return (hashed_gram_buckets(df, id_col, text_col, n_buckets)
+            .groupBy(id_col, "bucket").agg(F.count("*").alias("_c")))
+
+
+def dsir_score(df: DataFrame, weights: DataFrame,
+               id_col: str = "doc_id", text_col: str = "text",
+               n_buckets: int = DSIR_BUCKETS,
+               counts: DataFrame | None = None) -> DataFrame:
+    """Score documents against a fitted bucket model: one (id, n_grams,
+    score) row per document, score = sum over the doc's gram occurrences
+    of the bucket weight. (doc, bucket) counts are pre-aggregated (map-
+    side combine) before the broadcast join, so the shuffle carries one
+    row per distinct bucket per doc, not one per token. Buckets absent
+    from the model contribute 0 — exactly the centered weight of a
+    never-seen bucket — so the scorer works unchanged on new corpora.
+    Pass `counts` (a per_bucket_counts frame) to score pre-featurized
+    documents without re-reading `df`."""
+    per_bucket = (counts if counts is not None
+                  else per_bucket_counts(df, id_col, text_col, n_buckets))
+    # integer surrogate weights -> exact BIGINT scores (oracle-hashable);
+    # the float log path keeps double resolution (rankings only)
+    w_type = dict(weights.dtypes)["weight"]
+    score_type = "long" if w_type in ("bigint", "int", "long") else "double"
+    return (per_bucket
+            .join(F.broadcast(weights.select("bucket", "weight")),
+                  "bucket", "left")
+            .groupBy(id_col)
+            .agg(F.sum("_c").cast("long").alias("n_grams"),
+                 F.sum(F.col("_c")
+                       * F.coalesce("weight", F.lit(0)))
+                 .cast(score_type).alias("score")))
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, k: int,
+                id_col: str = "doc_id", text_col: str = "text",
+                n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """End-to-end DSIR selection: fit weights (target vs raw), score the
+    raw corpus, keep the k most target-like documents. Deterministic
+    top-k by (score desc, id) — orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition top-k, k-row driver merge),
+    never a single-task global window.
+
+    The raw corpus — the 100 TB side — is featurized ONCE: its r_n
+    counts are the bucket-sum of the same per-(doc, bucket) frame the
+    scorer consumes, so the scan+explode+partial-aggregate subtree is
+    shared and Spark's ReuseExchange executes it a single time."""
+    raw_counts = per_bucket_counts(raw, id_col, text_col, n_buckets)
+    t_cnt = (hashed_gram_buckets(target, id_col, text_col, n_buckets)
+             .groupBy("bucket").agg(F.count("*").alias("t_n")))
+    r_cnt = raw_counts.groupBy("bucket").agg(F.sum("_c").alias("r_n"))
+    w = dsir_weights_from_counts(t_cnt, r_cnt)
+    scored = dsir_score(raw, w, id_col, text_col, n_buckets,
+                        counts=raw_counts)
+    return (scored.orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k))
+
+
+def gumbel_topk(scored: DataFrame, k: int, id_col: str = "doc_id",
+                score_col: str = "score", temperature: float = 1.0) -> DataFrame:
+    """The paper's Gumbel top-k resampling, deterministically: sample k
+    documents without replacement with probability proportional to
+    exp(score/temperature) by ranking score/temperature + Gumbel noise,
+    where the noise g = -ln(-ln(u)) uses the hash-uniform
+    u = (hash_bucket(id)+0.5)/SAMPLE_MOD instead of an RNG — so the
+    "sample" is a pure function of the ids (re-runnable, engine-stable
+    ranking; float, hence pytest-pinned rather than oracle-hashed)."""
+    u = (hash_bucket(F.col(id_col)).cast("double") + F.lit(0.5)) \
+        / F.lit(float(SAMPLE_MOD))
+    key = (F.col(score_col).cast("double") / F.lit(float(temperature))
+           - F.log(-F.log(u)))
+    return (scored.withColumn("gumbel_key", key)
+            .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+            .limit(k))
+
+
 def group_sample(df: DataFrame, key: str, group: str, k: int) -> DataFrame:
     """Deterministic per-group sample WITHOUT replacement: keep the k rows
     of each group whose md5-derived key hash ranks smallest (ties broken

@@ -1157,6 +1157,113 @@ def q_streaming_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.bm25(list(_BM25_TERMS), k=10)
 
 
+_DSIR_TARGET = "src0"
+
+_DSIR_BUCKETS_SQL = f"""
+WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t
+             FROM documents),
+grams AS (
+  SELECT doc_id, source, u.g
+  FROM tok, UNNEST(list_concat(
+    t, list_transform(generate_series(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i + 1]))) AS u(g)
+),
+b AS (SELECT doc_id, source,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % 10000 AS bucket
+      FROM grams),
+tcnt AS (SELECT bucket, count(*) AS t_n FROM b
+         WHERE source = '{_DSIR_TARGET}' GROUP BY bucket),
+rcnt AS (SELECT bucket, count(*) AS r_n FROM b
+         WHERE source <> '{_DSIR_TARGET}' GROUP BY bucket),
+w AS (SELECT coalesce(tcnt.bucket, rcnt.bucket) AS bucket,
+             CAST(coalesce(t_n, 0) AS BIGINT) AS t_n,
+             CAST(coalesce(r_n, 0) AS BIGINT) AS r_n,
+             ((coalesce(t_n, 0) + 1) * 1048576)
+               // (coalesce(r_n, 0) + 1) - 1048576 AS weight
+      FROM tcnt FULL OUTER JOIN rcnt ON tcnt.bucket = rcnt.bucket)
+"""
+
+_DSIR_WEIGHTS_ORACLE = _DSIR_BUCKETS_SQL + """
+SELECT bucket, t_n, r_n, CAST(weight AS BIGINT) AS weight
+FROM (SELECT *, row_number() OVER (ORDER BY weight DESC, bucket) AS rn
+      FROM w)
+WHERE rn <= 50
+"""
+
+_DSIR_SELECT_ORACLE = _DSIR_BUCKETS_SQL + f""",
+doc AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(w.weight) AS BIGINT) AS score
+        FROM b JOIN w USING (bucket)
+        WHERE b.source <> '{_DSIR_TARGET}'
+        GROUP BY b.doc_id)
+SELECT doc_id, n_grams, score
+FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+      FROM doc)
+WHERE rn <= 20
+"""
+
+
+@_register("q_dsir_weights", _DSIR_WEIGHTS_ORACLE)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR bucket model (Xie et al., NeurIPS 2023 — Data Selection via
+    Importance Resampling): hashed unigram+bigram counts for a TARGET
+    domain ('src0') vs the raw rest of the corpus, with the centered
+    integer-ratio weight ((t+1)*2^20) DIV (r+1) - 2^20 — the first-order
+    surrogate of the paper's log probability ratio, integer-exact so the
+    model itself hash-matches SQL. Top-50 most target-discriminative
+    buckets. The whole fitted model is <= 2*DSIR_BUCKETS integers — a
+    broadcast table no matter how big the corpus is, which is what makes
+    DSIR the data-selection recipe that survives 100 TB."""
+    docs = read_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == _DSIR_TARGET)
+    raw = docs.where(F.col("source") != _DSIR_TARGET)
+    w = smp.dsir_bucket_weights(target, raw)
+    return (w.orderBy(F.col("weight").desc(), F.col("bucket"))
+            .limit(50)
+            .select("bucket", "t_n", "r_n", "weight"))
+
+
+@_register("q_dsir_select", _DSIR_SELECT_ORACLE)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection end-to-end: score every raw document by the sum of
+    its gram-occurrence bucket weights and keep the 20 most target-like
+    (score desc, doc_id) — scores AND ranking hash-match the oracle
+    because the weights are the integer surrogate. One corpus scan,
+    map-side-combined (doc, bucket) counts, broadcast model join,
+    integer sum, TakeOrdered top-k; the paper's float log weights and
+    Gumbel top-k resampling ship alongside (dsir_log_weights /
+    gumbel_topk, pytest-pinned rank agreement)."""
+    docs = read_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == _DSIR_TARGET)
+    raw = docs.where(F.col("source") != _DSIR_TARGET)
+    return smp.dsir_select(raw, target, k=20)
+
+
+@_register("q_streaming_dsir", _DSIR_SELECT_ORACLE)
+def q_streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection over the incrementally maintained target model
+    (streaming/dsir_index.py) fed the target-domain exemplars in three
+    micro-batches: the model is per-bucket COUNTS and integer addition
+    is associative/commutative, so the accumulated model — and every
+    document score through the shared dsir_weights_from_counts
+    arithmetic — equals the one-pass batch fit exactly, and this
+    streamed query hash-matches the very same SQL oracle as
+    q_dsir_select. The curation-team shape: 'more like this' exemplars
+    register over time; the raw corpus is re-scored against the
+    accumulated model without refitting anything."""
+    from dbsync_spark.streaming.dsir_index import StreamingDsirIndex
+    from dbsync_spark.streaming.state import scratch_dir
+
+    docs = read_table(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == _DSIR_TARGET)
+    raw = docs.where(F.col("source") != _DSIR_TARGET)
+    idx = StreamingDsirIndex(spark, scratch_dir(prefix="dbsync_dsir_q_"))
+    for epoch in range(3):
+        idx.process_batch(target.where(F.col("doc_id") % 3 == epoch),
+                          epoch_id=epoch)
+    return idx.select(raw, k=20)
+
+
 @_register("q_streaming_phrase", _phrase_oracle())
 def q_streaming_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phrase search over the same incrementally built positional index:

@@ -19,6 +19,9 @@ Stages (every piece a declared operator elsewhere in the engine):
   5. Governance           index.forget(ids) — right-to-be-forgotten
                           tombstones; post-forget retrieval equals an
                           index that never saw those docs.
+  6. Curation             streaming/dsir_index.StreamingDsirIndex —
+                          DSIR importance resampling against a target
+                          domain whose exemplars register over time.
 
 Invariants printed at the end (and pinned in tests/test_forget.py /
 test_bloom_index.py / test_text_search.py): streamed state == one-pass
@@ -117,6 +120,21 @@ def main() -> int:
     print(f"eval forget: clean-train count {before_n} -> {after_n} "
           "(never decreases — fewer eval shingles can only free docs)")
     assert after_n >= before_n
+    # 8. curation: DSIR data selection against a target domain whose
+    # exemplars register over time (streaming/dsir_index.py) — pick the
+    # most target-like clean docs for the next training mix
+    from dbsync_spark.streaming.dsir_index import StreamingDsirIndex
+
+    exemplars = clean.where(F.col("source") == "src0")
+    pool = clean.where(F.col("source") != "src0")
+    dsir = StreamingDsirIndex(spark, tempfile.mkdtemp(prefix="svc_dsir_"))
+    for e in range(2):
+        dsir.process_batch(exemplars.where(F.col("doc_id") % 2 == e),
+                           epoch_id=e)
+    picks = dsir.select(pool, k=5).collect()
+    print("dsir top-5 target-like:",
+          [(r["doc_id"], r["score"]) for r in picks])
+
     print("OK: forgotten ids unreachable; compaction exact; "
           "invariants hold")
     return 0

@@ -8,9 +8,12 @@ the local[32] proxy for "the plan shape survives a 100x scale-up": a
 super-linear alpha at these sizes means a shuffle or candidate explosion
 that would only get worse at cluster scale.
 
-Usage: python tools/scaling.py [out.json]
-The sf1 decade runs automatically when the fixture exists
-(`python tools/gen_sf1.py` writes it to .scratch/sf1).
+Usage: python tools/scaling.py [out.json] [query ...]
+Extra args restrict the run to the named queries (their rows are merged
+into out.json if it already exists, so a new operator's decade can be
+added without re-timing the fleet). The sf1 decade runs automatically
+when the fixture exists (`python tools/gen_sf1.py` writes it to
+.scratch/sf1).
 """
 
 from __future__ import annotations
@@ -45,6 +48,8 @@ QUERIES = [
     # intersection, DEFLATE quality scan, streaming bloom decontamination
     "q_bm25_topk", "q_phrase_search", "q_compress_ratio",
     "q_streaming_decontaminate",
+    # round-5 data-selection wave: hashed-n-gram importance resampling
+    "q_dsir_select",
 ]
 # the judge-flagged worst-alpha operators get the extra sf0.1 -> sf1
 # decade (plus the cheap sketch ops as controls)
@@ -69,8 +74,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     have_sf1 = os.path.isdir(SF1)
     have_sf3 = os.path.isdir(SF3)
+    only = set(sys.argv[2:])
+    run_queries = [q for q in QUERIES if not only or q in only]
     out: dict[str, dict] = {}
-    for name in QUERIES:
+    for name in run_queries:
         fn = Q.QUERIES[name]
         times, rows = [], []
         for sf in SFS:
@@ -116,6 +123,12 @@ def main() -> int:
     payload = {"sfs": SFS + ([SF1] if have_sf1 else [])
                + ([SF3] if have_sf3 else []), "queries": out}
     if len(sys.argv) > 1:
+        # filtered run: merge the new rows into an existing artifact
+        # instead of clobbering the fleet's committed decades
+        if only and os.path.exists(sys.argv[1]):
+            prior = json.load(open(sys.argv[1]))
+            prior["queries"].update(out)
+            payload = prior
         with open(sys.argv[1], "w") as f:
             json.dump(payload, f, indent=1)
     worst = {"worst_alpha": max(v["alpha_01_to_1"] for v in out.values())}
