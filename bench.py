@@ -455,11 +455,41 @@ def main() -> None:
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_r*.json")))
     if prev_files:
-        try:
-            with open(prev_files[-1]) as fh:
-                prev_q = json.load(fh).get("queries", {})
-        except (OSError, ValueError):
-            prev_q = {}
+        def _prev_queries(path: str) -> dict:
+            """The newest committed artifact is either bench.py's own
+            output (top-level "queries") or the grading driver's wrapper
+            ({"tail": <last stdout bytes>, "parsed": <line or null>}) —
+            r4's wrapper had parsed=null, which silently no-opped this
+            gate; recover the queries dict from the tail text too."""
+            try:
+                with open(path) as fh:
+                    data = json.load(fh)
+            except (OSError, ValueError):
+                return {}
+            if isinstance(data.get("queries"), dict):
+                return data["queries"]
+            parsed = data.get("parsed")
+            if isinstance(parsed, dict) and isinstance(
+                    parsed.get("queries"), dict):
+                return parsed["queries"]
+            tail = data.get("tail")
+            if isinstance(tail, str) and '"queries": {' in tail:
+                frag = tail[tail.index('"queries": {')
+                            + len('"queries": '):]
+                depth = 0
+                for i, c in enumerate(frag):
+                    if c == "{":
+                        depth += 1
+                    elif c == "}":
+                        depth -= 1
+                        if depth == 0:
+                            try:
+                                return json.loads(frag[:i + 1])
+                            except ValueError:
+                                return {}
+            return {}
+
+        prev_q = _prev_queries(prev_files[-1])
         for name, t in sorted(timings.items()):
             p = prev_q.get(name)
             if p is None or not (t > 1.4 * p and t - p > 0.5):

@@ -308,6 +308,55 @@ def dsir_select(raw: DataFrame, target: DataFrame, k: int,
             .limit(k))
 
 
+def dsir_domain_weights(docs: DataFrame, domain_col: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Multi-target DSIR: per-domain centered weights, each domain fit
+    one-vs-rest — from ONE corpus pass. The (domain, bucket) counts are
+    a single map-side-combined aggregate; the rest-count is
+    total_bucket - own_count (no per-domain re-scan), so fitting K
+    domains costs the same scan as fitting one. The model is
+    <= K * n_buckets rows — still a broadcast table."""
+    cnt = (docs.select(F.col(domain_col).alias("domain"),
+                       F.explode(_grams(F.col(text_col))).alias("_g"))
+           .select("domain", (h15(F.col("_g")) % n_buckets).alias("bucket"))
+           .groupBy("domain", "bucket").agg(F.count("*").alias("t_n")))
+    tot = cnt.groupBy("bucket").agg(F.sum("t_n").alias("_tot"))
+    return (cnt.join(tot, "bucket")
+            .select("domain", "bucket", "t_n",
+                    (F.col("_tot") - F.col("t_n")).alias("r_n"))
+            .withColumn("weight",
+                        F.expr(f"((t_n + 1) * {DSIR_SCALE}) DIV (r_n + 1)"
+                               f" - {DSIR_SCALE}")))
+
+
+def dsir_domain_tag(docs: DataFrame, weights: DataFrame,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Tag each document with its best-matching domain (the mixture-
+    construction / naive-Bayes-style classification step): score the doc
+    against every domain's weights, keep the argmax (ties broken by
+    domain name). One (id, bucket) featurization, a broadcast join that
+    expands to K rows per (doc, distinct bucket) but partial-aggregates
+    before the shuffle (the wire carries K rows per doc), and a window
+    PARTITIONED by doc for the argmax — never a global sort. Buckets
+    absent from the model contribute 0 to every domain equally (inner
+    join drops them), so tagging unseen corpora stays well-defined."""
+    per_bucket = per_bucket_counts(docs, id_col, text_col, n_buckets)
+    scored = (per_bucket
+              .join(F.broadcast(weights.select("domain", "bucket",
+                                               "weight")), "bucket")
+              .groupBy(id_col, "domain")
+              .agg(F.sum(F.col("_c") * F.col("weight"))
+                   .cast("long").alias("score")))
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(),
+                                           F.col("domain"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(id_col, F.col("domain").alias("tagged_domain"),
+                    "score"))
+
+
 def gumbel_topk(scored: DataFrame, k: int, id_col: str = "doc_id",
                 score_col: str = "score", temperature: float = 1.0) -> DataFrame:
     """The paper's Gumbel top-k resampling, deterministically: sample k

@@ -1239,6 +1239,56 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return smp.dsir_select(raw, target, k=20)
 
 
+_DSIR_DOMAIN_ORACLE = """
+WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t
+             FROM documents),
+grams AS (
+  SELECT doc_id, source, u.g
+  FROM tok, UNNEST(list_concat(
+    t, list_transform(generate_series(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i + 1]))) AS u(g)
+),
+b AS (SELECT doc_id, source,
+             ('0x' || substr(md5(g), 1, 15))::BIGINT % 10000 AS bucket
+      FROM grams),
+cnt AS (SELECT source AS domain, bucket, count(*) AS t_n
+        FROM b GROUP BY source, bucket),
+tot AS (SELECT bucket, CAST(sum(t_n) AS BIGINT) AS total_n
+        FROM cnt GROUP BY bucket),
+w AS (SELECT domain, cnt.bucket,
+             ((t_n + 1) * 1048576) // (total_n - t_n + 1)
+               - 1048576 AS weight
+      FROM cnt JOIN tot ON cnt.bucket = tot.bucket),
+pb AS (SELECT doc_id, bucket, count(*) AS c FROM b
+       GROUP BY doc_id, bucket),
+scored AS (SELECT pb.doc_id, w.domain,
+                  CAST(sum(pb.c * w.weight) AS BIGINT) AS score
+           FROM pb JOIN w ON pb.bucket = w.bucket
+           GROUP BY pb.doc_id, w.domain)
+SELECT doc_id, domain AS tagged_domain, score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, domain) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
+@_register("q_dsir_domain_tag", _DSIR_DOMAIN_ORACLE)
+def q_dsir_domain_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-target DSIR domain tagging — the mixture-construction step:
+    every source domain fit one-vs-rest from ONE corpus pass
+    ((domain, bucket) counts once; rest = bucket total - own), every
+    document tagged with its argmax domain (ties by name). All integer,
+    so the K-domain model and every tag's score hash-match SQL. Scale
+    shape: one scan + one map-side-combined count, a broadcast
+    K*n_buckets model, K rows per doc on the shuffle wire, and the
+    argmax window is PARTITIONED by doc_id (functions/sampling.py::
+    dsir_domain_weights / dsir_domain_tag)."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = smp.dsir_domain_weights(docs, "source")
+    return smp.dsir_domain_tag(docs, w)
+
+
 @_register("q_streaming_dsir", _DSIR_SELECT_ORACLE)
 def q_streaming_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR selection over the incrementally maintained target model

@@ -330,3 +330,44 @@ def test_search_index_empty_batch_and_missing_terms(spark, tmp_path):
     idx.process_batch(docs, epoch_id=1)
     assert idx.bm25(["absent_term"], k=5).count() == 0
     assert idx.bm25(["spark"], k=5).count() == 1
+
+
+def test_dsir_empty_target_and_empty_raw(spark, tmp_path):
+    """Day-one DSIR states: no target exemplars yet (every weight is
+    <= 0: t=0 -> SCALE DIV (r+1) - SCALE), an empty raw pool (no rows
+    out), and a streaming model queried before any batch arrived."""
+    from dbsync_spark.functions import sampling as smp
+    from dbsync_spark.streaming.dsir_index import StreamingDsirIndex
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "c d"), (3, "a b c d")],
+        "doc_id long, text string")
+    empty = docs.where(F.lit(False))
+
+    w = smp.dsir_bucket_weights(empty, docs)
+    rows = w.collect()
+    assert rows and all(r["t_n"] == 0 and r["weight"] <= 0 for r in rows)
+    scored = smp.dsir_select(docs, empty, 2)
+    assert scored.count() == 2  # still ranks (all-raw corpus, <=0 scores)
+
+    assert smp.dsir_select(empty, docs, 5).count() == 0
+
+    idx = StreamingDsirIndex(spark, str(tmp_path / "dsir_empty"))
+    assert idx.target_counts().count() == 0
+    got = idx.select(docs, 2)
+    assert got.count() == 2  # empty model == empty-target batch fit
+    want = smp.dsir_select(docs, empty, 2)
+    assert got.toPandas().values.tolist() == want.toPandas().values.tolist()
+
+
+def test_dsir_single_token_docs(spark):
+    """Single-token docs produce no bigrams; unigram-only corpora still
+    fit and score (no slice/zip_with length error)."""
+    from dbsync_spark.functions import sampling as smp
+
+    target = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    raw = spark.createDataFrame([(2, "x"), (3, "y")],
+                                "doc_id long, text string")
+    got = smp.dsir_select(raw, target, 2).collect()
+    assert [r["doc_id"] for r in got] == [2, 3]  # x-doc more target-like
+    assert all(r["n_grams"] == 1 for r in got)

@@ -197,6 +197,39 @@ def test_forgetting_dsir_index(spark, sf_dir):
                            epoch_id=7)
 
 
+def test_domain_tag_matches_oracle(spark, sf_dir, duck):
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    assert_matches(qs["q_dsir_domain_tag"](spark, sf_dir), duck,
+                   os_["q_dsir_domain_tag"])
+
+
+def test_domain_tag_planted_vocabularies(spark):
+    """Domains with distinctive vocabularies classify correctly: docs
+    built from each domain's own word pool tag as that domain, and a
+    fresh unseen doc mixing mostly-A words tags as A."""
+    rows = []
+    vocab = {"news": ["election", "senate", "poll", "vote"],
+             "code": ["def", "return", "lambda", "class"],
+             "bio": ["protein", "genome", "cell", "enzyme"]}
+    did = 0
+    for dom, words in vocab.items():
+        for i in range(4):
+            text = " ".join(words[(i + j) % 4] for j in range(8))
+            rows.append((did, dom, text))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    w = smp.dsir_domain_weights(docs, "source")
+    tags = {r["doc_id"]: r["tagged_domain"]
+            for r in smp.dsir_domain_tag(docs, w).collect()}
+    for doc_id, dom, _ in rows:
+        assert tags[doc_id] == dom, (doc_id, dom, tags[doc_id])
+
+    unseen = spark.createDataFrame(
+        [(99, "election senate vote enzyme")], "doc_id long, text string")
+    got = smp.dsir_domain_tag(unseen, w).collect()
+    assert got[0]["tagged_domain"] == "news"
+
+
 def test_gumbel_topk_deterministic_and_matches_reference(spark, sf_dir):
     """Hash-derived Gumbel noise: the resample is a pure function of the
     ids (two runs identical) and matches the pure-python key ranking."""
