@@ -340,8 +340,12 @@ def dsir_domain_tag(docs: DataFrame, weights: DataFrame,
     expands to K rows per (doc, distinct bucket) but partial-aggregates
     before the shuffle (the wire carries K rows per doc), and a window
     PARTITIONED by doc for the argmax — never a global sort. Buckets
-    absent from the model contribute 0 to every domain equally (inner
-    join drops them), so tagging unseen corpora stays well-defined."""
+    absent from the model contribute 0 to every domain equally (the
+    inner join drops them), so tagging unseen corpora is well-defined —
+    EXCEPT a document sharing no bucket at all with the model, which is
+    omitted from the output (every domain ties at 0; there is no honest
+    argmax). Callers needing total coverage anti-join for the dropped
+    ids and assign a sentinel."""
     per_bucket = per_bucket_counts(docs, id_col, text_col, n_buckets)
     scored = (per_bucket
               .join(F.broadcast(weights.select("domain", "bucket",

@@ -56,7 +56,7 @@ QUERIES = [
 SF1_QUERIES = [
     "q_dup_spans", "q_minhash_char", "q_dedup_cluster", "q_apply_upsert",
     "q_minhash_dedup", "q_heavy_hitters", "q_decontaminate",
-    "q_semantic_dedup", "q_pricing_summary",
+    "q_semantic_dedup", "q_pricing_summary", "q_dsir_select",
 ]
 # the r4-flagged fleet-worst exponents get a THIRD decade-step (sf1 ->
 # sf3, a 3x data step): proves the sf0.1->sf1 exponent was not a
