@@ -1966,6 +1966,53 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_quantile_exact",
+    f"""
+WITH c AS (SELECT event_type, {_CENTS.format(x="value")} AS cents
+           FROM events),
+r AS (SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents) AS rn
+      FROM c),
+n AS (SELECT event_type, count(*) AS n FROM c GROUP BY event_type)
+SELECT r.event_type,
+       max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50_cents,
+       max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS p90_cents,
+       max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END)
+         AS p99_cents
+FROM r JOIN n USING (event_type)
+GROUP BY r.event_type
+ORDER BY r.event_type
+""",
+)
+def q_quantile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p90/p99 per event type — the oracle-checked twin of
+    q_quantile_sketch (whose GK sketch internals are rows-only by
+    nature): discrete quantile at rank ceil(p*n), all integer (rank
+    arithmetic is (k*n + k) DIV m, the value is an actual data point —
+    no interpolation floats), so the quantiles hash-match SQL and
+    double as the sketch's accuracy oracle (the pytest rank-error bound
+    compares against these). Scale shape: one shuffle on the group key;
+    the rank window is PARTITIONED by group (never a global sort) —
+    at 100 TB you'd reach for the sketch, and this exact pass is how
+    you validate it on a sampled slice."""
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select("event_type", _cents(F.col("value")).alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("cents")
+    ranked = base.withColumn("rn", F.row_number().over(w))
+    counts = base.groupBy("event_type").agg(F.count("*").alias("n"))
+    j = ranked.join(F.broadcast(counts), "event_type")
+    pick = [("p50_cents", "(n + 1) DIV 2"),
+            ("p90_cents", "(9 * n + 9) DIV 10"),
+            ("p99_cents", "(99 * n + 99) DIV 100")]
+    return (j.where(" OR ".join(f"rn = {r}" for _, r in pick))
+            .groupBy("event_type")
+            .agg(*[F.max(F.when(F.expr(f"rn = {r}"), F.col("cents")))
+                   .alias(name) for name, r in pick])
+            .orderBy("event_type"))
+
+
+@_register(
     "q_channel_cumulative",
     """
 WITH e AS (
