@@ -462,7 +462,18 @@ _NEAR_CORPUS_CTE = """near_corpus AS (
 def _minhash_oracle(sh_cte: str = _WORD_SH_CTE,
                     threshold: float = 0.5,
                     corpus_cte: str = _NEAR_CORPUS_CTE,
-                    final_filter: str = "") -> str:
+                    final_filter: str = "",
+                    sample_cte: str | None = None) -> str:
+    """With `sample_cte` (a CTE named `samp` selecting doc_id), the
+    oracle becomes the SAMPLED variant used for the sf1 decade (judge
+    r5 item #3): signatures, bands, and the LSH_MAX_BUCKET cap are all
+    computed over the FULL corpus — they are per-doc / per-bucket
+    quantities the engine also computes globally — and only CANDIDATE
+    GENERATION (the quadratic bucket self-join and the per-candidate
+    exact-Jaccard verify, which are what spilled 69 GB at sf1) is
+    restricted to sampled docs. By construction the result equals the
+    full-corpus engine output filtered to pairs with BOTH endpoints in
+    the sample — exactly, cap included, no residual."""
     p = dd.MERSENNE31
     mh_exprs = ",\n         ".join(
         f"min(({dd.UH_A[i]} * _h + {dd.UH_B[i]}) % {p}) AS mh{i}"
@@ -479,7 +490,7 @@ def _minhash_oracle(sh_cte: str = _WORD_SH_CTE,
     return f"""
 WITH {corpus_cte},
 {sh_cte},
-shh AS (
+shh AS MATERIALIZED (
   SELECT DISTINCT doc_id,
          ({_H15.format(s='shingle')}) % {dd.MERSENNE31} AS _h
   FROM sh
@@ -495,22 +506,33 @@ okb AS (
   SELECT band, band_key FROM bands
   GROUP BY band, band_key HAVING count(*) <= {dd.LSH_MAX_BUCKET}
 ),
+{sample_cte + ',' if sample_cte else ''}
 bands_ok AS (
   SELECT b.* FROM bands b JOIN okb USING (band, band_key)
+  {'JOIN samp USING (doc_id)' if sample_cte else ''}
 ),
-cand AS (
+{'''shq AS MATERIALIZED (SELECT shh.* FROM shh JOIN samp USING (doc_id)),'''
+ if sample_cte else 'shq AS (SELECT * FROM shh),'}
+cand AS MATERIALIZED (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands_ok a
   JOIN bands_ok b ON a.band = b.band AND a.band_key = b.band_key
   WHERE a.doc_id < b.doc_id
 ),
-sizes AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id),
-inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-  FROM cand c
-  JOIN shh sa ON sa.doc_id = c.doc_a
-  JOIN shh sb ON sb.doc_id = c.doc_b AND sb._h = sa._h
-  GROUP BY c.doc_a, c.doc_b
+sizes AS (SELECT doc_id, count(*) AS n FROM shq GROUP BY doc_id),
+-- two-step intersection join: candidates pick up doc_a's shingles FIRST
+-- (well-keyed on doc_id), then match doc_b's on (doc_id, _h). The
+-- one-step triple join left the planner free to start with
+-- shq x shq on _h alone — on a dup-dense corpus nearly every doc
+-- shares every hash value, and that order spilled >56 GB at sf1.
+ia AS MATERIALIZED (
+  SELECT c.doc_a, c.doc_b, s._h
+  FROM cand c JOIN shq s ON s.doc_id = c.doc_a
+),
+inter AS MATERIALIZED (
+  SELECT ia.doc_a, ia.doc_b, count(*) AS n_inter
+  FROM ia JOIN shq sb ON sb.doc_id = ia.doc_b AND sb._h = ia._h
+  GROUP BY ia.doc_a, ia.doc_b
 ),
 scored AS (
   SELECT c.doc_a, c.doc_b,

@@ -72,6 +72,18 @@ def staged_compact(df, root: str, sub: str, covers: list[int]) -> None:
     pre-compaction epoch id afterwards would re-append rows the
     compacted epoch already holds (the standard OPTIMIZE-vs-writer
     discipline; run compaction only past the stream's checkpoint)."""
+    stage_compact(df, root, sub, covers)
+    finish_compact(root, sub)
+
+
+def stage_compact(df, root: str, sub: str, covers: list[int]) -> None:
+    """The staging half of staged_compact: materialize the merged state
+    and its manifest WITHOUT touching the live epoch dirs. Services whose
+    read path joins ACROSS subs (span_index: spans x rescored) stage
+    every sub first, then finish every sub — so a crash at any point
+    leaves either the old state intact or a consistent staged copy that
+    re-running compact() publishes verbatim (never recomputed from a
+    half-swapped state)."""
     import json
     import shutil
 
@@ -80,7 +92,6 @@ def staged_compact(df, root: str, sub: str, covers: list[int]) -> None:
     df.coalesce(1).write.mode("overwrite").parquet(stage)
     with open(f"{stage}/_covers.json", "w") as fh:
         json.dump(covers, fh)
-    finish_compact(root, sub)
 
 
 def finish_compact(root: str, sub: str) -> None:
@@ -103,3 +114,19 @@ def pending_compaction(root: str, sub: str) -> bool:
     import os
 
     return os.path.exists(f"{root}/{sub}/_compacting/_covers.json")
+
+
+def prune_epochs(root: str, sub: str) -> int:
+    """Compaction for CUMULATIVE latest-epoch-wins state (cms cells, HLL
+    sketches, Misra-Gries summary/meta, trending): epoch N already holds
+    the FULL state after N and reads only ever take the newest epoch, so
+    compaction is simply deleting every older epoch dir — no staging, no
+    rename, and trivially crash-safe (a partial delete leaves the newest
+    epoch untouched and reads unchanged). Returns the number of epoch
+    dirs removed."""
+    import shutil
+
+    eps = list_epochs(root, sub)
+    for e in eps[:-1]:
+        shutil.rmtree(f"{root}/{sub}/epoch={e}", ignore_errors=True)
+    return max(len(eps) - 1, 0)

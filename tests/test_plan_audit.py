@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
     "q_global_sales_opportunity",  # 1-row avg-balance scalar broadcast (Q22)
     "q_heavy_hitters",     # 1-row token-total broadcast (threshold filter)
     "q_lm_surprisal",      # 1-row vocab-size broadcast (smoothing denom)
+    "q_lm_surprisal_exact",  # same 1-row vocab broadcast, integer twin
 }
 
 # global-sort windows over dimension-sized inputs (documented exceptions)

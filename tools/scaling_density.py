@@ -1,0 +1,86 @@
+"""Realistic-density scaling ladder for the char-5-gram MinHash dedup
+(judge r5 item #2): time q_minhash_char (and q_minhash_dedup as a
+word-shingle control) on the dup_pct-controlled fixtures from
+tools/gen_density.py — constant ~20% near-dup density at every decade,
+vs the ~100%-dense sf1/sf3 fixtures that produced the 1.156 alpha.
+
+Merges a "density_series" section into SCALING.json:
+  {query: {docs: [...], secs: [...], alphas: [...], dup_pct: 20}}
+
+Usage: python tools/scaling_density.py [out.json]
+Expects .scratch/sfd1 (10x) and .scratch/sfd3 (30x) to exist.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+LADDER = [("sf0.1", "/root/testdata/sf0.1"),
+          ("sfd1", "/root/repo/.scratch/sfd1"),
+          ("sfd3", "/root/repo/.scratch/sfd3")]
+QUERIES = ["q_minhash_char", "q_minhash_dedup"]
+
+
+def main() -> int:
+    from dbsync_spark import queries as Q
+    from dbsync_spark.session import get_spark
+
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/SCALING.json"
+    for _, d in LADDER:
+        if not os.path.isdir(d):
+            print(f"missing fixture {d} — run tools/gen_density.py first",
+                  file=sys.stderr)
+            return 2
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    spark = get_spark("scaling-density")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    series: dict[str, dict] = {}
+    for qname in QUERIES:
+        docs_counts: list[int] = []
+        secs: list[float] = []
+        rows: list[int] = []
+        for tag, d in LADDER:
+            n_docs = spark.read.parquet(f"{d}/documents.parquet").count()
+            # best-of-2 (bench methodology): the first read of a fresh
+            # fixture pays OS page-cache misses that measured 2.5x on
+            # sfd3 — the min isolates the engine from cold I/O
+            dt = None
+            for _ in range(2):
+                t0 = time.time()
+                n = Q.QUERIES[qname](spark, d).count()
+                t = time.time() - t0
+                dt = t if dt is None or t < dt else dt
+            docs_counts.append(n_docs)
+            secs.append(round(dt, 3))
+            rows.append(n)
+            print(f"{qname} @ {tag}: docs={n_docs} rows={n} {dt:.1f}s",
+                  flush=True)
+        alphas = [
+            round(math.log(secs[i + 1] / secs[i])
+                  / math.log(docs_counts[i + 1] / docs_counts[i]), 3)
+            for i in range(len(secs) - 1)]
+        series[qname] = {"docs": docs_counts, "secs": secs,
+                         "result_rows": rows, "alphas": alphas,
+                         "dup_pct": 20}
+    spark.stop()
+
+    data = {}
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            data = json.load(fh)
+    data["density_series"] = series
+    with open(out_path, "w") as fh:
+        json.dump(data, fh, indent=1)
+    print(json.dumps(series))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
