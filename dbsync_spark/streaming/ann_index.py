@@ -100,6 +100,25 @@ class StreamingIvfIndex:
 
         return handle
 
+    def compact(self) -> None:
+        """OPTIMIZE-style maintenance: the inverted lists are a plain
+        append-only union over epochs, so compaction merges every epoch
+        dir into one via the shared crash-safe staged swap (query
+        results unchanged by construction). Quiescent-caller discipline
+        as everywhere: run only past the stream's checkpoint."""
+        from dbsync_spark.streaming.state import (finish_compact,
+                                                  list_epochs,
+                                                  pending_compaction,
+                                                  staged_compact)
+
+        if pending_compaction(self.root, "lists"):
+            finish_compact(self.root, "lists")
+        eps = list_epochs(self.root, "lists")
+        if len(eps) > 1:
+            paths = [f"{self.root}/lists/epoch={e}" for e in eps]
+            staged_compact(self.spark.read.parquet(*paths),
+                           self.root, "lists", eps)
+
     def query(self, queries: DataFrame, k: int = 10,
               nprobe: int = 2) -> DataFrame:
         """Approximate cosine top-k against the stored lists. Before any

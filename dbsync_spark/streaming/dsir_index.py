@@ -95,6 +95,23 @@ class StreamingDsirIndex:
 
         return handle
 
+    def compact(self) -> None:
+        """OPTIMIZE-style maintenance: count deltas are additive, so
+        every epoch merges into ONE summed delta epoch via the shared
+        crash-safe staged swap — target_counts() is unchanged because
+        integer addition is associative. Quiescent-caller discipline:
+        run only past the stream's checkpoint (a replayed pre-compaction
+        epoch would double-count into the merged sum)."""
+        from dbsync_spark.streaming.state import (finish_compact,
+                                                  pending_compaction,
+                                                  staged_compact)
+
+        if pending_compaction(self.root, "tcounts"):
+            finish_compact(self.root, "tcounts")
+        eps = self._epochs()
+        if len(eps) > 1:
+            staged_compact(self.target_counts(), self.root, "tcounts", eps)
+
     def target_counts(self) -> DataFrame:
         """(bucket, t_n) summed over every epoch delta — the model."""
         eps = self._epochs()
@@ -190,6 +207,35 @@ class ForgettingDsirIndex(StreamingDsirIndex):
          .distinct().coalesce(1).write.mode("overwrite")
          .parquet(f"{self.root}/forgets/epoch={epoch_id}"))
         self._rebuild()
+
+    def compact(self) -> None:
+        """Base compaction plus attribution/tombstones: doccount merges
+        to the union of SURVIVING (doc_id, bucket, c) rows — physical
+        erasure of forgotten docs' attribution, which forget()'s rebuild
+        erases from tcounts but previously left in per-epoch doccount
+        files — and forgets to one distinct tombstone epoch. A
+        post-compaction forget() rebuilds from the single doccount epoch
+        and overwrites the single tcounts epoch: the same fixed point as
+        rebuild-then-compact."""
+        from dbsync_spark.streaming.state import (finish_compact,
+                                                  pending_compaction,
+                                                  staged_compact)
+
+        super().compact()
+        for sub in ("doccount", "forgets"):
+            if pending_compaction(self.root, sub):
+                finish_compact(self.root, sub)
+        dc_eps = list_epochs(self.root, "doccount")
+        if dc_eps and (len(dc_eps) > 1 or not self._forgotten().isEmpty()):
+            paths = [f"{self.root}/doccount/epoch={e}" for e in dc_eps]
+            survivors = (self.spark.read.schema(_DOCCOUNT_SCHEMA)
+                         .parquet(*paths)
+                         .join(self._forgotten(), on="doc_id", how="anti"))
+            staged_compact(survivors, self.root, "doccount", dc_eps)
+        fg_eps = list_epochs(self.root, "forgets")
+        if len(fg_eps) > 1:
+            staged_compact(self._forgotten().distinct(),
+                           self.root, "forgets", fg_eps)
 
     def _rebuild(self) -> None:
         """Rewrite each tcounts epoch as the bucket-sum of its surviving

@@ -142,6 +142,27 @@ class StreamingSimhashIndex:
 
         return handle
 
+    def compact(self) -> None:
+        """OPTIMIZE-style maintenance: banks and pairs are both plain
+        append-only unions over epochs (pairs() distincts anyway), so
+        each sub independently merges into one epoch dir via the shared
+        crash-safe staged swap — a crash between the two subs leaves
+        both individually consistent. Quiescent-caller discipline: run
+        only past the stream's checkpoint (a replay of a pre-compaction
+        epoch id would re-append rows the merged epoch already holds)."""
+        from dbsync_spark.streaming.state import (finish_compact,
+                                                  pending_compaction,
+                                                  staged_compact)
+
+        for sub, schema in (("banks", _BANKS_SCHEMA),
+                            ("pairs", _PAIRS_SCHEMA)):
+            if pending_compaction(self.root, sub):
+                finish_compact(self.root, sub)
+            eps = self._epochs(sub)
+            if len(eps) > 1:
+                staged_compact(self._read(sub, schema, eps).distinct(),
+                               self.root, sub, eps)
+
     def pairs(self) -> DataFrame:
         """Distinct accumulated pairs (a pair is emitted by exactly one
         epoch under disjoint batches; distinct also absorbs replays)."""

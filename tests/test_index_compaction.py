@@ -303,3 +303,78 @@ def test_span_compact_crash_after_marker(spark, tmp_path):
         assert _n_epochs(tmp_path / "span", sub) == 1, sub
     assert _rows(idx.current_spans()) == before
     assert not os.path.exists(f"{root}/_compact_ready")
+
+
+# ---------------------------------------------------------------------------
+# ann (inverted lists), simhash (banks+pairs), dsir (additive deltas)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_compact_preserves_queries(spark, sf_dir, tmp_path):
+    from dbsync_spark.streaming.ann_index import StreamingIvfIndex
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    idx = StreamingIvfIndex(spark, str(tmp_path / "ivf"), dim=64,
+                            n_clusters=8)
+    idx.fit(emb)
+    for epoch in range(3):
+        idx.process_batch(emb.where(F.col("vec_id") % 3 == epoch),
+                          epoch_id=epoch)
+    q = emb.where(F.col("vec_id") < 3)
+    before = _rows(idx.query(q, k=5))
+
+    idx.compact()
+
+    assert _n_epochs(tmp_path / "ivf", "lists") == 1
+    assert _rows(idx.query(q, k=5)) == before
+    idx.process_batch(emb.where(F.col("vec_id") % 3 == 0).limit(5))
+    assert _n_epochs(tmp_path / "ivf", "lists") == 2
+
+
+def test_simhash_compact_preserves_pairs(spark, sf_dir, tmp_path):
+    from dbsync_spark.streaming.simhash_index import StreamingSimhashIndex
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    idx = StreamingSimhashIndex(spark, str(tmp_path / "sh"))
+    for epoch in range(3):
+        idx.process_batch(docs.where(F.col("doc_id") % 3 == epoch),
+                          epoch_id=epoch)
+    before = _rows(idx.pairs())
+    assert before
+
+    idx.compact()
+
+    assert _n_epochs(tmp_path / "sh", "banks") == 1
+    assert _n_epochs(tmp_path / "sh", "pairs") == 1
+    assert _rows(idx.pairs()) == before
+
+
+def test_dsir_compact_preserves_model_and_erases_attribution(
+        spark, sf_dir, tmp_path):
+    from dbsync_spark.streaming.dsir_index import ForgettingDsirIndex
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    raw = read_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 320))
+    victim = docs.limit(1).collect()[0]["doc_id"]
+    idx = ForgettingDsirIndex(spark, str(tmp_path / "dsir"))
+    for epoch in range(3):
+        idx.process_batch(docs.where(F.col("doc_id") % 3 == epoch),
+                          epoch_id=epoch)
+    idx.forget(spark.createDataFrame([(victim,)], "doc_id long"))
+    model_before = _rows(idx.target_counts())
+    select_before = _rows(idx.select(raw, k=20))
+
+    idx.compact()
+
+    assert _n_epochs(tmp_path / "dsir", "tcounts") == 1
+    assert _n_epochs(tmp_path / "dsir", "doccount") == 1
+    assert _rows(idx.target_counts()) == model_before
+    assert _rows(idx.select(raw, k=20)) == select_before
+    last = list_epochs(str(tmp_path / "dsir"), "doccount")[-1]
+    dc = spark.read.parquet(f"{idx.root}/doccount/epoch={last}")
+    assert dc.where(F.col("doc_id") == victim).isEmpty()
+    import pytest
+
+    with pytest.raises(ValueError, match="permanently"):
+        idx.process_batch(docs.where(F.col("doc_id") == victim))

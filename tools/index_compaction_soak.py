@@ -136,6 +136,58 @@ def main() -> int:
     sc_.compact()
     report("span", sc_, su, lambda i: i.current_spans())
 
+    # -- ivf ann -------------------------------------------------------------
+    from dbsync_spark.streaming.ann_index import StreamingIvfIndex
+
+    emb = read_table(spark, sf_dir, "embeddings").cache()
+    emb.count()
+    q = emb.where(F.col("vec_id") < 3)
+    ic = StreamingIvfIndex(spark, tempfile.mkdtemp(prefix="soak_ic_"),
+                           dim=64, n_clusters=8)
+    iu = StreamingIvfIndex(spark, tempfile.mkdtemp(prefix="soak_iu_"),
+                           dim=64, n_clusters=8)
+    ic.fit(emb)
+    iu.fit(emb)
+    for e in range(k):
+        batch = emb.where(F.col("vec_id") % k == e)
+        ic.process_batch(batch, epoch_id=e)
+        iu.process_batch(batch, epoch_id=e)
+        if (e + 1) % compact_every == 0:
+            ic.compact()
+    ic.compact()
+    report("ivf", ic, iu, lambda i: i.query(q, k=5))
+
+    # -- simhash -------------------------------------------------------------
+    from dbsync_spark.streaming.simhash_index import StreamingSimhashIndex
+
+    hc = StreamingSimhashIndex(spark, tempfile.mkdtemp(prefix="soak_hc_"))
+    hu = StreamingSimhashIndex(spark, tempfile.mkdtemp(prefix="soak_hu_"))
+    for e in range(k):
+        batch = docs.where(F.col("doc_id") % k == e)
+        hc.process_batch(batch, epoch_id=e)
+        hu.process_batch(batch, epoch_id=e)
+        if (e + 1) % compact_every == 0:
+            hc.compact()
+    hc.compact()
+    report("simhash", hc, hu, lambda i: i.pairs())
+
+    # -- dsir ----------------------------------------------------------------
+    from dbsync_spark.streaming.dsir_index import StreamingDsirIndex
+
+    raw = read_table(spark, sf_dir, "documents").where(
+        (F.col("doc_id") >= 400) & (F.col("doc_id") < 480)).cache()
+    raw.count()
+    xc = StreamingDsirIndex(spark, tempfile.mkdtemp(prefix="soak_xc_"))
+    xu = StreamingDsirIndex(spark, tempfile.mkdtemp(prefix="soak_xu_"))
+    for e in range(k):
+        batch = docs.where(F.col("doc_id") % k == e)
+        xc.process_batch(batch, epoch_id=e)
+        xu.process_batch(batch, epoch_id=e)
+        if (e + 1) % compact_every == 0:
+            xc.compact()
+    xc.compact()
+    report("dsir", xc, xu, lambda i: i.select(raw, k=20))
+
     spark.stop()
     return 0 if ok else 1
 
