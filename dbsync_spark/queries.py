@@ -1263,6 +1263,36 @@ def q_dedup_cluster_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q_dedup_cluster_incremental"] = ORACLES["q_dedup_cluster"]
 
 
+@_register("q_streaming_canonical")
+def q_streaming_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming CANONICALIZATION service
+    (streaming/cluster_index.py) fed the q_dedup_cluster corpus in three
+    micro-batches: each batch probes the persisted LSH band index for
+    exactly-the-new pairs and folds them into the prior labels by seeded
+    min-label propagation — the pipeline-default (doc_id, canonical_id)
+    table maintained incrementally, linear output at any dup density.
+    Declared against the SAME full-recompute recursive-CTE oracle as the
+    batch q_dedup_cluster: streamed == batch == SQL closure."""
+    from dbsync_spark.streaming.cluster_index import StreamingClusterIndex
+    from dbsync_spark.streaming.state import scratch_dir
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    off = docs.agg(F.max("doc_id")).first()[0] + 1
+    variants = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + off).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" spark")).alias("text"))
+    corpus = docs.unionByName(variants)
+    idx = StreamingClusterIndex(
+        spark, scratch_dir(prefix="dbsync_cluster_q_"))
+    for epoch in range(3):
+        idx.process_batch(corpus.where(F.col("doc_id") % 3 == epoch),
+                          epoch_id=epoch)
+    return idx.canonical()
+
+
+ORACLES["q_streaming_canonical"] = ORACLES["q_dedup_cluster"]
+
+
 _KEEP_BEST_ORACLE_TEMPLATE = """
 WITH RECURSIVE {body},
 good AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),

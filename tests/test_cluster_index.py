@@ -1,0 +1,82 @@
+"""StreamingClusterIndex: incremental (doc_id, canonical_id)
+maintenance — streamed labels equal the batch dedup_clusters full
+recompute for any batching, replays are idempotent, compaction
+preserves output with O(1) files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbsync_spark.functions.dedup import dedup_clusters, minhash_near_dups
+from dbsync_spark.sources.tables import read_table
+from dbsync_spark.streaming.cluster_index import StreamingClusterIndex
+from dbsync_spark.streaming.state import list_epochs
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _corpus(spark, sf_dir):
+    docs = (read_table(spark, sf_dir, "documents")
+            .select("doc_id", "text").where(F.col("doc_id") < 300))
+    off = docs.agg(F.max("doc_id")).first()[0] + 1
+    variants = docs.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + off).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" spark")).alias("text"))
+    return docs.unionByName(variants)
+
+
+def test_stream_equals_batch_for_any_batching(spark, sf_dir, tmp_path):
+    corpus = _corpus(spark, sf_dir).cache()
+    pairs = minhash_near_dups(corpus, threshold=0.5)
+    want = _rows(dedup_clusters(corpus.select("doc_id"), pairs))
+    assert any(d != c for d, c in want), "fixture must produce clusters"
+
+    for splits in (2, 3):
+        idx = StreamingClusterIndex(
+            spark, str(tmp_path / f"ci{splits}"), threshold=0.5)
+        for e in range(splits):
+            idx.process_batch(corpus.where(F.col("doc_id") % splits == e),
+                              epoch_id=e)
+        assert _rows(idx.canonical()) == want, splits
+        # keep-list is exactly the canonical representatives
+        keeps = {r[0] for r in idx.keep_list().collect()}
+        assert keeps == {d for d, c in want if d == c}
+
+
+def test_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Replaying the last epoch (checkpointed-foreachBatch crash
+    contract) recomputes byte-identical labels."""
+    corpus = _corpus(spark, sf_dir).cache()
+    idx = StreamingClusterIndex(spark, str(tmp_path / "ci"), threshold=0.5)
+    for e in range(3):
+        idx.process_batch(corpus.where(F.col("doc_id") % 3 == e),
+                          epoch_id=e)
+    before = _rows(idx.canonical())
+    idx.process_batch(corpus.where(F.col("doc_id") % 3 == 2), epoch_id=2)
+    assert _rows(idx.canonical()) == before
+
+
+def test_compact_preserves_canonical(spark, sf_dir, tmp_path):
+    corpus = _corpus(spark, sf_dir).cache()
+    idx = StreamingClusterIndex(spark, str(tmp_path / "ci"), threshold=0.5)
+    for e in range(3):
+        idx.process_batch(corpus.where(F.col("doc_id") % 3 == e),
+                          epoch_id=e)
+    before = _rows(idx.canonical())
+
+    idx.compact()
+
+    assert len(list_epochs(str(tmp_path / "ci"), "labels")) == 1
+    for sub in ("docs", "bands", "pairs"):
+        assert len(list_epochs(f"{tmp_path}/ci/dedup", sub)) == 1, sub
+    assert _rows(idx.canonical()) == before
+    # still ingestable: a brand-new duplicate of an existing doc merges
+    victim = corpus.orderBy("doc_id").limit(1).collect()[0]
+    extra = spark.createDataFrame([(900000, victim["text"])],
+                                  "doc_id long, text string")
+    labels = {r["doc_id"]: r["canonical_id"]
+              for r in idx.process_batch(extra).collect()}
+    assert labels[900000] == victim["doc_id"]

@@ -378,3 +378,27 @@ def test_dsir_compact_preserves_model_and_erases_attribution(
 
     with pytest.raises(ValueError, match="permanently"):
         idx.process_batch(docs.where(F.col("doc_id") == victim))
+
+
+def test_every_index_service_has_compact():
+    """Architecture guard: every persisted epoch-dir streaming service
+    must expose OPTIMIZE-style compact() — a new index family added
+    without one silently regrows the O(n_epochs) file problem."""
+    import importlib
+    import inspect
+    import pkgutil
+
+    import dbsync_spark.streaming as st
+
+    missing = []
+    for m in pkgutil.iter_modules(st.__path__):
+        if not m.name.endswith("_index"):
+            continue
+        mod = importlib.import_module(f"dbsync_spark.streaming.{m.name}")
+        for name, cls in inspect.getmembers(mod, inspect.isclass):
+            if cls.__module__ != mod.__name__:
+                continue
+            src = inspect.getsource(cls)
+            if "epoch=" in src and not hasattr(cls, "compact"):
+                missing.append(f"{m.name}.{name}")
+    assert not missing, f"epoch-dir services without compact(): {missing}"

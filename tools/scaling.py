@@ -50,6 +50,9 @@ QUERIES = [
     "q_streaming_decontaminate",
     # round-5 data-selection wave: hashed-n-gram importance resampling
     "q_dsir_select",
+    # round-6 wave: linear-output simhash clustering + the integer-exact
+    # twins of the two remaining rows-only scans
+    "q_simhash_canonical", "q_char_entropy_exact", "q_lm_surprisal_exact",
 ]
 # the judge-flagged worst-alpha operators get the extra sf0.1 -> sf1
 # decade (plus the cheap sketch ops as controls)
