@@ -113,3 +113,49 @@ class StreamingClusterIndex:
 
         prune_epochs(self.root, "labels")
         self.dedup.compact()
+
+
+class ForgettingClusterIndex(StreamingClusterIndex):
+    """StreamingClusterIndex with document removal — the FIFTH persisted
+    index family honoring right-to-be-forgotten (after search, dedup,
+    decontamination, DSIR). Removal is non-local here: forgetting a doc
+    can SPLIT a cluster (it may have been the only bridge between two
+    sub-components) and RENAME others (it may have been the minimum id
+    that named the cluster), so forget() rebuilds the labels from the
+    surviving pair graph — a full min-label pass, whose cost is bounded
+    by the usual cluster diameters because the graph is the already-
+    maintained pair index, never re-paired text.
+
+    Composition: the wrapped pair index is a ForgettingDedupIndex, whose
+    read-time tombstones already hide the forgotten docs' bands, text,
+    and pairs (and whose compact() physically erases them); this class
+    adds the label rebuild and the retired-id rejection on ingest.
+    Post-forget canonical() equals an index never fed those documents —
+    pinned in tests/test_cluster_index.py."""
+
+    def __init__(self, spark: SparkSession, root: str, k: int = 3,
+                 threshold: float = 0.5, max_iters: int = 20):
+        from dbsync_spark.streaming.dedup_index import ForgettingDedupIndex
+
+        super().__init__(spark, root, k=k, threshold=threshold,
+                         max_iters=max_iters)
+        self.dedup = ForgettingDedupIndex(spark, f"{self.root}/dedup",
+                                          k=k, threshold=threshold)
+
+    def forget(self, doc_ids: DataFrame) -> None:
+        """Tombstone the ids in the wrapped pair index, then rebuild the
+        label table from the surviving docs and pairs (written as a new
+        labels epoch — replaying a forget converges to the same state)."""
+        from dbsync_spark.functions.dedup import dedup_clusters
+        from dbsync_spark.streaming.dedup_index import _DOCS_SCHEMA
+
+        self.dedup.forget(doc_ids)
+        # survivors via the index's own tombstone-filtered reader — a raw
+        # dir read would resurrect the forgotten ids
+        ids = self.dedup._read("docs", _DOCS_SCHEMA).select(
+            "doc_id").distinct()
+        labels = dedup_clusters(ids, self.dedup.all_pairs(),
+                                max_iters=self.max_iters)
+        epoch_id = next_epoch(self.root, "labels")
+        (labels.coalesce(4).write.mode("overwrite")
+         .parquet(f"{self.root}/labels/epoch={epoch_id}"))

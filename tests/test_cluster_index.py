@@ -80,3 +80,57 @@ def test_compact_preserves_canonical(spark, sf_dir, tmp_path):
     labels = {r["doc_id"]: r["canonical_id"]
               for r in idx.process_batch(extra).collect()}
     assert labels[900000] == victim["doc_id"]
+
+
+def test_forgetting_cluster_index(spark, sf_dir, tmp_path):
+    """Forgetting is non-local for clusters: removing the minimum-id
+    member RENAMES the cluster, removing a doc's only partner makes a
+    SINGLETON. Post-forget canonical() must equal an index never fed the
+    doc (rebuild, not masking), re-ingest raises, and compact() keeps
+    the physical-erasure + O(1)-files contract."""
+    import pytest
+
+    from dbsync_spark.streaming.cluster_index import ForgettingClusterIndex
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lamda mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(1, base), (2, base + " extra1"), (3, base + " extra2"),
+            (4, "totally unrelated words live here in this document now"),
+            (5, "totally unrelated words live here in this document now"),
+            (6, "nothing at all matches the rest of this tiny corpus")]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    idx = ForgettingClusterIndex(spark, str(tmp_path / "fc"), threshold=0.5)
+    for e in range(2):
+        idx.process_batch(corpus.where(F.col("doc_id") % 2 == e),
+                          epoch_id=e)
+    before = {r["doc_id"]: r["canonical_id"]
+              for r in idx.canonical().collect()}
+    assert before == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+    # forget the minimum-id member: the cluster must RENAME to 2
+    idx.forget(spark.createDataFrame([(1,)], "doc_id long"))
+    after = {r["doc_id"]: r["canonical_id"]
+             for r in idx.canonical().collect()}
+    assert after == {2: 2, 3: 2, 4: 4, 5: 4, 6: 6}
+
+    # forget a doc's only partner: 4 must become a SINGLETON
+    idx.forget(spark.createDataFrame([(5,)], "doc_id long"))
+    after2 = {r["doc_id"]: r["canonical_id"]
+              for r in idx.canonical().collect()}
+    assert after2 == {2: 2, 3: 2, 4: 4, 6: 6}
+
+    # equals an index never fed docs 1 and 5 (rebuild, not masking)
+    clean = ForgettingClusterIndex(spark, str(tmp_path / "fcc"),
+                                   threshold=0.5)
+    clean.process_batch(corpus.where(~F.col("doc_id").isin(1, 5)),
+                        epoch_id=0)
+    assert _rows(idx.canonical()) == _rows(clean.canonical())
+
+    with pytest.raises(ValueError, match="permanently"):
+        idx.process_batch(corpus.where(F.col("doc_id") == 1))
+
+    idx.compact()
+    assert _rows(idx.canonical()) == _rows(clean.canonical())
+    docs_files = spark.read.parquet(f"{idx.dedup.root}/docs")
+    assert docs_files.where(F.col("doc_id").isin(1, 5)).isEmpty()
