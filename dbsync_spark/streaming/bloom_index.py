@@ -270,8 +270,10 @@ class ForgettingBloomIndex(StreamingBloomIndex):
         tombstone epoch. A post-compaction forget() then rebuilds from
         the single dochash epoch, overwriting the single shash/bitmap
         epoch: the same fixed point as rebuild-then-compact."""
-        from dbsync_spark.streaming.state import (finish_compact,
+        from dbsync_spark.streaming.state import (erasure_pending,
+                                                  finish_compact,
                                                   pending_compaction,
+                                                  record_erasure,
                                                   staged_compact)
 
         super().compact()
@@ -279,12 +281,20 @@ class ForgettingBloomIndex(StreamingBloomIndex):
             if pending_compaction(self.root, sub):
                 finish_compact(self.root, sub)
         dh_eps = self._epochs("dochash")
-        if dh_eps and (len(dh_eps) > 1 or not self._forgotten().isEmpty()):
+        # skip the staged rewrite when the single compacted epoch is
+        # already forget-clean (r6 ADVICE: `forgets not empty` is
+        # permanently true after the first forget — the _erased marker
+        # records which tombstone set was applied)
+        n_forg = self._forgotten().distinct().count()
+        if dh_eps and (len(dh_eps) > 1
+                       or (n_forg and erasure_pending(
+                           self.root, "dochash", n_forg))):
             paths = [f"{self.root}/dochash/epoch={e}" for e in dh_eps]
             survivors = (self.spark.read.schema(_DOCHASH_SCHEMA)
                          .parquet(*paths)
                          .join(self._forgotten(), on="doc_id", how="anti"))
             staged_compact(survivors, self.root, "dochash", dh_eps)
+            record_erasure(self.root, "dochash", n_forg)
         fg_eps = self._epochs("forgets")
         if len(fg_eps) > 1:
             staged_compact(self._forgotten().distinct(),

@@ -217,8 +217,10 @@ class ForgettingDsirIndex(StreamingDsirIndex):
         post-compaction forget() rebuilds from the single doccount epoch
         and overwrites the single tcounts epoch: the same fixed point as
         rebuild-then-compact."""
-        from dbsync_spark.streaming.state import (finish_compact,
+        from dbsync_spark.streaming.state import (erasure_pending,
+                                                  finish_compact,
                                                   pending_compaction,
+                                                  record_erasure,
                                                   staged_compact)
 
         super().compact()
@@ -226,12 +228,18 @@ class ForgettingDsirIndex(StreamingDsirIndex):
             if pending_compaction(self.root, sub):
                 finish_compact(self.root, sub)
         dc_eps = list_epochs(self.root, "doccount")
-        if dc_eps and (len(dc_eps) > 1 or not self._forgotten().isEmpty()):
+        # skip the staged rewrite when already forget-clean (r6 ADVICE;
+        # same marker discipline as ForgettingBloomIndex.compact)
+        n_forg = self._forgotten().distinct().count()
+        if dc_eps and (len(dc_eps) > 1
+                       or (n_forg and erasure_pending(
+                           self.root, "doccount", n_forg))):
             paths = [f"{self.root}/doccount/epoch={e}" for e in dc_eps]
             survivors = (self.spark.read.schema(_DOCCOUNT_SCHEMA)
                          .parquet(*paths)
                          .join(self._forgotten(), on="doc_id", how="anti"))
             staged_compact(survivors, self.root, "doccount", dc_eps)
+            record_erasure(self.root, "doccount", n_forg)
         fg_eps = list_epochs(self.root, "forgets")
         if len(fg_eps) > 1:
             staged_compact(self._forgotten().distinct(),

@@ -1,0 +1,77 @@
+"""bench.py noise-gate policy (judge r6 item #5 + ADVICE): the gate
+compares against BOTH the newest recoverable artifact and the
+driver-committed round anchor, skips baselines recorded at a different
+scale factor, and a two-step sub-threshold drift that slips past the
+recent baseline still trips the anchor."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import sys
+
+
+def _bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench", "/root/repo/bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+BENCH = _bench()
+
+
+def _write(path, payload):
+    with open(path, "w") as fh:
+        json.dump(payload, fh)
+
+
+def test_two_step_drift_trips_the_round_anchor(tmp_path):
+    """Round anchor q=1.0; a later local run drifted to 1.3 (below the
+    1.4x gate vs the anchor, so it landed); the current run measures
+    1.81 — below 1.4x vs the RECENT baseline (1.4*1.3=1.82), so gating
+    only against BENCH_LOCAL would let the compounded 1.82x regression
+    pass silently (1.81x vs the anchor). The anchor must trip."""
+    _write(tmp_path / "BENCH_r06.json",
+           {"queries": {"q": 1.0}, "sf": 0.1})
+    _write(tmp_path / "BENCH_LOCAL.json",
+           {"queries": {"q": 1.3}, "sf": 0.1})
+    baselines, labels = BENCH.gate_baselines(str(tmp_path), 0.1)
+    assert labels == ["BENCH_LOCAL.json", "BENCH_r06.json"]
+    t = 1.81
+    trips = {lbl: q["q"] for lbl, q in baselines
+             if BENCH.gate_trips(t, q["q"])}
+    assert "BENCH_r06.json" in trips, trips
+    assert "BENCH_LOCAL.json" not in trips
+
+
+def test_baseline_at_wrong_sf_is_skipped(tmp_path):
+    """A developer bench run at sf0.01 must not become the baseline for
+    an sf0.1 run (r6 ADVICE): fall through to the round anchor."""
+    _write(tmp_path / "BENCH_r06.json",
+           {"queries": {"q": 1.0}, "sf": 0.1})
+    _write(tmp_path / "BENCH_LOCAL.json",
+           {"queries": {"q": 0.05}, "sf": 0.01})
+    baselines, labels = BENCH.gate_baselines(str(tmp_path), 0.1)
+    assert labels == ["BENCH_r06.json"]
+    assert baselines[0][1] == {"q": 1.0}
+
+
+def test_wrapper_tail_recovery_and_dedupe(tmp_path):
+    """Driver-wrapper artifacts (parsed=null, queries only inside the
+    stdout tail) stay recoverable, and when the recent chain falls
+    through to the anchor the baseline list dedupes to one."""
+    tail = 'blah {"metric": "m", "queries": {"q": 2.0}, "sf": 0.1} end'
+    _write(tmp_path / "BENCH_r05.json",
+           {"parsed": None, "tail": tail, "sf": 0.1})
+    baselines, labels = BENCH.gate_baselines(str(tmp_path), 0.1)
+    assert labels == ["BENCH_r05.json"]
+    assert baselines[0][1] == {"q": 2.0}
+
+
+def test_gate_threshold_is_ratio_and_absolute():
+    assert not BENCH.gate_trips(0.9, 0.5)   # 1.8x but only +0.4 s
+    assert not BENCH.gate_trips(2.4, 2.0)   # +0.4 s and 1.2x
+    assert BENCH.gate_trips(3.0, 2.0)       # 1.5x and +1.0 s

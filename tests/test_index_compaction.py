@@ -195,6 +195,35 @@ def test_forgetting_bloom_compact_erases_attribution(spark, sf_dir,
     with pytest.raises(ValueError, match="permanently"):
         idx.process_batch(test.where(F.col("doc_id") == victim))
 
+    # r6 ADVICE: a SECOND compact() on already-erased state must skip
+    # the staged dochash rewrite (O(state) work per maintenance tick
+    # otherwise — tombstones are never cleared, so `forgets not empty`
+    # is permanently true). The _erased marker records the applied set.
+    import os
+
+    eps = idx._epochs("dochash")
+    assert len(eps) == 1
+    part_files = sorted(os.listdir(f"{idx.root}/dochash/epoch={eps[0]}"))
+    mtimes = {f: os.path.getmtime(f"{idx.root}/dochash/epoch={eps[0]}/{f}")
+              for f in part_files}
+    idx.compact()
+    eps2 = idx._epochs("dochash")
+    files2 = sorted(os.listdir(f"{idx.root}/dochash/epoch={eps2[0]}"))
+    assert eps2 == eps and files2 == part_files
+    assert all(os.path.getmtime(
+        f"{idx.root}/dochash/epoch={eps2[0]}/{f}") == mtimes[f]
+        for f in part_files if not f.startswith("_erased"))
+    # a NEW forget re-arms the rewrite
+    victim2 = (test.where(F.col("doc_id") != victim)
+               .limit(1).collect()[0]["doc_id"])
+    idx.forget(spark.createDataFrame([(victim2,)], "doc_id long"))
+    idx.compact()
+    dochash2 = spark.read.parquet(
+        *[f"{idx.root}/dochash/epoch={e}" for e in idx._epochs("dochash")])
+    assert dochash2.where(F.col("doc_id").isin(victim, victim2)).isEmpty()
+    assert _rows(idx.flag(train)) == _rows(
+        ForgettingBloomIndex(spark, str(tmp_path / "fb"), k=3).flag(train))
+
 
 # ---------------------------------------------------------------------------
 # span: cross-sub staged swap with the commit marker

@@ -39,16 +39,15 @@ def canon(pdf):
     )
 
 
-def main() -> int:
+def run_contract(spark, sf_dir: str, only: set[str],
+                 out_env: str = "CONTRACT_JSON",
+                 extra_meta: dict | None = None) -> int:
+    """The compare loop, callable under ANY SparkSession — the
+    multi-JVM evidence run (tools/cluster_contract.py) reuses it under
+    local-cluster mode with zero query-side special-casing."""
     import duckdb
 
     import __spark_entry__ as mod
-    from dbsync_spark.session import get_spark
-
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("drive-contract")
-    spark.sparkContext.setLogLevel("ERROR")
 
     t0 = time.time()
     edf = mod.entry(spark)
@@ -108,19 +107,31 @@ def main() -> int:
             results[name] = {"status": "ERROR",
                              "detail": f"{type(e).__name__}: {e}"}
             fails.append(name)
-    spark.stop()
     print("FAILURES:", fails if fails else "none")
-    import os
 
-    out = os.environ.get("CONTRACT_JSON")
+    out = os.environ.get(out_env)
     if out:
         import json
 
+        payload = {"sf_dir": sf_dir, "n_queries": len(results),
+                   "failures": fails, "results": results}
+        payload.update(extra_meta or {})
         with open(out, "w") as f:
-            json.dump({"sf_dir": sf_dir, "n_queries": len(results),
-                       "failures": fails, "results": results}, f, indent=1)
+            json.dump(payload, f, indent=1)
         print(f"wrote {out}")
     return 1 if fails else 0
+
+
+def main() -> int:
+    from dbsync_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("drive-contract")
+    spark.sparkContext.setLogLevel("ERROR")
+    rc = run_contract(spark, sf_dir, only)
+    spark.stop()
+    return rc
 
 
 if __name__ == "__main__":
