@@ -98,6 +98,20 @@ def recover_bench(path: str) -> tuple[dict, float | None]:
                         return json.loads(frag[:i + 1]), sf
                     except ValueError:
                         return {}, sf
+    if isinstance(tail, str):
+        # tail truncated BEFORE the "queries" opener (r5/r6 wrappers cut
+        # mid-dict): recover the scalar pairs that survived. Non-query
+        # scalars (sf, log_rows, ...) ride along harmlessly — the gate
+        # only consults names present in the current run's timings.
+        import re as _re
+
+        pairs = _re.findall(
+            r'"([A-Za-z0-9_]+)": ([0-9]+(?:\.[0-9]+)?)(?=[,}\s])', tail)
+        if pairs:
+            q = {k: float(v) for k, v in pairs}
+            if sf is None and "sf" in q:
+                sf = q["sf"]
+            return q, sf
     return {}, sf
 
 

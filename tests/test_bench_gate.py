@@ -75,3 +75,16 @@ def test_gate_threshold_is_ratio_and_absolute():
     assert not BENCH.gate_trips(0.9, 0.5)   # 1.8x but only +0.4 s
     assert not BENCH.gate_trips(2.4, 2.0)   # +0.4 s and 1.2x
     assert BENCH.gate_trips(3.0, 2.0)       # 1.5x and +1.0 s
+
+
+def test_truncated_tail_partial_recovery(tmp_path):
+    """A wrapper whose tail was cut BEFORE the queries opener (the real
+    r5/r6 shape) still yields its surviving scalar cells as a baseline —
+    the round anchor must not silently fall back to an ancient round."""
+    tail = '.42, "rolling_7d": 0.144, "bm25_topk": 0.66}, "sf": 0.1, "log_rows": 755599}'
+    _write(tmp_path / "BENCH_r06.json", {"parsed": None, "tail": tail})
+    q, sf = BENCH.recover_bench(str(tmp_path / "BENCH_r06.json"))
+    assert q["rolling_7d"] == 0.144 and q["bm25_topk"] == 0.66
+    assert sf == 0.1
+    baselines, labels = BENCH.gate_baselines(str(tmp_path), 0.1)
+    assert labels == ["BENCH_r06.json"]

@@ -35,6 +35,13 @@ def cluster_session(n_exec: int, cores: int, mem_mb: int):
         .appName("dbsync-cluster-contract")
         .master(f"local-cluster[{n_exec},{cores},{mem_mb}]")
         .config("spark.executor.memory", f"{mem_mb}m")
+        # ship the package to executor python workers — the local-mode
+        # run hid this because driver == executor process; a real
+        # cluster does the same via --py-files/a wheel. Flushed by this
+        # run's first pass: q_multimodal_decode's mapInPandas closure
+        # imports dbsync_spark by reference and executor workers had no
+        # /root/repo on their path (ModuleNotFoundError).
+        .config("spark.executorEnv.PYTHONPATH", "/root/repo")
         .config("spark.sql.shuffle.partitions", str(n_exec * cores * 2))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
