@@ -1073,3 +1073,149 @@ def simhash_canonical(df: DataFrame, text_col: str = "text",
     return (fp.join(groups, on="simhash")
             .join(rep_labels.withColumnRenamed(id_col, "_rep"), on="_rep")
             .select(id_col, "canonical_id"))
+
+
+def hashed_shingle_sets(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", shingle_fn=None) -> DataFrame:
+    """DISTINCT (id, _h) hashed-shingle set rows — the narrow-wire set
+    representation every exact set-similarity operator here shares.
+    `_h` is h15(shingle) % MERSENNE31 so the DuckDB oracles can mirror
+    it; hash collisions merge set elements identically in both engines."""
+    shingle_fn = shingle_fn or char_shingles
+    return (fan_out(df)
+            .select(id_col,
+                    F.explode(shingle_fn(F.col(text_col))).alias("_s"))
+            .select(id_col, (h15(F.col("_s")) % MERSENNE31).alias("_h"))
+            .distinct())
+
+
+def similarity_join(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", threshold_num: int = 4,
+                    threshold_den: int = 5, shingle_fn=None) -> DataFrame:
+    """EXACT set-similarity self-join: ALL pairs whose distinct
+    char-5-gram Jaccard >= threshold_num/threshold_den, with the
+    AllPairs/PPJoin prefix filter (Bayardo et al., WWW'07; Xiao et al.,
+    WWW'08) bounding candidates WITHOUT approximation — the
+    complementary operator to MinHash LSH: LSH trades recall for speed,
+    this keeps recall 1.0 and prunes by provable bounds instead.
+
+    How the bound works: order every document's distinct shingle hashes
+    by ascending global document frequency (rarest first, ties by hash —
+    a strict total order). For Jaccard >= t, a pair must share at least
+    one element among each side's first `n - ceil(t*n) + 1` elements
+    (prefix filter), and sizes must satisfy t <= min/max (length filter).
+    Both are necessary conditions, so candidates = prefix-token join +
+    length predicate is a SUPERSET of the answer; the exact intersection
+    count then verifies each candidate. Completeness: if a pair with
+    J >= t shared no prefix token, each side would miss >= ceil(t*n)
+    of the other's elements ranked after its prefix, contradicting
+    |intersection| >= t/(1+t)*(|a|+|b|) >= ceil(t*max(n_a, n_b)).
+
+    Scale shape: the prefix join's keys are by construction each doc's
+    RAREST tokens, so bucket sizes are bounded by low document
+    frequencies — the frequency ordering is the skew guard (a token
+    shared by half the corpus ranks last and never enters a prefix of a
+    long doc). All arithmetic is integer (cross-multiplied thresholds,
+    BIGINT counts): output (doc_a, doc_b, n_inter, n_union) hash-matches
+    the brute-force SQL oracle exactly. Reference repo has no similarity
+    operators; this extends the training-data dedup family."""
+    num, den = threshold_num, threshold_den
+    sh = hashed_shingle_sets(df, text_col, id_col, shingle_fn)
+    sh = sh.localCheckpoint(eager=False)
+    dfreq = sh.groupBy("_h").agg(F.count("*").alias("_df"))
+    w_rank = Window.partitionBy(id_col).orderBy("_df", "_h")
+    w_all = Window.partitionBy(id_col)
+    ranked = (sh.join(dfreq, on="_h")
+              .select(id_col, "_h",
+                      F.row_number().over(w_rank).alias("_r"),
+                      F.count("*").over(w_all).alias("_n")))
+    # prefix length p = n - ceil(t*n) + 1, via integer ceil division
+    p = (F.col("_n")
+         - F.expr(f"CAST(({num} * _n + {den - 1}) DIV {den} AS BIGINT)")
+         + F.lit(1))
+    prefix = ranked.where(F.col("_r") <= p)
+    left = prefix.select(F.col(id_col).alias("doc_a"), "_h",
+                         F.col("_n").alias("_na"))
+    right = prefix.select(F.col(id_col).alias("doc_b"), "_h",
+                          F.col("_n").alias("_nb"))
+    cand = (left.join(right, on="_h")
+            .where((F.col("doc_a") < F.col("doc_b"))
+                   & (F.lit(den) * F.least("_na", "_nb")
+                      >= F.lit(num) * F.greatest("_na", "_nb")))
+            .select("doc_a", "doc_b")
+            .distinct())
+    return _simjoin_verify(cand, sh, id_col, num, den)
+
+
+def _simjoin_verify(cand: DataFrame, sh: DataFrame, id_col: str,
+                    num: int, den: int) -> DataFrame:
+    """Exact intersection/union verify for candidate pairs over the
+    hashed set rows. Two-step: candidates pick up doc_a's set first
+    (keyed on doc id), then match doc_b's on (doc_id, _h) — never a
+    set x set join keyed on _h alone (the join-order trap that spilled
+    the sf1 oracles; see NOTES.md round-6)."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
+    ia = cand.join(sh.select(F.col(id_col).alias("doc_a"), "_h"), on="doc_a")
+    inter = (ia.join(sh.select(F.col(id_col).alias("doc_b"), "_h"),
+                     on=["doc_b", "_h"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("n_inter")))
+    return (inter
+            .join(sizes.select(F.col(id_col).alias("doc_a"),
+                               F.col("_n").alias("_na")), on="doc_a")
+            .join(sizes.select(F.col(id_col).alias("doc_b"),
+                               F.col("_n").alias("_nb")), on="doc_b")
+            .select("doc_a", "doc_b", "n_inter",
+                    (F.col("_na") + F.col("_nb")
+                     - F.col("n_inter")).alias("n_union"))
+            .where(F.lit(den) * F.col("n_inter")
+                   >= F.lit(num) * F.col("n_union")))
+
+
+def similarity_join_incremental(index_sh: DataFrame, new_df: DataFrame,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                threshold_num: int = 4,
+                                threshold_den: int = 5,
+                                shingle_fn=None) -> tuple:
+    """Incremental exact similarity join: given the hashed set rows of
+    the already-indexed corpus, emit exactly the NEW qualifying pairs a
+    batch of documents introduces (new-vs-index and new-vs-new), plus
+    the updated set rows. Because the operator is EXACT (no bands, no
+    caps), union-over-batches == full recompute BY CONSTRUCTION: the
+    qualifying-pair set decomposes by which batch each pair's later doc
+    arrived in. Old-old pairs are never recomputed; the index side is
+    only probed, via the same prefix filter (frequencies measured over
+    the union corpus, so the prefix bound stays sound)."""
+    num, den = threshold_num, threshold_den
+    new_sh = hashed_shingle_sets(new_df, text_col, id_col, shingle_fn)
+    all_sh = index_sh.unionByName(new_sh).localCheckpoint(eager=False)
+    dfreq = all_sh.groupBy("_h").agg(F.count("*").alias("_df"))
+    w_rank = Window.partitionBy(id_col).orderBy("_df", "_h")
+    w_all = Window.partitionBy(id_col)
+    ranked = (all_sh.join(dfreq, on="_h")
+              .select(id_col, "_h",
+                      F.row_number().over(w_rank).alias("_r"),
+                      F.count("*").over(w_all).alias("_n")))
+    p = (F.col("_n")
+         - F.expr(f"CAST(({num} * _n + {den - 1}) DIV {den} AS BIGINT)")
+         + F.lit(1))
+    prefix = ranked.where(F.col("_r") <= p)
+    new_ids = new_sh.select(id_col).distinct()
+    new_prefix = prefix.join(new_ids, on=id_col, how="leftsemi")
+    left = prefix.select(F.col(id_col).alias("doc_a"), "_h",
+                         F.col("_n").alias("_na"))
+    right = new_prefix.select(F.col(id_col).alias("doc_b"), "_h",
+                              F.col("_n").alias("_nb"))
+    cand = (left.join(right, on="_h")
+            .where((F.col("doc_a") != F.col("doc_b"))
+                   & (F.lit(den) * F.least("_na", "_nb")
+                      >= F.lit(num) * F.greatest("_na", "_nb")))
+            .select(F.least("doc_a", "doc_b").alias("doc_a"),
+                    F.greatest("doc_a", "doc_b").alias("doc_b"))
+            .distinct())
+    # drop pairs where BOTH sides are old (can't happen: right side is
+    # new-only) — but a new-new pair can be generated twice in either
+    # orientation; the least/greatest + distinct above canonicalizes it.
+    pairs = _simjoin_verify(cand, all_sh, id_col, num, den)
+    return pairs, all_sh

@@ -1402,3 +1402,72 @@ def q_streaming_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.process_batch(docs.where(F.col("doc_id") % 3 == epoch),
                           epoch_id=epoch)
     return idx.phrase(list(_PHRASE))
+
+
+_SIMJOIN_SH = """sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(unnest(list_transform(
+              generate_series(1, len(text) - 4),
+              i -> substr(text, i, 5)))), 1, 15))::BIGINT
+           % 2147483647 AS _h
+  FROM documents WHERE len(text) >= 5
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a._h = b._h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+
+
+@_register(
+    "q_similarity_join",
+    f"""
+WITH {_SIMJOIN_SH}
+SELECT doc_a, doc_b, n_inter, sa.n + sb.n - n_inter AS n_union
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 5 * n_inter >= 4 * (sa.n + sb.n - n_inter)
+""",
+)
+def q_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (AllPairs/PPJoin prefix filter):
+    every pair with char-5-gram Jaccard >= 4/5, recall 1.0 — the exact
+    complement to the approximate MinHash-LSH family. The oracle is the
+    BRUTE-FORCE all-sharing-pairs join, so the hash match empirically
+    verifies the prefix filter's completeness claim, not just the
+    verify step. All-integer output (n_inter, n_union)."""
+    from dbsync_spark.functions.dedup import similarity_join
+
+    docs = read_table(spark, sf_dir, "documents")
+    return similarity_join(docs)
+
+
+@_register(
+    "q_simjoin_incremental",
+    f"""
+WITH {_SIMJOIN_SH}
+SELECT doc_a, doc_b, n_inter, sa.n + sb.n - n_inter AS n_union
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 5 * n_inter >= 4 * (sa.n + sb.n - n_inter)
+  AND (doc_a % 5 = 0 OR doc_b % 5 = 0)
+""",
+)
+def q_simjoin_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact similarity join: the corpus minus every 5th doc
+    is the standing index; the 5th-doc batch arrives and exactly the
+    NEW qualifying pairs (new-vs-index, new-vs-new) are emitted — the
+    oracle is the full brute-force join restricted to pairs touching
+    the batch. Exactness makes union-over-batches == full recompute by
+    construction (no bands, no caps — the pair set decomposes by the
+    later doc's batch)."""
+    from dbsync_spark.functions.dedup import (hashed_shingle_sets,
+                                              similarity_join_incremental)
+
+    docs = read_table(spark, sf_dir, "documents")
+    index_docs = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    index_sh = hashed_shingle_sets(index_docs)
+    pairs, _ = similarity_join_incremental(index_sh, batch)
+    return pairs
