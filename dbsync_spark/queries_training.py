@@ -1471,3 +1471,132 @@ def q_simjoin_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_sh = hashed_shingle_sets(index_docs)
     pairs, _ = similarity_join_incremental(index_sh, batch)
     return pairs
+
+
+def _luhn_sum_sql(col: str, n: int) -> str:
+    """Luhn digit-sum SQL over an `n`-digit string, doubling the digits
+    whose right-position in the FINAL 16-digit number is even."""
+    terms = []
+    for i in range(1, n + 1):
+        d = f"CAST(substr({col}, {i}, 1) AS INT)"
+        if (16 + 1 - i) % 2 == 0:
+            terms.append(f"(CASE WHEN 2*{d} > 9 THEN 2*{d} - 9"
+                         f" ELSE 2*{d} END)")
+        else:
+            terms.append(d)
+    return " + ".join(terms)
+
+
+def _card_oracle() -> str:
+    base = ("lpad(CAST((doc_id * 2654435761) % 1000000000000000"
+            " AS VARCHAR), 15, '0')")
+    luhn15 = _luhn_sum_sql("base", 15)
+    return f"""
+WITH seeds AS (
+  SELECT doc_id, {base} AS base FROM documents
+),
+nums AS (
+  SELECT doc_id, base,
+         (10 - ({luhn15}) % 10) % 10 AS chk
+  FROM seeds
+),
+aug AS (
+  SELECT n.doc_id,
+         d.text || CASE n.doc_id % 3
+           WHEN 0 THEN ' card ' || n.base || CAST(n.chk AS VARCHAR)
+           WHEN 1 THEN ' card ' || n.base || CAST((n.chk + 5) % 10 AS VARCHAR)
+           ELSE ' card ' || n.base || CAST(n.chk AS VARCHAR)
+             || ' and ' || n.base || CAST((n.chk + 5) % 10 AS VARCHAR)
+         END AS text
+  FROM nums n JOIN documents d USING (doc_id)
+),
+cands AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[0-9]{{16}}')) AS cand
+  FROM aug
+),
+flagged AS (
+  SELECT doc_id, cand, ({_luhn_sum_sql('cand', 16)}) % 10 = 0 AS ok
+  FROM cands
+)
+SELECT doc_id,
+       count(cand) AS n_candidates,
+       CAST(COALESCE(sum(CASE WHEN ok THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_valid,
+       md5(COALESCE(array_to_string(list_sort(
+           list(cand) FILTER (WHERE ok)), ','), '')) AS valid_md5
+FROM flagged GROUP BY doc_id
+"""
+
+
+@_register("q_pii_card_scan", _card_oracle())
+def q_pii_card_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credit-card PII detection: regex finds 16-digit candidate runs,
+    the Luhn checksum separates real PANs from random digit strings.
+    The fixture corpus is digit-free, so the query plants one valid
+    card, one invalid card, or both (by doc_id % 3) with the check
+    digit COMPUTED by the same integer Luhn arithmetic in both engines
+    — candidate counts, valid counts, and the md5 over the sorted
+    valid numbers all hash-match."""
+    from dbsync_spark.functions.text import pii_card_scan
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = F.lpad(((F.col("doc_id") * F.lit(2654435761))
+                   % F.lit(10 ** 15)).cast("string"), 15, "0")
+    s = None
+    for i in range(1, 16):
+        d = F.substring(base, i, 1).cast("int")
+        t = (F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+             if (16 + 1 - i) % 2 == 0 else d)
+        s = t if s is None else s + t
+    chk = (F.lit(10) - (s % 10)) % 10
+    valid = F.concat(base, chk.cast("string"))
+    invalid = F.concat(base, ((chk + 5) % 10).cast("string"))
+    m = F.col("doc_id") % 3
+    planted = (F.when(m == 0, F.concat(F.lit(" card "), valid))
+               .when(m == 1, F.concat(F.lit(" card "), invalid))
+               .otherwise(F.concat(F.lit(" card "), valid,
+                                   F.lit(" and "), invalid)))
+    aug = docs.withColumn("text", F.concat(F.col("text"), planted))
+    return pii_card_scan(aug)
+
+
+@_register(
+    "q_entity_resolution",
+    """
+WITH RECURSIVE b AS (
+  SELECT doc_id, lang, CAST(floor(n_chars / 50) AS BIGINT) AS bucket,
+         substr(text, 1, 40) AS prefix
+  FROM documents
+),
+good AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM b x JOIN b y ON x.lang = y.lang AND x.bucket = y.bucket
+    AND x.doc_id < y.doc_id
+  WHERE levenshtein(x.prefix, y.prefix) <= 12
+),
+nodes(node) AS (SELECT doc_id FROM documents),
+edges(src, dst) AS (
+  SELECT doc_a, doc_b FROM good UNION ALL SELECT doc_b, doc_a FROM good
+),
+reach(node, lab) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(lab) AS entity_id FROM reach GROUP BY node
+""",
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: blocked edit-distance matching
+    (q_fuzzy_dedup's pairs) followed by transitive closure, so every
+    document gets the min doc_id of its fuzzy-match component as a
+    stable entity_id — the record-linkage composition (Fellegi-Sunter
+    blocking + match + cluster) over the same two scalable primitives
+    the dedup family uses. Oracle: recursive-CTE reachability closure
+    over the identical Levenshtein pair predicate."""
+    from dbsync_spark.functions.dedup import dedup_clusters, fuzzy_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = fuzzy_dedup(docs)
+    labels = dedup_clusters(docs.select("doc_id"), pairs)
+    return labels.select("doc_id", F.col("canonical_id").alias("entity_id"))
