@@ -418,6 +418,14 @@ def main() -> None:
     timed2("dsir_select",
            lambda: QUERIES["q_dsir_select"](spark, SF_DIR).count())
 
+    # -- round-7 additions: exact similarity join, entity resolution, PII ----
+    timed2("similarity_join",
+           lambda: QUERIES["q_similarity_join"](spark, SF_DIR).count())
+    timed2("entity_resolution",
+           lambda: QUERIES["q_entity_resolution"](spark, SF_DIR).count())
+    timed2("pii_card_scan",
+           lambda: QUERIES["q_pii_card_scan"](spark, SF_DIR).count())
+
     # -- streaming micro-batch latency (BASELINE.md: <= 5 s / 10k-row batch) --
     from dbsync_spark.changelog import ORDERS_PAYLOAD_SCHEMA, build_log_orders
     from dbsync_spark.operators.route import SyncRule

@@ -1133,7 +1133,11 @@ def similarity_join(df: DataFrame, text_col: str = "text",
     p = (F.col("_n")
          - F.expr(f"CAST(({num} * _n + {den - 1}) DIV {den} AS BIGINT)")
          + F.lit(1))
-    prefix = ranked.where(F.col("_r") <= p)
+    # pin the ranked prefix: it feeds BOTH sides of the candidate
+    # self-join, and without the checkpoint Spark recomputes the
+    # dfreq-join + double-window tower once per side (measured 2x plan
+    # duplication at sf0.1)
+    prefix = ranked.where(F.col("_r") <= p).localCheckpoint(eager=False)
     left = prefix.select(F.col(id_col).alias("doc_a"), "_h",
                          F.col("_n").alias("_na"))
     right = prefix.select(F.col(id_col).alias("doc_b"), "_h",
@@ -1200,7 +1204,7 @@ def similarity_join_incremental(index_sh: DataFrame, new_df: DataFrame,
     p = (F.col("_n")
          - F.expr(f"CAST(({num} * _n + {den - 1}) DIV {den} AS BIGINT)")
          + F.lit(1))
-    prefix = ranked.where(F.col("_r") <= p)
+    prefix = ranked.where(F.col("_r") <= p).localCheckpoint(eager=False)
     new_ids = new_sh.select(id_col).distinct()
     new_prefix = prefix.join(new_ids, on=id_col, how="leftsemi")
     left = prefix.select(F.col(id_col).alias("doc_a"), "_h",
