@@ -1091,7 +1091,8 @@ def hashed_shingle_sets(df: DataFrame, text_col: str = "text",
 
 def similarity_join(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", threshold_num: int = 4,
-                    threshold_den: int = 5, shingle_fn=None) -> DataFrame:
+                    threshold_den: int = 5, shingle_fn=None,
+                    verify: str = "array") -> DataFrame:
     """EXACT set-similarity self-join: ALL pairs whose distinct
     char-5-gram Jaccard >= threshold_num/threshold_den, with the
     AllPairs/PPJoin prefix filter (Bayardo et al., WWW'07; Xiao et al.,
@@ -1148,16 +1149,39 @@ def similarity_join(df: DataFrame, text_col: str = "text",
                       >= F.lit(num) * F.greatest("_na", "_nb")))
             .select("doc_a", "doc_b")
             .distinct())
-    return _simjoin_verify(cand, sh, id_col, num, den)
+    return _simjoin_verify(cand, sh, id_col, num, den, verify=verify)
 
 
 def _simjoin_verify(cand: DataFrame, sh: DataFrame, id_col: str,
-                    num: int, den: int) -> DataFrame:
+                    num: int, den: int,
+                    verify: str = "array") -> DataFrame:
     """Exact intersection/union verify for candidate pairs over the
-    hashed set rows. Two-step: candidates pick up doc_a's set first
-    (keyed on doc id), then match doc_b's on (doc_id, _h) — never a
-    set x set join keyed on _h alone (the join-order trap that spilled
-    the sf1 oracles; see NOTES.md round-6)."""
+    hashed set rows.
+
+    verify="array" (default): collapse each doc's hashes to ONE array
+    row, attach both arrays per pair (_pair_sets: checkpointed cands,
+    count-adaptive broadcast), intersect ROW-LOCALLY. The candidate
+    frame stays narrow through the joins and the per-pair work never
+    touches a shuffle — measured 84 s -> ~8 s at sf0.1 on the
+    saturated-vocabulary fixture whose 2.9M candidates made the
+    relational form's cand x shingle-rows join explode to ~600M rows.
+
+    verify="relational": the exploded two-step (candidates pick up
+    doc_a's rows keyed on doc id, then match doc_b's on (doc_id, _h) —
+    never set x set keyed on _h alone, the join-order trap that spilled
+    the sf1 oracles; NOTES.md round-6). The fallback for corpora whose
+    individual documents are too large to hold their distinct-hash
+    array in one row (multi-MB docs)."""
+    if verify == "array":
+        sets = sh.groupBy(id_col).agg(F.collect_list("_h").alias("_sh"))
+        n_inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
+        n_union = ((F.size("_sa") + F.size("_sb")).cast("long")
+                   - F.size(F.array_intersect("_sa", "_sb")).cast("long"))
+        return (_pair_sets(cand, sets, id_col)
+                .select("doc_a", "doc_b", n_inter.alias("n_inter"),
+                        n_union.alias("n_union"))
+                .where(F.lit(den) * F.col("n_inter")
+                       >= F.lit(num) * F.col("n_union")))
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
     ia = cand.join(sh.select(F.col(id_col).alias("doc_a"), "_h"), on="doc_a")
     inter = (ia.join(sh.select(F.col(id_col).alias("doc_b"), "_h"),
