@@ -1600,3 +1600,31 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = fuzzy_dedup(docs)
     labels = dedup_clusters(docs.select("doc_id"), pairs)
     return labels.select("doc_id", F.col("canonical_id").alias("entity_id"))
+
+
+@_register(
+    "q_streaming_simjoin",
+    f"""
+WITH {_SIMJOIN_SH}
+SELECT doc_a, doc_b, n_inter, sa.n + sb.n - n_inter AS n_union
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 5 * n_inter >= 4 * (sa.n + sb.n - n_inter)
+""",
+)
+def q_streaming_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming EXACT similarity-join service fed the corpus in
+    three micro-batches: union of per-batch emissions hash-matches the
+    one-shot brute-force oracle — an equality that holds at ANY batching
+    by construction (exact operator, no bands or caps), not just on this
+    fixture; the strictly stronger streaming contract than the LSH
+    index's no-mid-stream-cap-crossing condition."""
+    from dbsync_spark.streaming.simjoin_index import StreamingSimJoinIndex
+    from dbsync_spark.streaming.state import scratch_dir
+
+    docs = read_table(spark, sf_dir, "documents")
+    idx = StreamingSimJoinIndex(spark, scratch_dir(prefix="dbsync_sj_q_"))
+    for epoch in range(3):
+        idx.process_batch(docs.where(F.col("doc_id") % 3 == epoch),
+                          epoch_id=epoch)
+    return idx.all_pairs()

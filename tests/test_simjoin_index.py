@@ -1,0 +1,80 @@
+"""StreamingSimJoinIndex: union-over-batches == full recompute (exact,
+any batching), replay idempotence, right-to-be-forgotten, compaction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbsync_spark.functions.dedup import similarity_join
+from dbsync_spark.streaming.simjoin_index import (ForgettingSimJoinIndex,
+                                                  StreamingSimJoinIndex)
+from tests.test_simjoin import _corpus
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b, r.n_inter, r.n_union) for r in df.collect()}
+
+
+def test_union_over_batches_equals_full(spark, tmp_path):
+    docs = _corpus(spark, n_filler=30)
+    full = _pairs(similarity_join(docs))
+    idx = StreamingSimJoinIndex(spark, str(tmp_path / "sj"))
+    emitted = set()
+    for epoch in range(3):
+        out = idx.process_batch(docs.where(F.col("doc_id") % 3 == epoch),
+                                epoch_id=epoch)
+        new = _pairs(out)
+        assert not (new & emitted)  # exactly-the-new-pairs: no re-emission
+        emitted |= new
+    assert emitted == full
+    assert _pairs(idx.all_pairs()) == full
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    docs = _corpus(spark, n_filler=20)
+    idx = StreamingSimJoinIndex(spark, str(tmp_path / "sj"))
+    b0 = docs.where(F.col("doc_id") % 2 == 0)
+    b1 = docs.where(F.col("doc_id") % 2 == 1)
+    idx.process_batch(b0, epoch_id=0)
+    first = _pairs(idx.process_batch(b1, epoch_id=1))
+    replay = _pairs(idx.process_batch(b1, epoch_id=1))  # failed-epoch rerun
+    assert replay == first
+    assert _pairs(idx.all_pairs()) == _pairs(similarity_join(docs))
+
+
+def test_forget_equals_never_ingested(spark, tmp_path):
+    docs = _corpus(spark, n_filler=20)
+    idx = ForgettingSimJoinIndex(spark, str(tmp_path / "sj"))
+    idx.process_batch(docs, epoch_id=0)
+    gone = spark.createDataFrame([(2,)], "doc_id long")
+    idx.forget(gone)
+    clean = ForgettingSimJoinIndex(spark, str(tmp_path / "clean"))
+    clean.process_batch(docs.where(F.col("doc_id") != 2), epoch_id=0)
+    assert _pairs(idx.all_pairs()) == _pairs(clean.all_pairs())
+    with pytest.raises(ValueError, match="permanently"):
+        idx.process_batch(docs.where(F.col("doc_id") == 2), epoch_id=9)
+
+
+def test_compact_preserves_pairs_and_collapses_files(spark, tmp_path):
+    import os
+
+    docs = _corpus(spark, n_filler=20)
+    root = str(tmp_path / "sj")
+    idx = StreamingSimJoinIndex(spark, root)
+    for epoch in range(4):
+        idx.process_batch(docs.where(F.col("doc_id") % 4 == epoch),
+                          epoch_id=epoch)
+    before = _pairs(idx.all_pairs())
+    idx.compact()
+    assert _pairs(idx.all_pairs()) == before
+    for sub in ("sets", "pairs"):
+        eps = [d for d in os.listdir(f"{root}/{sub}")
+               if d.startswith("epoch=")]
+        assert len(eps) == 1, (sub, eps)
+    # service still ingests after compaction
+    extra = spark.createDataFrame(
+        [(900, "a brand new unrelated document about glaciers")],
+        "doc_id long, text string")
+    idx.process_batch(extra)
+    assert _pairs(idx.all_pairs()) == before  # no near-dups introduced
