@@ -1628,3 +1628,52 @@ def q_streaming_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.process_batch(docs.where(F.col("doc_id") % 3 == epoch),
                           epoch_id=epoch)
     return idx.all_pairs()
+
+
+@_register(
+    "q_ann_filtered",
+    """
+WITH c AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+  WHERE d.lang = 'en'
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.v, q.qv)
+           / (sqrt(list_dot_product(c.v, c.v))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS cosine_sim
+  FROM c JOIN q ON c.vec_id <> q.query_id
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine_sim, rank FROM r WHERE rank <= 10
+""",
+)
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: exact cosine top-10 restricted to corpus
+    vectors whose document satisfies a metadata predicate (lang='en') —
+    the filter is applied BEFORE any distance computation (pre-filter
+    semi-join pushed to the scan), never post-filtering an unfiltered
+    top-k (which under-fills k and breaks recall guarantees). The
+    100 TB shape: metadata predicates prune IVF inverted lists the same
+    way; at sandbox scale the exact scan IS the plan. Scores rank by
+    (sim DESC, vec_id) for float-order determinism; per-row fold dot
+    product is bit-equal to DuckDB's list_dot_product."""
+    from dbsync_spark.functions.similarity import cosine_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = emb.join(
+        docs.where(F.col("lang") == "en").select(
+            F.col("doc_id").alias("vec_id")),
+        on="vec_id", how="semi")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk(corpus, queries, k=10, query_id_col="query_id")
