@@ -1119,7 +1119,17 @@ def similarity_join(df: DataFrame, text_col: str = "text",
     long doc). All arithmetic is integer (cross-multiplied thresholds,
     BIGINT counts): output (doc_a, doc_b, n_inter, n_union) hash-matches
     the brute-force SQL oracle exactly. Reference repo has no similarity
-    operators; this extends the training-data dedup family."""
+    operators; this extends the training-data dedup family.
+
+    Cost contract: candidates (and thus cost) scale with the corpus's
+    TRUE near-dup density — exactness forbids a bucket cap, so on a
+    pathologically dup-dense corpus (the word-permuted sf1 fixture:
+    298M candidates for 50k docs) the candidate set itself is
+    quadratic. That is demanded work, not overhead (output is ~225k
+    pairs there); for such corpora run exact/normalized dedup upstream
+    first, or use the capped LSH family and accept its recall contract.
+    At realistic density the 20%-dup ladder (SCALING.json
+    density_series) is the representative measurement."""
     num, den = threshold_num, threshold_den
     sh = hashed_shingle_sets(df, text_col, id_col, shingle_fn)
     sh = sh.localCheckpoint(eager=False)

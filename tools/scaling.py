@@ -53,6 +53,11 @@ QUERIES = [
     # round-6 wave: linear-output simhash clustering + the integer-exact
     # twins of the two remaining rows-only scans
     "q_simhash_canonical", "q_char_entropy_exact", "q_lm_surprisal_exact",
+    # round-7 wave: exact similarity join (AllPairs prefix filter) +
+    # its incremental/streaming forms, record linkage, PII card scan,
+    # filtered vector search
+    "q_similarity_join", "q_simjoin_incremental", "q_streaming_simjoin",
+    "q_entity_resolution", "q_pii_card_scan", "q_ann_filtered",
 ]
 # the judge-flagged worst-alpha operators get the extra sf0.1 -> sf1
 # decade (plus the cheap sketch ops as controls)

@@ -24,7 +24,14 @@ sys.path.insert(0, "/root/repo")
 LADDER = [("sf0.1", "/root/testdata/sf0.1"),
           ("sfd1", "/root/repo/.scratch/sfd1"),
           ("sfd3", "/root/repo/.scratch/sfd3")]
-QUERIES = ["q_minhash_char", "q_minhash_dedup"]
+QUERIES = ["q_minhash_char", "q_minhash_dedup",
+           # round-7: the EXACT similarity join — candidate count is
+           # quadratic on the ~100%-dense sf1 fixture (298M candidates,
+           # a data property with no cap allowed by the exactness
+           # contract); this constant-density ladder is the
+           # realistic-corpus instrument, same adjudication as
+           # q_minhash_char's r5/r6 alpha
+           "q_similarity_join"]
 
 
 def main() -> int:
