@@ -140,13 +140,14 @@ def main() -> int:
         with open(sys.argv[1], "w") as f:
             json.dump(payload, f, indent=1)
     worst = {"worst_alpha": max(v["alpha_01_to_1"] for v in out.values())}
-    if have_sf1:
-        worst["worst_alpha_sf1"] = max(
-            v["alpha_1_to_10"] for v in out.values() if "alpha_1_to_10" in v)
-    if have_sf3:
-        worst["worst_alpha_sf3"] = max(
-            v["alpha_10_to_30"] for v in out.values()
-            if "alpha_10_to_30" in v)
+    sf1_alphas = [v["alpha_1_to_10"] for v in out.values()
+                  if "alpha_1_to_10" in v]
+    if have_sf1 and sf1_alphas:
+        worst["worst_alpha_sf1"] = max(sf1_alphas)
+    sf3_alphas = [v["alpha_10_to_30"] for v in out.values()
+                  if "alpha_10_to_30" in v]
+    if have_sf3 and sf3_alphas:
+        worst["worst_alpha_sf3"] = max(sf3_alphas)
     print(json.dumps(worst))
     spark.stop()
     return 0
