@@ -1132,7 +1132,12 @@ def similarity_join(df: DataFrame, text_col: str = "text",
     density_series) is the representative measurement."""
     num, den = threshold_num, threshold_den
     sh = hashed_shingle_sets(df, text_col, id_col, shingle_fn)
-    sh = sh.localCheckpoint(eager=False)
+    # persist, NOT localCheckpoint: sh is read three times (frequencies,
+    # ranking, verify) but at 10^8 set rows localCheckpoint's
+    # DESERIALIZED memory blocks overflow any single-JVM heap (measured:
+    # 24 GB death at 150M rows); the columnar compressed cache holds the
+    # same reuse and spills to disk instead of dying
+    sh = sh.persist()
     dfreq = sh.groupBy("_h").agg(F.count("*").alias("_df"))
     w_rank = Window.partitionBy(id_col).orderBy("_df", "_h")
     w_all = Window.partitionBy(id_col)
@@ -1148,15 +1153,31 @@ def similarity_join(df: DataFrame, text_col: str = "text",
     # self-join, and without the checkpoint Spark recomputes the
     # dfreq-join + double-window tower once per side (measured 2x plan
     # duplication at sf0.1)
-    prefix = ranked.where(F.col("_r") <= p).localCheckpoint(eager=False)
+    prefix = ranked.where(F.col("_r") <= p).persist()
     left = prefix.select(F.col(id_col).alias("doc_a"), "_h",
-                         F.col("_n").alias("_na"))
+                         F.col("_n").alias("_na"), F.col("_r").alias("_ra"))
     right = prefix.select(F.col(id_col).alias("doc_b"), "_h",
-                          F.col("_n").alias("_nb"))
+                          F.col("_n").alias("_nb"), F.col("_r").alias("_rb"))
+    # PPJoin POSITIONAL filter, applied per generation BEFORE the
+    # distinct: a qualifying pair's FIRST shared token h* (rank ra in a,
+    # rb in b) bounds the overlap by 1 + min(na-ra, nb-rb) — every
+    # shared element is h* or ranked after it on both sides. J >= t
+    # needs (num+den)*inter >= num*(na+nb), so generations whose bound
+    # can't reach it are dropped; the pair (if real) still survives via
+    # its first-shared-token generation, so completeness holds under
+    # ANY-generation-passes semantics. This is what bounds the
+    # frequency-skewed corner: a common token shared by B docs sits at
+    # the END of every prefix that admits it, so its C(B,2) generations
+    # fail the bound instead of materializing (measured: a 20%-dup 30x
+    # fixture spilled >60 GB on bucket pair blowup without this).
+    pos_bound = F.lit(1) + F.least(F.col("_na") - F.col("_ra"),
+                                   F.col("_nb") - F.col("_rb"))
     cand = (left.join(right, on="_h")
             .where((F.col("doc_a") < F.col("doc_b"))
                    & (F.lit(den) * F.least("_na", "_nb")
-                      >= F.lit(num) * F.greatest("_na", "_nb")))
+                      >= F.lit(num) * F.greatest("_na", "_nb"))
+                   & (F.lit(num + den) * pos_bound
+                      >= F.lit(num) * (F.col("_na") + F.col("_nb"))))
             .select("doc_a", "doc_b")
             .distinct())
     return _simjoin_verify(cand, sh, id_col, num, den, verify=verify)
@@ -1183,7 +1204,11 @@ def _simjoin_verify(cand: DataFrame, sh: DataFrame, id_col: str,
     individual documents are too large to hold their distinct-hash
     array in one row (multi-MB docs)."""
     if verify == "array":
-        sets = sh.groupBy(id_col).agg(F.collect_list("_h").alias("_sh"))
+        # _h < 2^31 (mod MERSENNE31): int arrays halve every byte the
+        # pair join carries — at high candidate volume the joined frame
+        # is candidates x two set arrays, the dominant wire cost
+        sets = sh.groupBy(id_col).agg(
+            F.collect_list(F.col("_h").cast("int")).alias("_sh"))
         n_inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
         n_union = ((F.size("_sa") + F.size("_sb")).cast("long")
                    - F.size(F.array_intersect("_sa", "_sb")).cast("long"))
@@ -1243,8 +1268,8 @@ def similarity_join_incremental(index_sh: DataFrame, new_df: DataFrame,
     as the corpus grows."""
     num, den = threshold_num, threshold_den
     new_sh = hashed_shingle_sets(new_df, text_col, id_col, shingle_fn)
-    new_sh = new_sh.localCheckpoint(eager=False)
-    all_sh = index_sh.unionByName(new_sh).localCheckpoint(eager=False)
+    new_sh = new_sh.persist()
+    all_sh = index_sh.unionByName(new_sh).persist()
     dfreq = all_sh.groupBy("_h").agg(F.count("*").alias("_df"))
     w_rank = Window.partitionBy(id_col).orderBy("_df", "_h")
     w_all = Window.partitionBy(id_col)
@@ -1257,21 +1282,26 @@ def similarity_join_incremental(index_sh: DataFrame, new_df: DataFrame,
          + F.lit(1))
     new_prefix = (new_ranked.where(F.col("_r") <= p)
                   .select(F.col(id_col).alias("doc_b"), "_h",
-                          F.col("_n").alias("_nb")))
+                          F.col("_n").alias("_nb"), F.col("_r").alias("_rb")))
     sizes = all_sh.groupBy(id_col).agg(F.count("*").alias("_n"))
-    probe = all_sh.select(F.col(id_col).alias("doc_a"), "_h")
+    probe = (all_sh.select(F.col(id_col).alias("doc_a"), "_h")
+             .join(sizes.select(F.col(id_col).alias("doc_a"),
+                                F.col("_n").alias("_na")), on="doc_a"))
+    # one-sided positional filter (same first-shared-token argument as
+    # similarity_join, with only the new side ranked): overlap is
+    # bounded by 1 + (nb - rb); pruned per generation BEFORE distinct,
+    # which is what keeps a frequency-skewed bucket from materializing
+    # its cross product
+    pos_bound = F.lit(1) + (F.col("_nb") - F.col("_rb"))
     cand = (probe.join(new_prefix, on="_h")
-            .where(F.col("doc_a") != F.col("doc_b"))
+            .where((F.col("doc_a") != F.col("doc_b"))
+                   & (F.lit(den) * F.least("_na", "_nb")
+                      >= F.lit(num) * F.greatest("_na", "_nb"))
+                   & (F.lit(num + den) * pos_bound
+                      >= F.lit(num) * (F.col("_na") + F.col("_nb"))))
             .select(F.least("doc_a", "doc_b").alias("doc_a"),
                     F.greatest("doc_a", "doc_b").alias("doc_b"))
-            .distinct()
-            .join(sizes.select(F.col(id_col).alias("doc_a"),
-                               F.col("_n").alias("_na")), on="doc_a")
-            .join(sizes.select(F.col(id_col).alias("doc_b"),
-                               F.col("_n").alias("_nb")), on="doc_b")
-            .where(F.lit(den) * F.least("_na", "_nb")
-                   >= F.lit(num) * F.greatest("_na", "_nb"))
-            .select("doc_a", "doc_b"))
+            .distinct())
     # verify only against the candidate-touched docs' sets (semi-join),
     # so the per-batch array build is candidate-proportional, not
     # index-proportional
