@@ -1311,3 +1311,54 @@ def similarity_join_incremental(index_sh: DataFrame, new_df: DataFrame,
     sh_needed = all_sh.join(touched, on=id_col, how="leftsemi")
     pairs = _simjoin_verify(cand, sh_needed, id_col, num, den)
     return pairs, all_sh
+
+
+def containment_join(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", threshold_num: int = 9,
+                     threshold_den: int = 10, shingle_fn=None) -> DataFrame:
+    """EXACT containment self-join: every ORDERED pair (a, b), a != b,
+    with |A inter B| / |A| >= threshold_num/threshold_den — directional
+    subset/quote detection (a small doc quoted inside a big one scores
+    high a->b and low b->a), the exact sibling of the LSH-backed
+    containment detector. One-sided prefix filter: C(A->B) >= t forces
+    |A inter B| >= t|A|, and an A-prefix of length |A| - ceil(t|A|) + 1
+    disjoint from B caps the intersection below t|A| — so A's prefix
+    probing B's FULL set rows finds every qualifying pair; only a size
+    floor |B| >= t|A| applies (no symmetric length filter — containment
+    has none). Positional filter: a generation via A's rank-ra token
+    bounds the overlap by 1 + (|A| - ra). All-integer output
+    (doc_a, doc_b, n_inter, n_a) hash-matches the brute-force oracle."""
+    num, den = threshold_num, threshold_den
+    sh = hashed_shingle_sets(df, text_col, id_col, shingle_fn).persist()
+    dfreq = sh.groupBy("_h").agg(F.count("*").alias("_df"))
+    w_rank = Window.partitionBy(id_col).orderBy("_df", "_h")
+    w_all = Window.partitionBy(id_col)
+    ranked = (sh.join(dfreq, on="_h")
+              .select(id_col, "_h",
+                      F.row_number().over(w_rank).alias("_r"),
+                      F.count("*").over(w_all).alias("_n")))
+    p = (F.col("_n")
+         - F.expr(f"CAST(({num} * _n + {den - 1}) DIV {den} AS BIGINT)")
+         + F.lit(1))
+    prefix = (ranked.where(F.col("_r") <= p)
+              .select(F.col(id_col).alias("doc_a"), "_h",
+                      F.col("_n").alias("_na"), F.col("_r").alias("_ra")))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
+    probe = (sh.select(F.col(id_col).alias("doc_b"), "_h")
+             .join(sizes.select(F.col(id_col).alias("doc_b"),
+                                F.col("_n").alias("_nb")), on="doc_b"))
+    pos_bound = F.lit(1) + (F.col("_na") - F.col("_ra"))
+    cand = (prefix.join(probe, on="_h")
+            .where((F.col("doc_a") != F.col("doc_b"))
+                   & (F.lit(den) * F.col("_nb") >= F.lit(num) * F.col("_na"))
+                   & (F.lit(den) * pos_bound >= F.lit(num) * F.col("_na")))
+            .select("doc_a", "doc_b")
+            .distinct())
+    sets = sh.groupBy(id_col).agg(
+        F.collect_list(F.col("_h").cast("int")).alias("_sh"))
+    joined = _pair_sets(cand, sets, id_col)
+    n_inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
+    return (joined.select("doc_a", "doc_b", n_inter.alias("n_inter"),
+                          F.size("_sa").cast("long").alias("n_a"))
+            .where(F.lit(den) * F.col("n_inter")
+                   >= F.lit(num) * F.col("n_a")))

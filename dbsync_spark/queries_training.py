@@ -1677,3 +1677,29 @@ def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         on="vec_id", how="semi")
     queries = emb.where(F.col("vec_id") % 50 == 0)
     return cosine_topk(corpus, queries, k=10, query_id_col="query_id")
+
+
+@_register(
+    "q_containment_exact",
+    f"""
+WITH {_SIMJOIN_SH},
+ointer AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a._h = b._h AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_inter, sa.n AS n_a
+FROM ointer JOIN sizes sa ON sa.doc_id = doc_a
+WHERE 10 * n_inter >= 9 * sa.n
+""",
+)
+def q_containment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT directional containment join: ordered pairs where >= 90%
+    of doc_a's distinct char-5-grams appear in doc_b (quote/subset
+    detection with recall 1.0 — the exact sibling of the LSH-backed
+    q_containment). One-sided prefix + positional filters bound the
+    probe; brute-force oracle verifies completeness empirically."""
+    from dbsync_spark.functions.dedup import containment_join
+
+    docs = read_table(spark, sf_dir, "documents")
+    return containment_join(docs)

@@ -124,3 +124,41 @@ def test_simjoin_empty_and_short_docs(spark):
         "doc_id long, text string")
     got = _pairs(similarity_join(docs))
     assert {(a, b) for a, b, *_ in got} == {(4, 5)}
+
+
+def test_containment_join_directional(spark):
+    from dbsync_spark.functions.dedup import containment_join
+
+    quote = "the five boxing wizards jump quickly over the frozen river"
+    big = ("a long host document that embeds a quotation verbatim: "
+           + quote + " and then continues with plenty of additional "
+           "unrelated narrative content about mountains and harbors "
+           "and long voyages across the open sea during winter storms")
+    docs = spark.createDataFrame(
+        [(1, quote), (2, big),
+         (3, "entirely unrelated text about garden furniture sales")],
+        "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b) for r in containment_join(docs).collect()}
+    assert (1, 2) in got          # quote contained in host
+    assert (2, 1) not in got      # host not contained in quote
+    assert all(3 not in pair for pair in got)
+
+
+def test_containment_join_equals_brute_force(spark):
+    from pyspark.sql import functions as F
+    from dbsync_spark.functions.dedup import containment_join
+
+    docs = _corpus(spark, n_filler=40)
+    sh = hashed_shingle_sets(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "_h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "_h")
+    brute = (a.join(b, on="_h").where(F.col("doc_a") != F.col("doc_b"))
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter"))
+             .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                F.col("n").alias("n_a")), on="doc_a")
+             .where(F.lit(10) * F.col("n_inter") >= F.lit(9) * F.col("n_a")))
+    want = {(r.doc_a, r.doc_b, r.n_inter, r.n_a) for r in brute.collect()}
+    got = {(r.doc_a, r.doc_b, r.n_inter, r.n_a)
+           for r in containment_join(docs).collect()}
+    assert got == want and len(want) >= 2
