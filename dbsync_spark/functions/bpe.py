@@ -348,6 +348,39 @@ def bpe_reference(texts: list[str], n_rounds: int = BPE_ROUNDS,
     return merges, segs
 
 
+def bpe_encode_oracle_sql(docs_table: str = "documents",
+                          text_col: str = "text", n_rounds: int = 3,
+                          batch_k: int = 4, pool: int = BPE_POOL) -> str:
+    """DuckDB SQL for the corpus ENCODE under the trained merges:
+    reuses bpe_oracle_sql's unrolled segmentation chain (the seg{N}
+    CTE holds every distinct word's final encoding) and reduces it to
+    per-document token counts with the same delimiter-pair string
+    arithmetic as bpe_token_counts."""
+    train = bpe_oracle_sql(docs_table, text_col, n_rounds, batch_k, pool)
+    # keep everything up to (and including) the last seg CTE; replace
+    # the merge-table tail with the per-doc reduction
+    tail_marker = "\nSELECT CAST(row_number()"
+    head = train[:train.rindex(tail_marker)]
+    return head + f""",
+dw AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower({text_col}), '[a-z]+')) AS word
+  FROM {docs_table}
+),
+wsyms AS (
+  SELECT word,
+         CAST((len(enc) - len(replace(enc, '#', ''))) / 2 - 1 AS BIGINT)
+           AS n_syms
+  FROM seg{n_rounds}
+),
+counts AS (
+  SELECT dw.doc_id, SUM(n_syms) AS n_tokens
+  FROM dw JOIN wsyms USING (word) WHERE dw.word <> '' GROUP BY dw.doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(c.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM {docs_table} d LEFT JOIN counts c USING (doc_id)"""
+
+
 def bpe_oracle_sql(docs_table: str = "documents", text_col: str = "text",
                    n_rounds: int = 3, batch_k: int = 4,
                    pool: int = BPE_POOL) -> str:

@@ -1703,3 +1703,25 @@ def q_containment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return containment_join(docs)
+
+
+def _bpe_encode_oracle() -> str:
+    from dbsync_spark.functions.bpe import bpe_encode_oracle_sql
+
+    return bpe_encode_oracle_sql(n_rounds=3, batch_k=4)
+
+
+@_register("q_bpe_encode", _bpe_encode_oracle())
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus ENCODE under the trained BPE merges: per-document token
+    counts after applying q_bpe's 3x4 merge schedule — the apply side
+    of tokenizer training, and the real-scale optimization shape:
+    documents join the DISTINCT-word segmentation table (built once by
+    training) instead of re-running merges per token occurrence, so
+    the encode pass is one narrow join + sum regardless of corpus
+    size. Oracle reuses the training CTE chain's final segmentation."""
+    from dbsync_spark.functions.bpe import bpe_token_counts, bpe_train
+
+    docs = read_table(spark, sf_dir, "documents")
+    _, words = bpe_train(docs, n_rounds=3, batch_k=4)
+    return bpe_token_counts(docs, words)

@@ -300,3 +300,26 @@ def test_reliable_checkpoint_mode_is_bit_identical(spark):
     assert spark.sparkContext.getCheckpointDir() is not None
     assert ({r["word"]: r["enc"] for r in inc_r_words.collect()}
             == {r["word"]: r["enc"] for r in fast_words.collect()})
+
+
+def test_bpe_encode_counts_and_wordless_docs(spark):
+    from pyspark.sql import functions as F
+
+    from dbsync_spark.functions.bpe import bpe_token_counts, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa ab aa"), (2, "aa aa"), (3, "1234 --- !!!")],
+        "doc_id long, text string")
+    merges, words = bpe_train(docs, n_rounds=2, batch_k=1)
+    out = {r.doc_id: r.n_tokens
+           for r in bpe_token_counts(docs, words).collect()}
+    assert out[3] == 0            # digit/punct-only doc: zero tokens, present
+    assert out[1] > out[2] > 0
+    # merging strictly reduces (or keeps) token counts vs char-level
+    char_level = {r.doc_id: r.n
+                  for r in docs.select(
+                      "doc_id",
+                      F.length(F.regexp_replace(F.lower("text"),
+                                                "[^a-z]", "")).alias("n"))
+                  .collect()}
+    assert out[1] <= char_level[1] and out[2] <= char_level[2]
