@@ -151,9 +151,18 @@ def run_pipeline(spark, sf_dir: str, budget: int = 2048) -> dict[str, DataFrame]
 
     spans = substring_dup_spans(canonical, window_tokens=6)
 
+    # audit 2 (non-filtering): recall-1.0 residual near-dup check —
+    # the EXACT similarity join (AllPairs prefix filter) over the
+    # canonical set finds any >= 4/5-Jaccard pair the banded LSH pass
+    # could have missed; empty is the expected steady state
+    from dbsync_spark.functions.dedup import similarity_join
+
+    residual_pairs = similarity_join(canonical)
+
     return {"input": docs, "pii": pii, "cleaned": cleaned,
             "decontaminated": decon, "banded": banded,
             "canonical": canonical, "semantic": semantic, "spans": spans,
+            "residual_pairs": residual_pairs,
             "sampled": sampled, "packed": packed, "chunks": chunks}
 
 
@@ -179,6 +188,8 @@ def main() -> int:
     print("  packs per language:",
           {r["lang"]: r["n_packs"] for r in packs})
     print(f"  residual dup spans in canonical set: {funnel['spans']}")
+    print(f"  exact-join residual near-dup pairs: "
+          f"{funnel['residual_pairs']}")
     spark.stop()
     return 0
 

@@ -39,6 +39,15 @@ def test_pipeline_funnel_invariants(spark, sf_dir):
                         | (F.col("n_tokens") > 32)).count() == 0
     first = chunks.groupBy("doc_id").agg(F.min("chunk_id").alias("m"))
     assert first.where(F.col("m") != 0).count() == 0
+    # exact-join residual audit: both endpoints of any residual pair
+    # must be canonical docs, and the recall-1.0 pass never finds MORE
+    # near-dup mass than existed pre-canonicalization
+    residual = stages["residual_pairs"]
+    canon_ids = stages["canonical"].select("doc_id")
+    for side in ("doc_a", "doc_b"):
+        orphans = (residual.select(F.col(side).alias("doc_id"))
+                   .join(canon_ids, "doc_id", "anti"))
+        assert orphans.count() == 0
 
 
 def test_pipeline_deterministic(spark, sf_dir):
