@@ -425,6 +425,10 @@ def main() -> None:
            lambda: QUERIES["q_entity_resolution"](spark, SF_DIR).count())
     timed2("pii_card_scan",
            lambda: QUERIES["q_pii_card_scan"](spark, SF_DIR).count())
+    timed2("containment_exact",
+           lambda: QUERIES["q_containment_exact"](spark, SF_DIR).count())
+    timed2("bpe_encode",
+           lambda: QUERIES["q_bpe_encode"](spark, SF_DIR).count())
 
     # -- streaming micro-batch latency (BASELINE.md: <= 5 s / 10k-row batch) --
     from dbsync_spark.changelog import ORDERS_PAYLOAD_SCHEMA, build_log_orders

@@ -58,6 +58,7 @@ QUERIES = [
     # filtered vector search
     "q_similarity_join", "q_simjoin_incremental", "q_streaming_simjoin",
     "q_entity_resolution", "q_pii_card_scan", "q_ann_filtered",
+    "q_containment_exact", "q_bpe_encode",
 ]
 # the judge-flagged worst-alpha operators get the extra sf0.1 -> sf1
 # decade (plus the cheap sketch ops as controls)
