@@ -33,6 +33,9 @@ BNLJ_ALLOWED = {
     "q_ann_ivf",           # broadcast centroids
     "q_cosine_topk",       # broadcast query vectors (tiny by contract)
     "q_knn_classify",      # broadcast query vectors (cosine_topk scorer)
+    "q_ann_filtered",      # broadcast query vectors over the filtered
+                           # corpus (cosine_topk scorer; filter is an
+                           # equi semi-join pushed BELOW the BNLJ)
     "q_embed_dedup",       # broadcast bucket bounds
     "q_important_parts",     # 1-row total-value scalar broadcast (Q11)
     "q_global_sales_opportunity",  # 1-row avg-balance scalar broadcast (Q22)
