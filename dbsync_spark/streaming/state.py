@@ -68,13 +68,19 @@ def list_epochs(root: str, sub: str) -> list[int]:
                   if (m := _re.fullmatch(r"epoch=(\d+)", e)))
 
 
-def staged_compact(df, root: str, sub: str, covers: list[int]) -> None:
+def staged_compact(df, root: str, sub: str, covers: list[int],
+                   partition_by: list[str] | None = None) -> None:
     """Crash-safe epoch-directory compaction shared by the streaming
     index services: write `df` (the merged, read-path-filtered state) to
     a `_compacting` staging dir (underscore-hidden from Spark listings
     and list_epochs), record the covered epochs in a manifest, delete
     them, then atomically rename the staging dir to the max covered
     epoch (so next_epoch keeps advancing past it).
+
+    `partition_by` preserves a bucketed at-rest layout through the
+    rewrite (the simjoin index's `_b`/`_d` pruning dirs): the merged
+    epoch keeps one file per bucket value instead of one flat file, so
+    post-compaction probes prune exactly as pre-compaction ones did.
 
     Crash windows: before the manifest lands the old state is untouched
     and a re-run restages; after it, reads may be partial until
@@ -83,11 +89,12 @@ def staged_compact(df, root: str, sub: str, covers: list[int]) -> None:
     pre-compaction epoch id afterwards would re-append rows the
     compacted epoch already holds (the standard OPTIMIZE-vs-writer
     discipline; run compaction only past the stream's checkpoint)."""
-    stage_compact(df, root, sub, covers)
+    stage_compact(df, root, sub, covers, partition_by=partition_by)
     finish_compact(root, sub)
 
 
-def stage_compact(df, root: str, sub: str, covers: list[int]) -> None:
+def stage_compact(df, root: str, sub: str, covers: list[int],
+                  partition_by: list[str] | None = None) -> None:
     """The staging half of staged_compact: materialize the merged state
     and its manifest WITHOUT touching the live epoch dirs. Services whose
     read path joins ACROSS subs (span_index: spans x rescored) stage
@@ -100,7 +107,12 @@ def stage_compact(df, root: str, sub: str, covers: list[int]) -> None:
 
     stage = f"{root}/{sub}/_compacting"
     shutil.rmtree(stage, ignore_errors=True)
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    if partition_by:
+        # one shuffle task per bucket value -> one file per bucket dir
+        (df.repartition(*partition_by).write.partitionBy(*partition_by)
+         .mode("overwrite").parquet(stage))
+    else:
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
     with open(f"{stage}/_covers.json", "w") as fh:
         json.dump(covers, fh)
 

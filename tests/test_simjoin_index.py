@@ -78,3 +78,38 @@ def test_compact_preserves_pairs_and_collapses_files(spark, tmp_path):
         "doc_id long, text string")
     idx.process_batch(extra)
     assert _pairs(idx.all_pairs()) == before  # no near-dups introduced
+
+
+def test_full_reprobe_mode_matches_default(spark, tmp_path):
+    """The r8 additive-state probe and the retained full-recompute
+    baseline (full_reprobe=True) emit identical per-epoch pairs — the
+    cross-check that bucket pruning + lagged-frequency ranking changed
+    the COST shape only, never the output."""
+    docs = _corpus(spark, n_filler=25)
+    fast = StreamingSimJoinIndex(spark, str(tmp_path / "fast"))
+    slow = StreamingSimJoinIndex(spark, str(tmp_path / "slow"),
+                                 full_reprobe=True)
+    for epoch in range(3):
+        batch = docs.where(F.col("doc_id") % 3 == epoch)
+        assert (_pairs(fast.process_batch(batch, epoch_id=epoch))
+                == _pairs(slow.process_batch(batch, epoch_id=epoch)))
+
+
+def test_bucketed_state_layout(spark, tmp_path):
+    """At-rest pruning layout: set rows bucketed by token hash (_b),
+    verify arrays by doc id (_d), dfreq deltas by token hash — the
+    physical precondition for batch-proportional probe reads."""
+    import os
+
+    docs = _corpus(spark, n_filler=10)
+    root = str(tmp_path / "sj")
+    idx = StreamingSimJoinIndex(spark, root, n_buckets=8)
+    idx.process_batch(docs, epoch_id=0)
+    for sub, col in (("sets", "_b"), ("dfreq", "_b"), ("arrays", "_d")):
+        dirs = [d for d in os.listdir(f"{root}/{sub}/epoch=0")
+                if d.startswith(f"{col}=")]
+        assert dirs, (sub, os.listdir(f"{root}/{sub}/epoch=0"))
+    # the bucket modulus is pinned in root meta: a reopened handle with
+    # a DIFFERENT n_buckets argument must adopt the stored layout
+    reopened = StreamingSimJoinIndex(spark, root, n_buckets=64)
+    assert reopened.nb == 8
