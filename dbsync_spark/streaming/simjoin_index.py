@@ -448,7 +448,10 @@ class ForgettingSimJoinIndex(StreamingSimJoinIndex):
                 .join(gone.select(F.col("doc_id").alias("doc_a")),
                       on="doc_a", how="anti")
                 .join(gone.select(F.col("doc_id").alias("doc_b")),
-                      on="doc_b", how="anti"))
+                      on="doc_b", how="anti")
+                # string-keyed joins move the key column to the front;
+                # restore the schema order
+                .select(*_PAIRS_SCHEMA.fieldNames()))
 
     def _has_hidden_rows(self) -> bool:
         """True while tombstones exist that compaction has not yet

@@ -100,16 +100,7 @@ class StreamingSpanIndex:
                    .unionByName(new_docs.select("doc_id"))
                    .distinct())
 
-        # a rescored doc's OTHER windows may be duplicated via hashes the
-        # batch never touched: doc-frequency over the rescored docs'
-        # hash set, not just the touched set
-        rwin = index.join(rescore, on="doc_id", how="semi")
-        rdf = (index.join(rwin.select("wh").distinct(), on="wh", how="semi")
-               .groupBy("wh")
-               .agg(F.count_distinct("doc_id").alias("wdf")))
-        dup = rwin.join(
-            rdf.where(F.col("wdf") >= self.min_docs).select("wh"), on="wh")
-        spans = _spans_from_dup_positions(dup, "doc_id", self.window_tokens)
+        spans = self._rescore_spans(index, rescore)
 
         spans.write.mode("overwrite").parquet(
             f"{self.root}/spans/epoch={epoch_id}")
@@ -117,6 +108,23 @@ class StreamingSpanIndex:
             f"{self.root}/rescored/epoch={epoch_id}")
         return self.spark.read.parquet(
             f"{self.root}/spans/epoch={epoch_id}")
+
+    def _rescore_spans(self, index: DataFrame,
+                       rescore: DataFrame) -> DataFrame:
+        """Span rows for the `rescore` docs against `index` windows. A
+        rescored doc's OTHER windows may be duplicated via hashes the
+        triggering increment never touched, so doc-frequency is
+        measured over the rescored docs' full hash set — still
+        increment-neighborhood-proportional, never the corpus."""
+        rwin = index.join(rescore.select("doc_id"), on="doc_id",
+                          how="semi")
+        rdf = (index.join(rwin.select("wh").distinct(), on="wh",
+                          how="semi")
+               .groupBy("wh")
+               .agg(F.count_distinct("doc_id").alias("wdf")))
+        dup = rwin.join(
+            rdf.where(F.col("wdf") >= self.min_docs).select("wh"), on="wh")
+        return _spans_from_dup_positions(dup, "doc_id", self.window_tokens)
 
     def foreach_batch_handler(self):
         """Adapter for `writeStream.foreachBatch` over a (doc_id, text)
@@ -162,23 +170,35 @@ class StreamingSpanIndex:
             shutil.rmtree(f"{self.root}/{s}/_compacting",
                           ignore_errors=True)
         eps = list_epochs(self.root, "windows")
-        if len(eps) <= 1:
+        if not eps or (len(eps) <= 1 and not self._erasure_pending()):
             return
         stage_compact(self._read("windows", _WINDOWS_SCHEMA),
                       self.root, "windows", eps)
         sp_eps = list_epochs(self.root, "spans")
         rs_eps = list_epochs(self.root, "rescored")
         stage_compact(self.current_spans(), self.root, "spans", sp_eps)
-        rescored = read_state(self.spark, f"{self.root}/rescored",
-                              read_schema=_RESCORED_SCHEMA,
-                              empty_schema=_RESCORED_SCHEMA)
-        stage_compact(rescored.select("doc_id").distinct(),
+        stage_compact(self._rescored_distinct(),
                       self.root, "rescored", rs_eps)
         with open(marker, "w") as fh:
             fh.write("ready\n")
         for s in subs:
             finish_compact(self.root, s)
         os.remove(marker)
+        self._mark_erased()
+
+    def _erasure_pending(self) -> bool:
+        return False
+
+    def _mark_erased(self) -> None:
+        return None
+
+    def _rescored_distinct(self) -> DataFrame:
+        """Distinct rescored-doc ids (the Forgetting subclass filters
+        tombstoned docs here so compaction physically erases them)."""
+        rescored = read_state(self.spark, f"{self.root}/rescored",
+                              read_schema=_RESCORED_SCHEMA,
+                              empty_schema=_RESCORED_SCHEMA)
+        return rescored.select("doc_id").distinct()
 
     def current_spans(self) -> DataFrame:
         """The span table as of the latest processed epoch: each doc's
@@ -191,3 +211,111 @@ class StreamingSpanIndex:
         latest = res.groupBy("doc_id").agg(F.max("epoch").alias("epoch"))
         return (spans.join(latest, on=["doc_id", "epoch"])
                 .drop("epoch"))
+
+
+_SPAN_FORGETS_SCHEMA = StructType([StructField("doc_id", LongType())])
+
+
+class ForgettingSpanIndex(StreamingSpanIndex):
+    """StreamingSpanIndex with right-to-be-forgotten — flushed out by
+    the structural forgetting guard. Removal is NON-LOCAL here, like the
+    cluster index: a span is recorded because its windows appear in
+    >= min_docs documents, so forgetting one holder can demote a
+    SURVIVING doc's spans below threshold. forget() therefore rescores
+    every surviving doc that shared a window hash with the forgotten
+    docs (increment-neighborhood-proportional — the same machinery a
+    batch ingest uses, driven by the forgotten docs' hashes) and swaps
+    the corrected span/rescored tables over their ENTIRE history at the
+    current max epoch — never a new epoch, so a checkpointed stream's
+    next batch id cannot collide with a forget (the ForgettingCluster
+    epoch discipline). Window rows are hidden by read-time tombstones
+    and physically erased at compact(). Forgotten ids are permanently
+    retired (re-ingest raises)."""
+
+    def _forgotten(self) -> DataFrame:
+        return read_state(self.spark, f"{self.root}/forgets",
+                          read_schema=_SPAN_FORGETS_SCHEMA,
+                          empty_schema=_SPAN_FORGETS_SCHEMA)
+
+    def _read(self, sub: str, schema: StructType) -> DataFrame:
+        df = super()._read(sub, schema)
+        if sub == "windows":
+            return df.join(self._forgotten(), on="doc_id", how="anti")
+        return df
+
+    def current_spans(self) -> DataFrame:
+        return super().current_spans().join(self._forgotten(),
+                                            on="doc_id", how="anti")
+
+    def _rescored_distinct(self) -> DataFrame:
+        return super()._rescored_distinct().join(self._forgotten(),
+                                                 on="doc_id", how="anti")
+
+    def process_batch(self, new_docs: DataFrame,
+                      epoch_id: int | None = None) -> DataFrame:
+        clash = (new_docs.select("doc_id")
+                 .join(self._forgotten(), on="doc_id", how="semi"))
+        if not clash.isEmpty():
+            ids = [r.doc_id for r in clash.limit(5).collect()]
+            raise ValueError(
+                f"doc_ids {ids} were forgotten and are permanently "
+                "retired; re-ingest under new ids")
+        return super().process_batch(new_docs, epoch_id)
+
+    def forget(self, doc_ids: DataFrame, epoch_id: int | None = None
+               ) -> None:
+        """Tombstone doc ids, rescore their duplication neighborhood,
+        and swap the corrected spans/rescored tables in place (staged,
+        published at the current max epochs). Replaying a forget
+        converges to the same state."""
+        import shutil
+
+        from dbsync_spark.streaming.state import (finish_compact,
+                                                  list_epochs,
+                                                  next_epoch,
+                                                  stage_compact)
+
+        ids = doc_ids.select(F.col("doc_id").cast("long")).distinct()
+        if epoch_id is None:
+            epoch_id = next_epoch(self.root, "forgets")
+        (ids.coalesce(1).write.mode("overwrite")
+         .parquet(f"{self.root}/forgets/epoch={epoch_id}"))
+        # neighborhood: surviving docs sharing any window hash with the
+        # forgotten docs' (still-present, read-hidden) window rows
+        raw_win = StreamingSpanIndex._read(self, "windows",
+                                           _WINDOWS_SCHEMA)
+        gone_wh = (raw_win.join(ids, on="doc_id", how="semi")
+                   .select("wh").distinct())
+        index = self._read("windows", _WINDOWS_SCHEMA)  # filtered
+        affected = (index.join(gone_wh, on="wh", how="semi")
+                    .select("doc_id").distinct())
+        respans = self._rescore_spans(index, affected)
+        keep = (self.current_spans()
+                .join(affected, on="doc_id", how="anti"))
+        new_spans = keep.unionByName(respans)
+        new_rescored = (self._rescored_distinct()
+                        .unionByName(affected).distinct())
+        sp_eps = list_epochs(self.root, "spans")
+        rs_eps = list_epochs(self.root, "rescored")
+        if not sp_eps:
+            return  # nothing ingested yet; tombstones alone suffice
+        for s in ("spans", "rescored"):
+            shutil.rmtree(f"{self.root}/{s}/_compacting",
+                          ignore_errors=True)
+        stage_compact(new_spans, self.root, "spans", sp_eps)
+        stage_compact(new_rescored, self.root, "rescored", rs_eps)
+        finish_compact(self.root, "spans")
+        finish_compact(self.root, "rescored")
+
+    def _erasure_pending(self) -> bool:
+        from dbsync_spark.streaming.state import erasure_pending
+
+        n = self._forgotten().count()
+        return bool(n) and erasure_pending(self.root, "windows", n)
+
+    def _mark_erased(self) -> None:
+        from dbsync_spark.streaming.state import record_erasure
+
+        n = self._forgotten().count()
+        if n:
+            record_erasure(self.root, "windows", n)

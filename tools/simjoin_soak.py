@@ -1,0 +1,137 @@
+"""Per-batch cost soak for StreamingSimJoinIndex (judge r7 item #1
+done-criterion): feed a fixed-size stream of realistic-density docs
+(tools/gen_density.py fixture, ~20% near-dup — the representative
+corpus, not the saturated sf-ladder one) and record per-batch seconds
+for BOTH probe modes:
+
+- default (r8): additive dfreq deltas + bucket-pruned probe/verify
+  reads — per-batch work is batch/candidate-proportional; the curve
+  should stay ~flat as the cumulative index grows 10x+.
+- full_reprobe=True (pre-r8 shape, retained for exactly this
+  measurement): re-reads the full set state and re-aggregates global
+  frequencies/sizes every batch — per-batch time grows with the index.
+
+Every epoch also cross-checks that the two modes emit IDENTICAL pair
+sets (the exactness contract is mode-independent), and the run ends
+with all_pairs == one-shot batch similarity_join over the ingested
+corpus (match_batch_recompute). Emits SIMJOIN_SOAK.json.
+
+Usage: python tools/simjoin_soak.py [K] [batch_size] [fixture_dir]
+       (defaults 12, 1500, /root/repo/.scratch/sfd1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dbsync_spark.functions.dedup import similarity_join
+    from dbsync_spark.session import get_spark
+    from dbsync_spark.streaming.simjoin_index import StreamingSimJoinIndex
+
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 12
+    batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 1500
+    fixture = (sys.argv[3] if len(sys.argv) > 3
+               else "/root/repo/.scratch/sfd1")
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+    spark = get_spark("simjoin-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = (spark.read.parquet(f"{fixture}/documents.parquet")
+            .select("doc_id", "text"))
+    # a deterministic fixed-size stream: doc_id rank order, K batches
+    # of batch_size (fixed BATCH work per epoch is what makes per-epoch
+    # seconds comparable as the INDEX grows underneath)
+    stream = (docs.orderBy("doc_id").limit(k * batch_size)
+              .withColumn("_batch",
+                          F.floor((F.row_number()
+                                   .over(Window.orderBy("doc_id")) - 1)
+                                  / batch_size).cast("int"))
+              .cache())
+    stream.count()
+
+    roots = {m: tempfile.mkdtemp(prefix=f"simjoin_soak_{m}_")
+             for m in ("delta", "full")}
+    idx = {"delta": StreamingSimJoinIndex(spark, roots["delta"]),
+           "full": StreamingSimJoinIndex(spark, roots["full"],
+                                         full_reprobe=True)}
+    epochs = []
+    for b in range(k):
+        batch = stream.where(F.col("_batch") == b).select("doc_id", "text")
+        row = {"epoch": b, "batch_docs": batch.count(),
+               "cumulative_docs": (b + 1) * batch_size}
+        out = {}
+        for mode in ("delta", "full"):
+            t0 = time.monotonic()
+            res = idx[mode].process_batch(batch, epoch_id=b)
+            row[f"secs_{mode}"] = round(time.monotonic() - t0, 3)
+            out[mode] = {tuple(r) for r in res.collect()}
+        row["new_pairs"] = len(out["delta"])
+        row["modes_match"] = out["delta"] == out["full"]
+        epochs.append(row)
+        print(f"epoch {b}: cum={row['cumulative_docs']} "
+              f"delta={row['secs_delta']}s full={row['secs_full']}s "
+              f"pairs={row['new_pairs']} match={row['modes_match']}",
+              flush=True)
+
+    ingested = stream.select("doc_id", "text")
+    want = {tuple(r) for r in similarity_join(ingested).collect()}
+    got = {tuple(r) for r in idx["delta"].all_pairs().collect()}
+
+    def _curve(key: str) -> float:
+        """last-quarter mean / first-quarter mean over epochs[1:] —
+        ~1.0 is flat. Epoch 0 is excluded: it pays one-time JVM/codegen
+        warmup that would flatter any growth ratio."""
+        vals = [e[key] for e in epochs[1:]]
+        q = max(1, len(vals) // 4)
+        return round(sum(vals[-q:]) / q / (sum(vals[:q]) / q), 3)
+
+    def _steady(key: str) -> float:
+        """Growth over the LAST HALF of the stream (warmup and the
+        fixture's clustered-copy early pair spikes are gone; per-epoch
+        demanded pair work is quiescent): tail-quarter mean /
+        head-quarter mean of that window."""
+        vals = [e[key] for e in epochs[k // 2:]]
+        q = max(1, len(vals) // 4)
+        return round(sum(vals[-q:]) / q / (sum(vals[:q]) / q), 3)
+
+    result = {
+        "fixture": fixture, "k_batches": k, "batch_size": batch_size,
+        "epochs": epochs,
+        "growth_ratio_delta_mode": _curve("secs_delta"),
+        "growth_ratio_full_mode": _curve("secs_full"),
+        "steady_state_growth_delta_mode": _steady("secs_delta"),
+        "steady_state_growth_full_mode": _steady("secs_full"),
+        "all_modes_match": all(e["modes_match"] for e in epochs),
+        "match_batch_recompute": want == got,
+        "total_pairs": len(got),
+    }
+    # merge by config so a large-batch and a small-batch (pushdown
+    # regime) series can coexist in one artifact
+    out_path = "/root/repo/SIMJOIN_SOAK.json"
+    data = {}
+    if __import__("os").path.exists(out_path):
+        with open(out_path) as fh:
+            prev = json.load(fh)
+        data = prev if "runs" in prev else {}
+    data.setdefault("runs", {})[f"k{k}_b{batch_size}"] = result
+    with open(out_path, "w") as fh:
+        json.dump(data, fh, indent=1)
+    print(json.dumps({kk: vv for kk, vv in result.items()
+                      if kk != "epochs"}))
+    spark.stop()
+    return 0 if (result["all_modes_match"]
+                 and result["match_batch_recompute"]) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
