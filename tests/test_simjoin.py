@@ -162,3 +162,21 @@ def test_containment_join_equals_brute_force(spark):
     got = {(r.doc_a, r.doc_b, r.n_inter, r.n_a)
            for r in containment_join(docs).collect()}
     assert got == want and len(want) >= 2
+
+
+def test_chunked_verify_identical_output(spark):
+    """verify_chunks partitions the candidate set deterministically and
+    unions per-chunk verifies — output must be byte-identical to the
+    one-shot verify for both exact join operators."""
+    from dbsync_spark.functions.dedup import (containment_join,
+                                              similarity_join)
+
+    docs = _corpus(spark, n_filler=30)
+    one = {tuple(r) for r in similarity_join(docs).collect()}
+    chunked = {tuple(r) for r in
+               similarity_join(docs, verify_chunks=4).collect()}
+    assert one == chunked and one
+    c_one = {tuple(r) for r in containment_join(docs).collect()}
+    c_chunked = {tuple(r) for r in
+                 containment_join(docs, verify_chunks=3).collect()}
+    assert c_one == c_chunked
