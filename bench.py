@@ -675,8 +675,12 @@ def main() -> None:
     spark.stop()
     # commit-able full artifact: the grading driver's wrapper keeps only a
     # 2000-byte stdout tail (lost the queries dict in r5); this file is
-    # the always-recoverable baseline the next run's gate compares against
-    with open(os.path.join(repo_dir, "BENCH_LOCAL.json"), "w") as fh:
+    # the always-recoverable baseline the next run's gate compares against.
+    # SPARK_GRAFT_BENCH_OUT redirects it so a non-local[32] evidence run
+    # (tools/bench_cluster.py) never clobbers the local[32] baseline.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(repo_dir, "BENCH_LOCAL.json"))
+    with open(out_path, "w") as fh:
         json.dump(result, fh)
         fh.write("\n")
     print(json.dumps(result))

@@ -65,9 +65,14 @@ def get_spark(app_name: str = "dbsync-spark", shuffle_partitions: int | None = N
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    # SPARK_GRAFT_MASTER overrides the default local[N] — the multi-JVM
+    # bench evidence run (tools/bench_cluster.py) points it at
+    # local-cluster[2,16,M] so the SAME core count runs across two real
+    # executor JVMs and the JVM-boundary cost is the only variable
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -88,4 +93,8 @@ def get_spark(app_name: str = "dbsync-spark", shuffle_partitions: int | None = N
         # closures; make that a library guarantee, not deployment config
         .config("spark.executorEnv.PYTHONPATH", executor_pythonpath())
     )
+    if master.startswith("local-cluster"):
+        builder = builder.config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "12g"))
     return builder.getOrCreate()
