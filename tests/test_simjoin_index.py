@@ -113,3 +113,47 @@ def test_bucketed_state_layout(spark, tmp_path):
     # a DIFFERENT n_buckets argument must adopt the stored layout
     reopened = StreamingSimJoinIndex(spark, root, n_buckets=64)
     assert reopened.nb == 8
+
+
+def test_forgetting_compact_physically_erases(spark, tmp_path):
+    """compact() on the forgetting variant removes tombstoned docs' set
+    rows, arrays, dfreq contributions, and pairs from the FILES (not
+    just the read path), preserves bucket partition dirs, and the
+    erasure marker keeps a second compact from re-rewriting."""
+    import os
+
+    from dbsync_spark.streaming.simjoin_index import ForgettingSimJoinIndex
+
+    docs = _corpus(spark, n_filler=15)
+    root = str(tmp_path / "sj")
+    idx = ForgettingSimJoinIndex(spark, root)
+    for epoch in range(2):
+        idx.process_batch(docs.where(F.col("doc_id") % 2 == epoch),
+                          epoch_id=epoch)
+    gone_id = 2
+    idx.forget(spark.createDataFrame([(gone_id,)], "doc_id long"))
+    before = _pairs(idx.all_pairs())
+    idx.compact()
+    assert _pairs(idx.all_pairs()) == before
+    raw_sets = spark.read.parquet(f"{root}/sets")
+    assert raw_sets.where(F.col("doc_id") == gone_id).isEmpty()
+    raw_arr = spark.read.parquet(f"{root}/arrays")
+    assert raw_arr.where(F.col("doc_id") == gone_id).isEmpty()
+    raw_pairs = spark.read.parquet(f"{root}/pairs")
+    assert raw_pairs.where((F.col("doc_a") == gone_id)
+                           | (F.col("doc_b") == gone_id)).isEmpty()
+    # bucket layout survives the rewrite
+    eps = [d for d in os.listdir(f"{root}/sets") if d.startswith("epoch=")]
+    assert len(eps) == 1
+    assert any(d.startswith("_b=")
+               for d in os.listdir(f"{root}/sets/{eps[0]}"))
+    # dfreq rebuilt from surviving sets: summed df for the forgotten
+    # doc's tokens no longer counts it
+    total_rows = raw_sets.count()
+    dfreq_sum = (spark.read.parquet(f"{root}/dfreq")
+                 .agg(F.sum("_df")).first()[0])
+    assert dfreq_sum == total_rows
+    # marker: second compact with nothing new is a no-op (single epoch,
+    # erasure recorded)
+    idx.compact()
+    assert _pairs(idx.all_pairs()) == before
