@@ -341,16 +341,25 @@ _PAIR_BROADCAST_MAX = 1_000_000
 
 def _pair_sets(cands: DataFrame, sets: DataFrame, id_col: str) -> DataFrame:
     """(doc_a, doc_b, _sa, _sb) — each candidate pair with both shingle-set
-    arrays attached. The candidate frame is materialized once
-    (localCheckpoint — it feeds both joins anyway) and broadcast ONLY
-    when its measured row count is small: LSH blocking usually keeps it
-    tiny, and broadcasting then saves shuffling every document's
-    shingle-set array (the widest column in the pipeline) twice. But on
-    dup-dense corpora candidates reach millions of rows — there a forced
-    broadcast hands every task a multi-hundred-MB hash table, measured
-    strictly worse (sf1 char-gram fixture: 6.0M pairs) than letting the
-    sort-merge join shuffle the narrow hashed set arrays."""
-    cands = cands.localCheckpoint(eager=True)
+    arrays attached. The candidate frame is materialized once (it feeds
+    both joins anyway) and broadcast ONLY when its measured row count is
+    small: LSH blocking usually keeps it tiny, and broadcasting then
+    saves shuffling every document's shingle-set array (the widest
+    column in the pipeline) twice. But on dup-dense corpora candidates
+    reach millions of rows — there a forced broadcast hands every task
+    a multi-hundred-MB hash table, measured strictly worse (sf1
+    char-gram fixture: 6.0M pairs) than letting the sort-merge join
+    shuffle the narrow hashed set arrays.
+
+    persist(MEMORY_AND_DISK), NOT localCheckpoint: checkpoint blocks
+    are DESERIALIZED and unevictable — a 100M-row candidate frame (the
+    sfd1 containment probe) killed a 16g heap through them (same
+    failure mode as the sh frame's documented 24 GB death); the
+    serialized spillable cache holds the same single-materialization
+    property and degrades to disk instead of dying."""
+    from pyspark import StorageLevel
+
+    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
     if cands.count() <= _PAIR_BROADCAST_MAX:
         cands = F.broadcast(cands)
     sets_a = sets.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa"))
