@@ -351,15 +351,19 @@ def _pair_sets(cands: DataFrame, sets: DataFrame, id_col: str) -> DataFrame:
     char-gram fixture: 6.0M pairs) than letting the sort-merge join
     shuffle the narrow hashed set arrays.
 
-    persist(MEMORY_AND_DISK), NOT localCheckpoint: checkpoint blocks
-    are DESERIALIZED and unevictable — a 100M-row candidate frame (the
-    sfd1 containment probe) killed a 16g heap through them (same
-    failure mode as the sh frame's documented 24 GB death); the
-    serialized spillable cache holds the same single-materialization
-    property and degrades to disk instead of dying."""
-    from pyspark import StorageLevel
-
-    cands = cands.persist(StorageLevel.MEMORY_AND_DISK)
+    localCheckpoint, deliberately, with a HEAP CONTRACT: checkpoint
+    blocks are deserialized and heap-resident, so this materialization
+    needs memory proportional to the candidate count (a ~100M-candidate
+    adversarial-density probe wants a ~48g driver heap in local mode —
+    measured: 16g died, 48g passed). The alternative was measured and
+    rejected: a serialized MEMORY_AND_DISK persist survives on small
+    heaps but costs ~2x END-TO-END on both downstream shapes
+    (minhash_char 4.0 -> 6.6 s broadcast path, similarity_join 4.9 ->
+    8.0 s sort-merge path at sf0.1 — columnar decode on every reuse).
+    For bounded memory WITHOUT the heap, use the operators'
+    verify_chunks: the chunked path checkpoints only narrow id pairs
+    and bounds each chunk's candidate frame at 1/K."""
+    cands = cands.localCheckpoint(eager=True)
     if cands.count() <= _PAIR_BROADCAST_MAX:
         cands = F.broadcast(cands)
     sets_a = sets.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa"))
