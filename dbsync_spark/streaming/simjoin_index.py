@@ -96,6 +96,13 @@ class StreamingSimJoinIndex:
     `process_batch` per micro-batch (directly, or via
     `foreach_batch_handler()` from a writeStream).
 
+    Memory contract per batch: the verify step materializes the batch's
+    candidate frame in the block store (dedup._pair_sets — eager
+    checkpoint + count), count-adaptively serialized above
+    _PAIR_DESER_MAX so adversarially dup-dense batches spill to disk
+    instead of exhausting the heap; steady-state memory is otherwise
+    candidate-proportional and released at the end of each batch.
+
     `full_reprobe=True` switches to the pre-r8 implementation — a full
     similarity_join_incremental over the re-read union state each batch
     (index-proportional per-batch cost). Retained ONLY as the measured
@@ -116,12 +123,15 @@ class StreamingSimJoinIndex:
         # bucket count is a physical-layout constant for the index's
         # lifetime: pin it in a root-level meta file on first use so a
         # reopened handle can never mis-bucket probes against state
-        # written with a different modulus
+        # written with a different modulus. ONLY a missing file means
+        # first use (round-8 ADVICE): a transient read failure or
+        # malformed content on an EXISTING index must propagate, not
+        # silently re-pin a different modulus over live state.
         meta_path = f"{self.root}/_meta.json"
         try:
             with open(meta_path) as fh:
                 n_buckets = int(json.load(fh)["n_buckets"])
-        except (OSError, ValueError, KeyError):
+        except FileNotFoundError:
             os.makedirs(self.root, exist_ok=True)
             with open(meta_path, "w") as fh:
                 json.dump({"n_buckets": n_buckets}, fh)
@@ -295,8 +305,14 @@ class StreamingSimJoinIndex:
             pairs = self.spark.createDataFrame([], _PAIRS_SCHEMA)
         else:
             pairs, release = self._probe(batch_sh, tok_buckets, tok_hs)
-        # the parquet write is the ONE materializing action for the
-        # whole probe pipeline — no interim checkpoint pass
+        # NOTE (round-8 ADVICE): this write is NOT the only
+        # materializing action — simjoin_verify_arrays eagerly
+        # materializes and counts each batch's candidate frame
+        # (dedup._pair_sets), so every micro-batch holds a
+        # candidate-proportional block-store copy while verifying.
+        # Storage for that copy is count-adaptive (serialized
+        # MEMORY_AND_DISK above _PAIR_DESER_MAX), so an adversarial
+        # batch degrades to spill, not an OOM.
         (pairs.coalesce(write_parts(self.spark))
          .write.mode("overwrite")
          .parquet(f"{self.root}/pairs/epoch={epoch_id}"))
@@ -360,17 +376,17 @@ class StreamingSimJoinIndex:
                                                   pending_compaction,
                                                   staged_compact)
 
-        plan = {"sets": (self._sets, ["_b"]),
-                "arrays": (self._arrays, ["_d"]),
-                "pairs": (self.all_pairs, None)}
-        for sub, (reader, parts) in plan.items():
+        plan = {"sets": (self._sets, ["_b"], ["_h"]),
+                "arrays": (self._arrays, ["_d"], ["doc_id"]),
+                "pairs": (self.all_pairs, None, None)}
+        for sub, (reader, parts, sort) in plan.items():
             if pending_compaction(self.root, sub):
                 finish_compact(self.root, sub)
             eps = list_epochs(self.root, sub)
             if not eps or (len(eps) <= 1 and not self._has_hidden_rows()):
                 continue
             staged_compact(reader(), self.root, sub, eps,
-                           partition_by=parts)
+                           partition_by=parts, sort_within=sort)
         # dfreq: recompute from the surviving (read-path-filtered) set
         # rows — for the base class identical to summing the deltas
         # (each doc's tokens counted once either way); for Forgetting,
@@ -384,7 +400,7 @@ class StreamingSimJoinIndex:
                      .withColumn("_b", F.pmod(F.col("_h"),
                                               F.lit(self.nb)).cast("int")))
             staged_compact(clean, self.root, "dfreq", eps,
-                           partition_by=["_b"])
+                           partition_by=["_b"], sort_within=["_h"])
         self._mark_erased()
 
     def _has_hidden_rows(self) -> bool:

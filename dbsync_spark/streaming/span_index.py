@@ -267,14 +267,33 @@ class ForgettingSpanIndex(StreamingSpanIndex):
         """Tombstone doc ids, rescore their duplication neighborhood,
         and swap the corrected spans/rescored tables in place (staged,
         published at the current max epochs). Replaying a forget
-        converges to the same state."""
+        converges to the same state.
+
+        Cross-sub crash safety mirrors compact(): spans and rescored are
+        a JOINED pair on the read path, so both are STAGED first, a
+        `_compact_ready` marker commits, then both are published. A
+        crash between the two publishes previously (round-8 ADVICE,
+        medium) left spans at the max epoch while rescored kept older
+        per-doc epochs — current_spans() silently dropped surviving
+        docs, and every recovery path restaged from the corrupted view.
+        Now: marker present on entry (here or in compact()) -> finish
+        the consistent pending stagings before doing anything else;
+        marker absent -> stale stagings are garbage, restage."""
+        import os
         import shutil
 
         from dbsync_spark.streaming.state import (finish_compact,
                                                   list_epochs,
                                                   next_epoch,
+                                                  pending_compaction,
                                                   stage_compact)
 
+        marker = f"{self.root}/_compact_ready"
+        if os.path.exists(marker):
+            for s in ("windows", "spans", "rescored"):
+                if pending_compaction(self.root, s):
+                    finish_compact(self.root, s)
+            os.remove(marker)
         ids = doc_ids.select(F.col("doc_id").cast("long")).distinct()
         if epoch_id is None:
             epoch_id = next_epoch(self.root, "forgets")
@@ -304,8 +323,11 @@ class ForgettingSpanIndex(StreamingSpanIndex):
                           ignore_errors=True)
         stage_compact(new_spans, self.root, "spans", sp_eps)
         stage_compact(new_rescored, self.root, "rescored", rs_eps)
+        with open(marker, "w") as fh:
+            fh.write("ready\n")
         finish_compact(self.root, "spans")
         finish_compact(self.root, "rescored")
+        os.remove(marker)
 
     def _erasure_pending(self) -> bool:
         from dbsync_spark.streaming.state import erasure_pending

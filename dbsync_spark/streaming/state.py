@@ -69,7 +69,8 @@ def list_epochs(root: str, sub: str) -> list[int]:
 
 
 def staged_compact(df, root: str, sub: str, covers: list[int],
-                   partition_by: list[str] | None = None) -> None:
+                   partition_by: list[str] | None = None,
+                   sort_within: list[str] | None = None) -> None:
     """Crash-safe epoch-directory compaction shared by the streaming
     index services: write `df` (the merged, read-path-filtered state) to
     a `_compacting` staging dir (underscore-hidden from Spark listings
@@ -81,6 +82,11 @@ def staged_compact(df, root: str, sub: str, covers: list[int],
     rewrite (the simjoin index's `_b`/`_d` pruning dirs): the merged
     epoch keeps one file per bucket value instead of one flat file, so
     post-compaction probes prune exactly as pre-compaction ones did.
+    `sort_within` preserves the within-file sort order the delta writer
+    established (e.g. `_h` for the simjoin set rows) so parquet min/max
+    row-group skipping for IN-list pushdowns survives the rewrite
+    (round-8 ADVICE: without it the first compact() degraded the
+    pruned read to full-file scans within buckets).
 
     Crash windows: before the manifest lands the old state is untouched
     and a re-run restages; after it, reads may be partial until
@@ -89,12 +95,14 @@ def staged_compact(df, root: str, sub: str, covers: list[int],
     pre-compaction epoch id afterwards would re-append rows the
     compacted epoch already holds (the standard OPTIMIZE-vs-writer
     discipline; run compaction only past the stream's checkpoint)."""
-    stage_compact(df, root, sub, covers, partition_by=partition_by)
+    stage_compact(df, root, sub, covers, partition_by=partition_by,
+                  sort_within=sort_within)
     finish_compact(root, sub)
 
 
 def stage_compact(df, root: str, sub: str, covers: list[int],
-                  partition_by: list[str] | None = None) -> None:
+                  partition_by: list[str] | None = None,
+                  sort_within: list[str] | None = None) -> None:
     """The staging half of staged_compact: materialize the merged state
     and its manifest WITHOUT touching the live epoch dirs. Services whose
     read path joins ACROSS subs (span_index: spans x rescored) stage
@@ -108,8 +116,13 @@ def stage_compact(df, root: str, sub: str, covers: list[int],
     stage = f"{root}/{sub}/_compacting"
     shutil.rmtree(stage, ignore_errors=True)
     if partition_by:
-        # one shuffle task per bucket value -> one file per bucket dir
-        (df.repartition(*partition_by).write.partitionBy(*partition_by)
+        # one shuffle task per bucket value -> one file per bucket dir;
+        # the sort leads with the partition columns so the writer's
+        # required ordering is already satisfied and the caller's
+        # row-group-skipping sort survives to the files
+        (df.repartition(*partition_by)
+         .sortWithinPartitions(*partition_by, *(sort_within or []))
+         .write.partitionBy(*partition_by)
          .mode("overwrite").parquet(stage))
     else:
         df.coalesce(1).write.mode("overwrite").parquet(stage)

@@ -77,6 +77,25 @@ def test_gate_threshold_is_ratio_and_absolute():
     assert BENCH.gate_trips(3.0, 2.0)       # 1.5x and +1.0 s
 
 
+def test_gate_verdict_consistent_anchors_each_vote():
+    """Mutually consistent anchors keep the r6 two-step-drift
+    protection: 1.0 -> 1.3 (landed, sub-threshold) -> 1.81 slips the
+    recent 1.3 but must trip the 1.0 round anchor."""
+    assert BENCH.gate_verdict(1.81, [1.3, 1.0])
+    assert not BENCH.gate_verdict(1.35, [1.3, 1.0])
+
+
+def test_gate_verdict_split_anchors_adopt_driver_conditions():
+    """Anchors that disagree past the threshold (quiet-solo 13.3 vs
+    driver-conditions 19.5 — judge r8 item #3) are a measurement-
+    environment split: the slowest anchor is canonical, so a 20.0 s
+    driver-conditions measurement is NOT a permanent `clean: false`,
+    while a genuine regression past the slow anchor still trips."""
+    assert not BENCH.gate_verdict(19.998, [13.286, 19.5])
+    assert not BENCH.gate_verdict(20.0, [13.286, 19.5])
+    assert BENCH.gate_verdict(28.0, [13.286, 19.5])
+
+
 def test_truncated_tail_partial_recovery(tmp_path):
     """A wrapper whose tail was cut BEFORE the queries opener (the real
     r5/r6 shape) still yields its surviving scalar cells as a baseline —

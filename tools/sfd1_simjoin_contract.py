@@ -164,6 +164,56 @@ def main() -> int:
             continue
         cell(name, fn, sql)
 
+    # ---- planted-pair census (judge r8 item #7) -----------------------
+    # The generator (tools/gen_density.py) derives copy c of base doc d
+    # as doc_id = d + dk*c — a word PERMUTATION of copy 0 when marked
+    # dup, FRESH vocabulary otherwise. So every planted near-dup pair
+    # lives INSIDE a base group (doc_a % dk == doc_b % dk), and the
+    # group-restricted brute force is cheap for DuckDB (group size <=
+    # copies, no corpus-wide _h self-join). The census compares the
+    # full-corpus ENGINE output restricted to group pairs against that
+    # complete oracle: recall 1.0 over EVERY qualifying planted pair
+    # corpus-wide (thousands of pairs vs the ~1% both-endpoint sample),
+    # plus exact n_inter/n_union values. Fresh-vocabulary co-group pairs
+    # fail the threshold on both sides identically, so set equality is
+    # the right compare.
+    if not only or "q_simjoin_planted_census" in only:
+        n_docs = docs.count()
+        max_id = docs.agg(F.max("doc_id")).first()[0]
+        copies = 10
+        dk = (max_id + 1) // copies
+        assert docs.where(F.col("doc_id") < dk).count() * copies == n_docs
+        sh_full = SIMJOIN_SH_SAMPLED.format(mod=1)
+        grouped = sh_full.replace(
+            "JOIN sh b ON a._h = b._h",
+            f"JOIN sh b ON a.doc_id % {dk} = b.doc_id % {dk} "
+            "AND a._h = b._h")
+        assert grouped != sh_full, "census join restriction did not apply"
+        census_sql = f"WITH {grouped}{JACCARD_TAIL}"
+        t0 = time.time()
+        got = canon([tuple(r) for r in
+                     eng_simjoin()
+                     .where(F.col("doc_a") % dk == F.col("doc_b") % dk)
+                     .collect()])
+        t_engine = round(time.time() - t0, 1)
+        t0 = time.time()
+        want = canon(con.execute(census_sql).fetchall())
+        t_oracle = round(time.time() - t0, 1)
+        missed = len(set(map(repr, want)) - set(map(repr, got)))
+        results["q_simjoin_planted_census"] = {
+            "status": "MATCH" if got == want else "MISMATCH",
+            "rows": f"{len(got)}/{len(want)}",
+            "planted_recall": (round(1 - missed / len(want), 6)
+                               if want else 1.0),
+            "scope": (f"ALL base-group pairs corpus-wide (doc_a % {dk}"
+                      f" == doc_b % {dk}), complete oracle — no "
+                      "sampling"),
+            "engine_secs_fullcorpus": t_engine,
+            "oracle_secs": t_oracle,
+        }
+        print(f"q_simjoin_planted_census: "
+              f"{results['q_simjoin_planted_census']}", flush=True)
+
     # merge with an existing artifact so subset re-runs update in place
     prev: dict = {}
     if os.path.exists("/root/repo/CONTRACT_SFD1_R8.json"):
