@@ -59,7 +59,11 @@ def main() -> int:
     # on this adversarial fixture; the sfd1 decade is the realistic
     # number), but the leg is now RUNNABLE on bounded disk.
     LADDER_CAP: dict[str, int] = {}
-    CHUNKED = {("q_similarity_join", "sfd3"): 32}
+    # "auto" = leave verify_chunks unset and let the operator derive K
+    # from its measured candidate count x mean set width (judge r8 item
+    # #8 done-criterion: the 30x leg must pass with the knob unset);
+    # an int pins K explicitly as before.
+    CHUNKED = {("q_similarity_join", "sfd3"): "auto"}
     for qname in QUERIES:
         docs_counts: list[int] = []
         secs: list[float] = []
@@ -73,7 +77,9 @@ def main() -> int:
                     from dbsync_spark.functions.dedup import similarity_join
                     docs = spark.read.parquet(f"{d}/documents.parquet")
                     return similarity_join(
-                        docs, verify_chunks=chunks).count()
+                        docs,
+                        verify_chunks=(None if chunks == "auto"
+                                       else chunks)).count()
                 return Q.QUERIES[qname](spark, d).count()
 
             # best-of-2 (bench methodology): the first read of a fresh
