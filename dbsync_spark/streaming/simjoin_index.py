@@ -56,7 +56,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, IntegerType, LongType,
                                StructField, StructType)
 
-from dbsync_spark.functions.dedup import (hashed_shingle_sets,
+from dbsync_spark.functions.dedup import (_chunked_union,
+                                          _measure_for_chunks,
+                                          hashed_shingle_sets,
                                           similarity_join_incremental,
                                           simjoin_probe,
                                           simjoin_rank_prefix,
@@ -100,8 +102,12 @@ class StreamingSimJoinIndex:
     candidate frame in the block store (dedup._pair_sets — eager
     checkpoint + count), count-adaptively serialized above
     _PAIR_DESER_MAX so adversarially dup-dense batches spill to disk
-    instead of exhausting the heap; steady-state memory is otherwise
-    candidate-proportional and released at the end of each batch.
+    instead of exhausting the heap, AND the verify join itself is
+    chunk-bounded (`verify_chunks`, auto-selected per batch from the
+    measured candidate count like the batch operators) so the peak
+    candidates-x-arrays payload stays under the same budget; steady-
+    state memory is otherwise candidate-proportional and released at
+    the end of each batch.
 
     `full_reprobe=True` switches to the pre-r8 implementation — a full
     similarity_join_incremental over the re-read union state each batch
@@ -113,13 +119,20 @@ class StreamingSimJoinIndex:
     def __init__(self, spark: SparkSession, root: str,
                  threshold_num: int = 4, threshold_den: int = 5,
                  shingle_fn=None, n_buckets: int = 32,
-                 full_reprobe: bool = False):
+                 full_reprobe: bool = False,
+                 verify_chunks: int | None = None):
         self.spark = spark
         self.root = root.rstrip("/")
         self.num = threshold_num
         self.den = threshold_den
         self.shingle_fn = shingle_fn
         self.full_reprobe = full_reprobe
+        # None = auto-select per batch from the measured candidate
+        # count x mean set width (dedup._auto_verify_chunks — same
+        # budget the batch operators use), so an adversarially
+        # dup-dense batch gets its verify payload bounded without the
+        # operator folklore; an explicit K pins it.
+        self.verify_chunks = verify_chunks
         # bucket count is a physical-layout constant for the index's
         # lifetime: pin it in a root-level meta file on first use so a
         # reopened handle can never mis-bucket probes against state
@@ -264,6 +277,16 @@ class StreamingSimJoinIndex:
         probe = probe.select(F.col("doc_id").alias("doc_a"), "_h",
                              F.col("_n").alias("_na"))
         cand = simjoin_probe(probe, new_prefix, self.num, self.den)
+        # Materialize the candidate frame once (serialized, spill-safe)
+        # and derive the verify chunk count from its measured size
+        # (round-8 ADVICE: bound the per-batch verify payload, not just
+        # its storage level). The batch's set rows stand in for the
+        # corpus mean width — same distribution, and the budget math
+        # only needs the order of magnitude. The `touched` scan below
+        # reads the materialized blocks instead of re-running the probe.
+        cand, chunks = _measure_for_chunks(cand, batch_sh, "doc_id")
+        if self.verify_chunks is not None:
+            chunks = self.verify_chunks
         touched = (cand.select(F.col("doc_a").alias("doc_id"))
                    .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
                    .distinct().persist())
@@ -273,8 +296,12 @@ class StreamingSimJoinIndex:
             arrays = arrays.where(F.col("doc_id").isin(ids))
         else:
             arrays = arrays.join(touched, on="doc_id", how="leftsemi")
-        pairs = simjoin_verify_arrays(cand, arrays.select("doc_id", "_sh"),
-                                      "doc_id", self.num, self.den)
+        arr_sets = arrays.select("doc_id", "_sh")
+        pairs = _chunked_union(
+            cand, chunks,
+            lambda c: simjoin_verify_arrays(c, arr_sets, "doc_id",
+                                            self.num, self.den),
+            materialized=True)
 
         def release() -> None:
             new_prefix.unpersist()
@@ -306,13 +333,14 @@ class StreamingSimJoinIndex:
         else:
             pairs, release = self._probe(batch_sh, tok_buckets, tok_hs)
         # NOTE (round-8 ADVICE): this write is NOT the only
-        # materializing action — simjoin_verify_arrays eagerly
-        # materializes and counts each batch's candidate frame
-        # (dedup._pair_sets), so every micro-batch holds a
-        # candidate-proportional block-store copy while verifying.
-        # Storage for that copy is count-adaptive (serialized
-        # MEMORY_AND_DISK above _PAIR_DESER_MAX), so an adversarial
-        # batch degrades to spill, not an OOM.
+        # materializing action — _probe eagerly materializes and counts
+        # each batch's candidate frame (dedup._measure_for_chunks /
+        # _pair_sets), so every micro-batch holds a candidate-
+        # proportional block-store copy while verifying. Storage for
+        # that copy is count-adaptive (serialized MEMORY_AND_DISK above
+        # _PAIR_DESER_MAX) and the verify join is chunk-bounded from
+        # the same measurement, so an adversarial batch degrades to
+        # spill + K bounded verify passes, not an OOM.
         (pairs.coalesce(write_parts(self.spark))
          .write.mode("overwrite")
          .parquet(f"{self.root}/pairs/epoch={epoch_id}"))

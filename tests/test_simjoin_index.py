@@ -157,3 +157,20 @@ def test_forgetting_compact_physically_erases(spark, tmp_path):
     # erasure recorded)
     idx.compact()
     assert _pairs(idx.all_pairs()) == before
+
+
+def test_verify_chunks_matches_one_shot(spark, tmp_path):
+    """Chunk-bounded per-batch verify (round-8 ADVICE: bound the
+    streaming verify PAYLOAD, not just its storage level) emits
+    byte-identical per-epoch pairs to the default auto path — the
+    chunks partition the candidate set, so the union re-assembles the
+    one-shot result exactly."""
+    docs = _corpus(spark, n_filler=25)
+    auto = StreamingSimJoinIndex(spark, str(tmp_path / "auto"))
+    chunked = StreamingSimJoinIndex(spark, str(tmp_path / "chunked"),
+                                    verify_chunks=3)
+    for epoch in range(2):
+        batch = docs.where(F.col("doc_id") % 2 == epoch)
+        assert (_pairs(auto.process_batch(batch, epoch_id=epoch))
+                == _pairs(chunked.process_batch(batch, epoch_id=epoch)))
+    assert _pairs(chunked.all_pairs()) == _pairs(similarity_join(docs))
