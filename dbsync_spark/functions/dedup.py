@@ -347,7 +347,8 @@ _PAIR_BROADCAST_MAX = 1_000_000
 _PAIR_DESER_MAX = 10_000_000
 
 
-def _pair_sets(cands: DataFrame, sets: DataFrame, id_col: str) -> DataFrame:
+def _pair_sets(cands: DataFrame, sets: DataFrame, id_col: str,
+               n: int | None = None) -> DataFrame:
     """(doc_a, doc_b, _sa, _sb) — each candidate pair with both shingle-set
     arrays attached. The candidate frame is materialized once (it feeds
     both joins anyway) and broadcast ONLY when its measured row count is
@@ -374,12 +375,19 @@ def _pair_sets(cands: DataFrame, sets: DataFrame, id_col: str) -> DataFrame:
     pairs — noise against the verify join it feeds. Checkpoint blocks
     (either level) are ContextCleaner-released on GC, so no persist
     leaks out of this helper. verify_chunks additionally bounds each
-    chunk's candidate frame at 1/K (auto-selected by the operators)."""
+    chunk's candidate frame at 1/K (auto-selected by the operators).
+
+    `n` (optional) is a caller-supplied count for a frame that is
+    ALREADY serialized-checkpointed (_measure_for_chunks did exactly
+    this serialize+count pass to pick the chunk count) — passing it
+    skips the duplicate materialization, which the round-9 bench
+    measured at +3.3 s on sf0.1 similarity_join when stacked."""
     from pyspark import StorageLevel
 
-    cands = cands.localCheckpoint(
-        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
-    n = cands.count()
+    if n is None:
+        cands = cands.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+        n = cands.count()
     if n <= _PAIR_DESER_MAX:
         cands = cands.localCheckpoint(eager=True)
     if n <= _PAIR_BROADCAST_MAX:
@@ -1283,7 +1291,8 @@ def _auto_verify_chunks(n_cands: int, mean_width: float) -> int:
 
 
 def simjoin_verify_arrays(cand: DataFrame, sets: DataFrame, id_col: str,
-                          num: int, den: int) -> DataFrame:
+                          num: int, den: int,
+                          n_cands: int | None = None) -> DataFrame:
     """Row-local exact Jaccard verify over prebuilt per-doc hash arrays
     `sets` = (id_col, _sh array<int>): attach both arrays per candidate
     pair (_pair_sets: checkpointed cands, count-adaptive broadcast) and
@@ -1294,7 +1303,7 @@ def simjoin_verify_arrays(cand: DataFrame, sets: DataFrame, id_col: str,
     n_inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
     n_union = ((F.size("_sa") + F.size("_sb")).cast("long")
                - F.size(F.array_intersect("_sa", "_sb")).cast("long"))
-    return (_pair_sets(cand, sets, id_col)
+    return (_pair_sets(cand, sets, id_col, n=n_cands)
             .select("doc_a", "doc_b", n_inter.alias("n_inter"),
                     n_union.alias("n_union"))
             .where(F.lit(den) * F.col("n_inter")
@@ -1302,24 +1311,27 @@ def simjoin_verify_arrays(cand: DataFrame, sets: DataFrame, id_col: str,
 
 
 def _measure_for_chunks(cand: DataFrame, sh: DataFrame, id_col: str
-                        ) -> tuple[DataFrame, int]:
+                        ) -> tuple[DataFrame, int, int]:
     """Materialize the candidate frame (serialized level — narrow id
     pairs, spill-safe at any count) and derive the verify chunk count
-    from its measured size and the corpus's mean set width. Returns the
-    materialized frame so the chunked path never re-runs candidate
-    generation. One extra aggregate over the (caller-persisted) set
-    rows; both driver actions are single-row."""
+    from its measured size and the corpus's mean set width. Returns
+    (materialized frame, chunk count, candidate count) so the K==1
+    fast path can hand the count straight to _pair_sets and skip a
+    duplicate serialize+count pass (round-9 bench regression), and the
+    chunked path never re-runs candidate generation. One extra
+    aggregate over the (caller-persisted) set rows; both driver
+    actions are single-row."""
     from pyspark import StorageLevel
 
     cand = cand.localCheckpoint(
         eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     n_cands = cand.count()
     if n_cands == 0:
-        return cand, 1
+        return cand, 1, 0
     row = sh.agg(F.count("*").alias("_r"),
                  F.approx_count_distinct(id_col).alias("_d")).first()
     mean_width = row._r / max(row._d, 1)
-    return cand, _auto_verify_chunks(n_cands, mean_width)
+    return cand, _auto_verify_chunks(n_cands, mean_width), n_cands
 
 
 def _simjoin_verify(cand: DataFrame, sh: DataFrame, id_col: str,
@@ -1350,8 +1362,9 @@ def _simjoin_verify(cand: DataFrame, sh: DataFrame, id_col: str,
     honored as-is. Both verify forms respect the chunking (round-8
     ADVICE: the relational path used to silently drop it)."""
     materialized = False
+    n_cands: int | None = None
     if chunks is None:
-        cand, chunks = _measure_for_chunks(cand, sh, id_col)
+        cand, chunks, n_cands = _measure_for_chunks(cand, sh, id_col)
         materialized = True
     if verify == "array":
         # _h < 2^31 (mod MERSENNE31): int arrays halve every byte the
@@ -1369,7 +1382,8 @@ def _simjoin_verify(cand: DataFrame, sh: DataFrame, id_col: str,
                 materialized=materialized)
             sets.unpersist()
             return out
-        return simjoin_verify_arrays(cand, sets, id_col, num, den)
+        return simjoin_verify_arrays(cand, sets, id_col, num, den,
+                                     n_cands=n_cands)
 
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("_n"))
 
@@ -1569,8 +1583,14 @@ def containment_join(df: DataFrame, text_col: str = "text",
     sets = sh.groupBy(id_col).agg(
         F.collect_list(F.col("_h").cast("int")).alias("_sh"))
 
+    n_cands: int | None = None
+
     def _verify(c: DataFrame) -> DataFrame:
-        joined = _pair_sets(c, sets, id_col)
+        # n_cands only applies to the unchunked whole-frame call (the
+        # K==1 fast path); chunk slices are new frames with unknown
+        # counts and take _pair_sets' own materialization
+        joined = _pair_sets(c, sets, id_col,
+                            n=n_cands if c is cand else None)
         n_inter = F.size(F.array_intersect("_sa", "_sb")).cast("long")
         return (joined.select("doc_a", "doc_b", n_inter.alias("n_inter"),
                               F.size("_sa").cast("long").alias("n_a"))
@@ -1584,7 +1604,8 @@ def containment_join(df: DataFrame, text_col: str = "text",
     # internal persist be released here
     materialized = False
     if verify_chunks is None:
-        cand, verify_chunks = _measure_for_chunks(cand, sh, id_col)
+        cand, verify_chunks, n_cands = _measure_for_chunks(cand, sh,
+                                                           id_col)
         materialized = True
     if verify_chunks > 1:
         sets = sets.persist()

@@ -284,7 +284,8 @@ class StreamingSimJoinIndex:
         # corpus mean width — same distribution, and the budget math
         # only needs the order of magnitude. The `touched` scan below
         # reads the materialized blocks instead of re-running the probe.
-        cand, chunks = _measure_for_chunks(cand, batch_sh, "doc_id")
+        cand, chunks, n_cands = _measure_for_chunks(cand, batch_sh,
+                                                    "doc_id")
         if self.verify_chunks is not None:
             chunks = self.verify_chunks
         touched = (cand.select(F.col("doc_a").alias("doc_id"))
@@ -299,8 +300,11 @@ class StreamingSimJoinIndex:
         arr_sets = arrays.select("doc_id", "_sh")
         pairs = _chunked_union(
             cand, chunks,
-            lambda c: simjoin_verify_arrays(c, arr_sets, "doc_id",
-                                            self.num, self.den),
+            lambda c: simjoin_verify_arrays(
+                c, arr_sets, "doc_id", self.num, self.den,
+                # whole-frame call (K==1): reuse the measured count so
+                # _pair_sets skips a duplicate serialize+count pass
+                n_cands=n_cands if c is cand else None),
             materialized=True)
 
         def release() -> None:
