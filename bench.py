@@ -76,9 +76,23 @@ def gate_verdict(t: float, prev_vals) -> bool:
     stricter anchor a permanent `clean: false`) — so the gate adopts
     the slowest (driver-conditions) anchor as canonical for the cell."""
     vals = list(prev_vals)
-    if gate_trips(max(vals), min(vals)):
-        return gate_trips(t, max(vals))
-    return any(gate_trips(t, p) for p in vals)
+    if not gate_trips(max(vals), min(vals)):
+        return any(gate_trips(t, p) for p in vals)
+    # anchors split past the threshold. With only two there is no
+    # majority to consult: keep the slowest (driver-conditions) anchor
+    # canonical (r8 behavior). With 3+, a single slow outlier must not
+    # permanently disable detection (round-9 ADVICE): when a mutually
+    # consistent MAJORITY cluster exists and the slowest anchor sits
+    # outside it, the cluster's slowest member is canonical instead.
+    if len(vals) >= 3:
+        def _consistent(a: float, b: float) -> bool:
+            return not gate_trips(max(a, b), min(a, b))
+
+        maj = [p for p in vals
+               if sum(_consistent(p, q) for q in vals) * 2 > len(vals)]
+        if maj and max(vals) not in maj:
+            return gate_trips(t, max(maj))
+    return gate_trips(t, max(vals))
 
 
 def recover_bench(path: str) -> tuple[dict, float | None]:

@@ -306,6 +306,18 @@ class ForgettingSimhashIndex(StreamingSimhashIndex):
                     .select(*schema.fieldNames()))
         return df
 
+    def _forgotten_before(self, epoch_id: int) -> DataFrame:
+        """Tombstones recorded by forget epochs STRICTLY BEFORE
+        `epoch_id` — the view a replay of epoch `epoch_id` must compute
+        against (reading `_forgotten()` lazily and then overwriting this
+        epoch's file would re-scan and see the replayed event's own
+        ids, emptying its death delta on replay)."""
+        eps = [e for e in self._epochs("forgets") if e < epoch_id]
+        if not eps:
+            return self.spark.createDataFrame([], _FORGETS_SCHEMA)
+        paths = [f"{self.root}/forgets/epoch={e}" for e in eps]
+        return self.spark.read.schema(_FORGETS_SCHEMA).parquet(*paths)
+
     def forget(self, doc_ids: DataFrame, epoch_id: int | None = None
                ) -> None:
         """Tombstone doc ids and record this event's DEATH DELTA: among
@@ -313,19 +325,34 @@ class ForgettingSimhashIndex(StreamingSimhashIndex):
         pass), those with no surviving holder die. Both writes are
         epoch-scoped overwrites keyed by the forget epoch, so an
         immediate replay rewrites identical content (the shared
-        epoch-replay contract)."""
-        from dbsync_spark.streaming.state import next_epoch
+        epoch-replay contract).
 
+        Re-forgotten ids contribute NOTHING (round-9 ADVICE, medium):
+        under at-least-once deletion redelivery the same doc can arrive
+        in two separate forget events with fresh epoch ids; without the
+        anti-join below the second event would write a SECOND death
+        delta for the same fingerprint, breaking the deaths/revivals
+        strict alternation the derived dead test (deaths >= occurrences)
+        depends on — a later revival batch would then re-register the fp
+        (occurrences=2) yet still count as dead (deaths=2), silently
+        dropping its near-dup pairs and letting compact() erase the live
+        fingerprint. The pre-epoch read keeps the guard replay-stable:
+        replaying epoch E re-filters against exactly the epochs < E."""
+        self._recover_compact()
         ids = doc_ids.select(F.col("doc_id").cast("long")).distinct()
         if epoch_id is None:
             epoch_id = next_epoch(self.root, "forgets")
-        (ids.coalesce(1).write.mode("overwrite")
+        eff = ids.join(self._forgotten_before(epoch_id), on="doc_id",
+                       how="anti")
+        (eff.coalesce(1).write.mode("overwrite")
          .parquet(f"{self.root}/forgets/epoch={epoch_id}"))
+        eff = self.spark.read.schema(_FORGETS_SCHEMA).parquet(
+            f"{self.root}/forgets/epoch={epoch_id}")
         eps = self._epochs("banks")
         raw0 = (StreamingSimhashIndex._read(self, "banks", _BANKS_SCHEMA,
                                             eps)
                 .where(F.col("bank") == 0))
-        gone_fps = (raw0.join(ids, on="doc_id", how="semi")
+        gone_fps = (raw0.join(eff, on="doc_id", how="semi")
                     .select("simhash").distinct())
         surviving = raw0.join(self._forgotten(), on="doc_id", how="anti")
         still_held = (surviving.join(gone_fps, on="simhash", how="semi")
@@ -341,6 +368,7 @@ class ForgettingSimhashIndex(StreamingSimhashIndex):
         # fp lands it in this epoch's FIRST-SEEN delta (the dead set is
         # subtracted from the prior-fps view), and that re-appearance
         # itself flips the derived dead test (deaths >= occurrences)
+        self._recover_compact()
         clash = (new_docs.select(F.col(self.id_col).alias("doc_id"))
                  .join(self._forgotten(), on="doc_id", how="semi"))
         if not clash.isEmpty():
@@ -350,22 +378,88 @@ class ForgettingSimhashIndex(StreamingSimhashIndex):
                 "retired; re-ingest under new ids")
         return super().process_batch(new_docs, epoch_id)
 
+    def _drop_dead_deltas(self) -> None:
+        import shutil
+
+        for e in self._epochs("deadfps"):
+            shutil.rmtree(f"{self.root}/deadfps/epoch={e}",
+                          ignore_errors=True)
+
+    def _recover_compact(self) -> None:
+        """Finish a crashed compact() (round-9 ADVICE, low): the
+        `_compact_ready` marker means every staged sub is a complete
+        consistent copy — publish any still pending, then drop the
+        death deltas (the published fps rewrite already erased dead
+        values and deduped revived fps back to ONE occurrence, so a
+        surviving delta would falsely re-kill a revived fingerprint:
+        deaths=1 >= occurrences=1). Marker absent: any `_compacting`
+        dir is garbage from a pre-marker crash; stage_compact clears
+        it before restaging. Called from every mutating operation
+        (process_batch / forget / compact), so recovery is automatic
+        on the next operation — the same protocol ForgettingSpanIndex
+        uses for its cross-sub swap."""
+        import os
+
+        marker = f"{self.root}/_compact_ready"
+        if not os.path.exists(marker):
+            return
+        from dbsync_spark.streaming.state import (finish_compact,
+                                                  pending_compaction)
+
+        for sub in ("banks", "fps", "pairs"):
+            if pending_compaction(self.root, sub):
+                finish_compact(self.root, sub)
+        self._drop_dead_deltas()
+        os.remove(marker)
+
     def compact(self) -> None:
         """Physically erase tombstoned bank/pair rows and dead fps (the
         staged state is the filtered read view), then drop the death
         deltas — post-erasure the fps files no longer contain those
         values, so a future re-introduction is fresh by absence alone,
         and a surviving delta would falsely re-kill it (deaths >=
-        occurrences starts over at occurrences=1). Crash between the
-        staged swaps and the delta drop: re-run compact() before
-        further ingest — the same quiescent-recovery contract every
-        staged compaction in this package documents."""
+        occurrences starts over at occurrences=1).
+
+        Cross-sub crash safety (round-9 ADVICE, low — the window the
+        plain super().compact() + delta-drop sequence left open): all
+        three subs are STAGED first from the filtered read view, a
+        `_compact_ready` marker commits, then all are published and the
+        deltas dropped. A crash anywhere leaves either the old state
+        intact (marker absent — stale stagings are garbage) or a
+        marker-committed set of consistent staged copies that the next
+        operation publishes verbatim via _recover_compact()."""
+        import os
         import shutil
 
-        super().compact()
-        for e in self._epochs("deadfps"):
-            shutil.rmtree(f"{self.root}/deadfps/epoch={e}",
-                          ignore_errors=True)
+        from dbsync_spark.streaming.state import (finish_compact,
+                                                  stage_compact)
+
+        self._recover_compact()
+        marker = f"{self.root}/_compact_ready"
+        staged: list[str] = []
+        for sub, schema in (("banks", _BANKS_SCHEMA),
+                            ("fps", _FPS_SCHEMA),
+                            ("pairs", _PAIRS_SCHEMA)):
+            eps = self._epochs(sub)
+            if eps and (len(eps) > 1 or self._erasure_pending()):
+                shutil.rmtree(f"{self.root}/{sub}/_compacting",
+                              ignore_errors=True)
+                stage_compact(self._read(sub, schema, eps).distinct(),
+                              self.root, sub, eps)
+                staged.append(sub)
+        if staged:
+            with open(marker, "w") as fh:
+                fh.write("ready\n")
+            for sub in staged:
+                finish_compact(self.root, sub)
+        # non-vacuous deltas imply a forget since the last compact,
+        # which implies _erasure_pending() staged fps above; reaching
+        # here un-staged means the deltas are empty files — safe either
+        # way to drop them now
+        self._drop_dead_deltas()
+        if staged:
+            os.remove(marker)
+        self._mark_erased()
 
     def _erasure_pending(self) -> bool:
         from dbsync_spark.streaming.state import erasure_pending
