@@ -137,22 +137,50 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
 
     if batch_k < 1 or pool < batch_k:
         raise ValueError(f"need 1 <= batch_k <= pool, got {batch_k}/{pool}")
+    # NOTE (r10): pins must stay EAGER. A lazy localCheckpoint under AQE
+    # never gets its lineage truncated (the deferred materialization
+    # rides jobs whose doCheckpoint does not reach the marked RDD), so
+    # round plans stack until executor tasks die with
+    # java.lang.StackOverflowError — measured before abandoning it:
+    # the 72-round cell went 13.5 s -> 33 s and the 10k-round trainer
+    # overflowed around stage 1700.
+    spark = docs.sparkSession
     words = pin(words_table(docs, text_col)
                 .withColumn("enc", _encode(F.col("word"))), reliable)
+    # size-derived state width + AQE off for the round loop (see
+    # _bpe_train_incremental: per-round shuffles move KBs of
+    # post-aggregation state; AQE's per-exchange re-optimization
+    # barrier costs more than it saves at that size). Confs restored
+    # in the finally; values are partitioning-independent.
+    n_words = words.count()
+    n_state_parts = max(1, min(spark.sparkContext.defaultParallelism,
+                               (n_words + 199_999) // 200_000))
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_state_parts))
     merges: list[tuple[int, int, str, str, int]] = []
-    for rnd in range(1, n_rounds + 1):
-        top = (_pair_counts(words)
-               .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-               .limit(pool).collect())
-        sel = select_merges([(r["a"], r["b"], int(r["n"])) for r in top],
-                            batch_k)
-        if not sel:
-            break
-        enc = F.col("enc")
-        for a, b, n in sel:
-            merges.append((len(merges) + 1, rnd, a, b, n))
-            enc = F.replace(enc, F.lit(f"#{a}##{b}#"), F.lit(f"#{a}{b}#"))
-        words = pin(words.withColumn("enc", enc), reliable)
+    try:
+        for rnd in range(1, n_rounds + 1):
+            top = (_pair_counts(words)
+                   .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                   .limit(pool).collect())
+            sel = select_merges([(r["a"], r["b"], int(r["n"]))
+                                 for r in top], batch_k)
+            if not sel:
+                break
+            # one SQL string instead of batch_k Column objects — the
+            # driver-side Py4J construction cost is measurable at high
+            # batch_k (symbols are [a-z]+ — no quoting hazards)
+            enc_sql = "enc"
+            for a, b, n in sel:
+                merges.append((len(merges) + 1, rnd, a, b, n))
+                enc_sql = f"replace({enc_sql}, '#{a}##{b}#', '#{a}{b}#')"
+            words = pin(words.withColumn("enc", F.expr(enc_sql)),
+                        reliable)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     return merges, words
 
 
@@ -216,17 +244,65 @@ def _bpe_train_incremental(docs: DataFrame, text_col: str,
 
     if batch_k < 1 or pool < batch_k:
         raise ValueError(f"need 1 <= batch_k <= pool, got {batch_k}/{pool}")
-    # pair state / delta are tiny post-aggregation tables: keep their
-    # shuffles narrow, but scale the floor with the cluster (r6 item #6)
-    n_state_parts = max(8, docs.sparkSession.sparkContext
-                        .defaultParallelism // 4)
+    spark = docs.sparkSession
     words = pin(words_table(docs, text_col)
                 .withColumn("enc", _encode(F.col("word"))), reliable)
-    pairs = pin(_pair_counts(words).repartition(n_state_parts, "a", "b"),
-                reliable)
+    # SIZE-DERIVED state partitioning (r10, guide §2): the per-round
+    # driver floor is jobs x stages x tasks, and a fixed max(8, cores/4)
+    # floor schedules 8+ tasks per tiny-state job at every scale. Derive
+    # the partition count from the measured vocabulary instead (~200k
+    # words per partition — post-aggregation rows, small): 1 partition
+    # for bench-scale corpora, growing with the real distinct-word count
+    # on a cluster, capped at the parallelism. The count is one cheap
+    # job against the just-pinned blocks, paid once.
+    n_words = words.count()
+    sc = spark.sparkContext
+    n_state_parts = max(1, min(sc.defaultParallelism,
+                               (n_words + 199_999) // 200_000))
+    # Per-round shuffles move KBs of post-aggregation state; AQE's
+    # stage-by-stage re-optimization inserts a scheduling barrier per
+    # exchange, which at this size costs more than it saves (measured:
+    # ~0.2 s/round). Pin the shuffle width to the size-derived state
+    # partition count and turn AQE off for the duration of the loop —
+    # values are partitioning-independent, and both confs are restored
+    # in the finally.
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_state_parts))
+    try:
+        return _bpe_incremental_loop(
+            spark, words, n_rounds, batch_k, pool, adaptive,
+            collect_stats, checkpoint_every, target_merges, reliable,
+            n_state_parts, pin)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def _bpe_incremental_loop(spark, words, n_rounds, batch_k, pool, adaptive,
+                          collect_stats, checkpoint_every, target_merges,
+                          reliable, n_state_parts, pin):
+    # shuffle.partitions == n_state_parts, so the groupBy already lands
+    # on the state partitioning — no explicit repartition exchange
+    pairs = pin(_pair_counts(words), reliable)
     merges: list[tuple[int, int, str, str, int]] = []
     round_stats: list[tuple[int, int, int, float]] = []
+    # NOTE (r10): pins stay EAGER — a lazy localCheckpoint under AQE
+    # never gets truncated (plans stack until StackOverflowError;
+    # measured before abandoning). The round floor is cut structurally
+    # instead: per round, THREE driver jobs — the top-k collect, the
+    # fused touched-words materialization (`both`, which pins this
+    # round's replace-chain output), and ONE tagged-union checkpoint
+    # carrying the pairs state and the words state together.
+    # checkpoint_every > 1 (words carried as a filter/union view over
+    # the pinned frames between pins) was measured and REJECTED: the
+    # view re-analysis grows ~0.15 s/round inside each window, so even
+    # ce=2 loses to pinning every round (82.7 s vs 69.7 s / 96 rounds).
+    _null_s = F.lit(None).cast("string")
+    _null_l = F.lit(None).cast("long")
     cur_k = batch_k
+    since_pin = 0
     for rnd in range(1, n_rounds + 1):
         _t0 = _time.time()
         top = (pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
@@ -235,20 +311,22 @@ def _bpe_train_incremental(docs: DataFrame, text_col: str,
                             cur_k)
         if not sel:
             break
-        hit = None
-        for a, b, _ in sel:
-            c = F.col("enc").contains(f"#{a}##{b}#")
-            hit = c if hit is None else (hit | c)
+        # single-expression hit filter and replace chain: building these
+        # as ~100 Column objects costs ~0.15 s/round of driver-side
+        # Py4J round-trips at batch_k=32; one SQL string is one call
+        # (symbols are [a-z]+ by construction — no quoting hazards)
+        hit = F.expr(" OR ".join(
+            f"contains(enc, '#{a}##{b}#')" for a, b, _ in sel))
         touched = words.where(hit)
-        enc = F.col("enc")
+        enc_sql = "enc"
         for a, b, n in sel:
             merges.append((len(merges) + 1, rnd, a, b, n))
-            enc = F.replace(enc, F.lit(f"#{a}##{b}#"), F.lit(f"#{a}{b}#"))
+            enc_sql = f"replace({enc_sql}, '#{a}##{b}#', '#{a}{b}#')"
         # carry both encodings through ONE materialization so the delta
         # (old negative, new positive) never rescans the words lineage
         both = pin(touched.select("word", "cnt",
                                   F.col("enc").alias("_enc_old"),
-                                  enc.alias("enc"))
+                                  F.expr(enc_sql).alias("enc"))
                    .coalesce(n_state_parts), reliable)
         merged = both.select("word", "cnt", "enc")
         n_touched = both.count() if collect_stats else -1
@@ -256,18 +334,36 @@ def _bpe_train_incremental(docs: DataFrame, text_col: str,
                                           F.col("_enc_old").alias("enc")))
                  .select("a", "b", (-F.col("n")).alias("n"))
                  .unionByName(_pair_counts(merged)))
-        pairs = pin(pairs.unionByName(delta)
-                    .groupBy("a", "b").agg(F.sum("n").alias("n"))
-                    .where(F.col("n") > 0)
-                    .repartition(n_state_parts, "a", "b"), reliable)
+        new_pairs = (pairs.unionByName(delta)
+                     .groupBy("a", "b").agg(F.sum("n").alias("n"))
+                     .where(F.col("n") > 0))
         # coalesce before every checkpoint: a plain union ADDS partitions
         # each round and localCheckpoint pins them, so without this the
         # per-round job grows linearly in tasks (measured: 0.2 -> 3.2 s
         # by round 14) — quadratic total wall
-        words = (words.where(~hit).unionByName(merged)
-                 .coalesce(2 * n_state_parts))
-        if rnd % checkpoint_every == 0:
-            words = pin(words, reliable)
+        new_words = (words.where(~hit).unionByName(merged)
+                     .coalesce(2 * n_state_parts))
+        since_pin += 1
+        if since_pin >= checkpoint_every:
+            # ONE pin job for both states: tag-union them, checkpoint,
+            # split back with narrow filters over the pinned blocks.
+            # Values are untouched — only which job materializes them.
+            fused = pin(
+                new_pairs.select(
+                    F.lit(0).alias("_tag"), "a", "b", "n",
+                    _null_s.alias("word"), _null_l.alias("cnt"),
+                    _null_s.alias("enc"))
+                .unionByName(new_words.select(
+                    F.lit(1).alias("_tag"), _null_s.alias("a"),
+                    _null_s.alias("b"), _null_l.alias("n"),
+                    "word", "cnt", "enc")), reliable)
+            pairs = fused.where(F.col("_tag") == 0).select("a", "b", "n")
+            words = fused.where(F.col("_tag") == 1).select("word", "cnt",
+                                                           "enc")
+            since_pin = 0
+        else:
+            pairs = pin(new_pairs, reliable)
+            words = new_words
         round_stats.append((rnd, len(sel), n_touched,
                             round(_time.time() - _t0, 3)))
         if target_merges is not None and len(merges) >= target_merges:
