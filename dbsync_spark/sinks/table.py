@@ -13,8 +13,11 @@ Two layouts, one interface (`read` / `merge_changes`):
   and rewrites ONLY those partitions (dynamic partition overwrite). Per-
   batch cost is O(|batch| + |touched buckets|), independent of total
   target size — the parquet-native equivalent of Delta MERGE INTO on a
-  clustered table. At 1000 executors n_buckets is sized so one bucket is
-  a few hundred MB (e.g. 100 TB / 4096 buckets); locally 64 is plenty.
+  clustered table. Bucket COUNT follows target SIZE (n_buckets=None →
+  auto: keep bytes-per-bucket near the advisory SPARK_GRAFT_BUCKET_BYTES,
+  growing by in-place rebucketing), so a trickle batch rewrites O(batch
+  keys) bytes at every target size; at 100 TB the advisory is set to a
+  parquet-friendly 128-512 MB per bucket.
 
 Spark cannot overwrite parquet partitions it is reading in the same job,
 so both layouts break lineage from the files before the swap
@@ -33,6 +36,39 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+# --- scale-adaptive bucket sizing (OPTIMIZATION r11, guide §2/§6) -------
+# The bucketed merge's per-batch cost is O(touched-slice) = touched_buckets
+# x bucket_bytes. A FIXED n_buckets makes bucket_bytes grow with the
+# target, so a trickle batch's rewritten bytes grow with total table size
+# — exactly the O(|target|) coupling the layout exists to break. Keeping
+# BYTES-PER-BUCKET ~constant instead makes the touched slice O(batch keys)
+# at every target size. The advisory bucket size is environment-
+# parameterised: the local default (1 MiB) is sized to the sandbox's
+# measured per-directory fixed cost vs. scan bandwidth crossover
+# (NBUCKETS_SWEEP.json); a real cluster sets SPARK_GRAFT_BUCKET_BYTES to
+# a parquet-friendly 128-512 MB (guide §6 file sizing) and a higher
+# SPARK_GRAFT_MAX_BUCKETS ceiling.
+AUTO_MIN_BUCKETS = 4
+
+
+def _auto_bucket_bytes() -> int:
+    return int(os.environ.get("SPARK_GRAFT_BUCKET_BYTES", str(1 << 20)))
+
+
+def _auto_max_buckets() -> int:
+    return int(os.environ.get("SPARK_GRAFT_MAX_BUCKETS", "4096"))
+
+
+def right_sized_buckets(total_bytes: int) -> int:
+    """Smallest power-of-two bucket count (>= AUTO_MIN_BUCKETS, <= the
+    ceiling) whose average bucket holds at most the advisory bytes."""
+    target, cap = _auto_bucket_bytes(), _auto_max_buckets()
+    n = AUTO_MIN_BUCKETS
+    while n < cap and n * target < total_bytes:
+        n *= 2
+    return n
 
 
 def _recover_table_dir(path: str) -> None:
@@ -114,11 +150,20 @@ class BucketedTable:
 
     The bucket of a row is `pmod(xxhash64(key cols as strings), n_buckets)`
     — deterministic across sessions, no RNG. `n_buckets` is pinned in
-    `_META.json` on first write so every later writer agrees."""
+    `_META.json` on first write so every later writer agrees.
+
+    Pass `n_buckets=None` for AUTO sizing: the table starts at
+    AUTO_MIN_BUCKETS and, whenever the post-merge data size says the
+    right-sized count (right_sized_buckets) has drifted a power-of-4 away,
+    rebuckets itself in place — the Delta-OPTIMIZE-style maintenance move,
+    amortised O(|target|) only on 4x growth. Bytes-per-bucket stays
+    ~constant, so trickle-merge cost stays O(batch keys) as the target
+    grows (see the sizing block at the top of this module)."""
 
     BUCKET_COL = "_bucket"
 
-    def __init__(self, path: str, key_cols: list[str], n_buckets: int = 64):
+    def __init__(self, path: str, key_cols: list[str],
+                 n_buckets: int | None = 64):
         self.path = path
         self.key_cols = list(key_cols)
         _recover_table_dir(path)
@@ -137,18 +182,26 @@ class BucketedTable:
             with open(meta_path) as f:
                 meta = json.load(f)
             self.n_buckets = int(meta["n_buckets"])
+            self.auto_sized = bool(meta.get("auto", False))
             if meta.get("key_cols") and meta["key_cols"] != self.key_cols:
                 raise ValueError(
                     f"BucketedTable at {path} was written with keys "
                     f"{meta['key_cols']}, asked to merge on {self.key_cols}")
         except FileNotFoundError:
-            self.n_buckets = n_buckets
-            tmp = meta_path + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"n_buckets": n_buckets,
-                           "key_cols": self.key_cols}, f)
-            os.replace(tmp, meta_path)
+            self.auto_sized = n_buckets is None
+            self.n_buckets = (AUTO_MIN_BUCKETS if n_buckets is None
+                              else n_buckets)
+            self._write_meta(meta_path)
         self.data_path = os.path.join(path, "data")
+
+    def _write_meta(self, meta_path: str | None = None) -> None:
+        meta_path = meta_path or os.path.join(self.path, "_META.json")
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_buckets": self.n_buckets,
+                       "key_cols": self.key_cols,
+                       "auto": self.auto_sized}, f)
+        os.replace(tmp, meta_path)
 
     def _bucket_expr(self) -> F.Column:
         return F.pmod(
@@ -269,6 +322,28 @@ class BucketedTable:
                 promote_dir(src, os.path.join(
                     self.data_path, f"{self.BUCKET_COL}={b}"))
         shutil.rmtree(staging, ignore_errors=True)
+        if self.auto_sized:
+            self._maybe_resize(spark)
+
+    def _data_bytes(self) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(self.data_path):
+            for fn in files:
+                total += os.stat(os.path.join(root, fn)).st_size
+        return total
+
+    def _maybe_resize(self, spark: SparkSession) -> None:
+        """Auto-sizing maintenance (see class docstring): rebucket in
+        place when the right-sized count drifts a power-of-4 from the
+        current one. Hysteresis (4x both ways) keeps steady-state merges
+        from thrashing; the check itself is a file-stat walk, microseconds
+        next to the merge it follows. rebucket() is crash-safe (the old
+        table stays restorable until the new one is complete)."""
+        ideal = right_sized_buckets(self._data_bytes())
+        if (ideal >= self.n_buckets * 4
+                or ideal * 4 <= self.n_buckets):
+            rebucket(spark, self.path, self.key_cols, ideal)
+            self.n_buckets = ideal
 
     def state_fingerprint(self):
         """Layout-agnostic token that changes iff the table data changed
@@ -346,6 +421,11 @@ def rebucket(spark: SparkSession, path: str, key_cols: list[str],
     new_tbl = BucketedTable(tmp, key_cols, new_n_buckets)
     if snap is not None:
         new_tbl.merge_changes(spark, snapshot_as_changes(snap), key_cols)
+    if old_tbl.auto_sized:
+        # an auto-sized table stays auto-sized after a resize (flag set
+        # after the rebuild merge so the rebuild itself cannot recurse)
+        new_tbl.auto_sized = True
+        new_tbl._write_meta()
     aside = path.rstrip("/") + ".old"
     shutil.rmtree(aside, ignore_errors=True)
     os.replace(path, aside)

@@ -47,7 +47,8 @@ class SyncPipeline:
                  max_files_per_trigger: int | None = None,
                  failure_policy=None, in_batch_retries: int = 1,
                  log_format: str = "parquet", ack_lock=None,
-                 target_layout: str = "bucketed", n_buckets: int = 64,
+                 target_layout: str = "bucketed",
+                 n_buckets: int | None = None,
                  max_retry: int | None = None):
         self.spark = spark
         self.rule = rule

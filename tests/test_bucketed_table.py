@@ -287,3 +287,51 @@ def test_trickle_merge_never_fragments_buckets(spark):
     assert result["worst_seen"]["n_old_dirs"] == 0
     assert result["worst_seen"]["total_files"] <= 32
     assert result["final_rows"] > 0
+
+
+def test_auto_sized_table_grows_and_preserves_state(spark, sf_dir,
+                                                    tmp_path, monkeypatch):
+    """n_buckets=None (auto): the table starts at AUTO_MIN_BUCKETS,
+    rebuckets itself once the data outgrows the advisory bytes-per-bucket
+    by the 4x hysteresis, keeps live rows identical across the resize,
+    stays auto after it (meta round-trip), and a re-open at an explicit
+    count still defers to the pinned meta."""
+    import dbsync_spark.sinks.table as tbl
+
+    monkeypatch.setenv("SPARK_GRAFT_BUCKET_BYTES", "2000")  # tiny advisory
+    ch = _changes(spark, sf_dir)
+    path = str(tmp_path / "bt")
+    bt = BucketedTable(path, ["o_orderkey"], n_buckets=None)
+    assert bt.auto_sized and bt.n_buckets == tbl.AUTO_MIN_BUCKETS
+    bt.merge_changes(spark, ch, ["o_orderkey"])
+    total = bt._data_bytes()
+    assert total > 2000 * tbl.AUTO_MIN_BUCKETS * 4  # growth must fire
+    # grew past the minimum; the exact count is right_sized at PRE-resize
+    # bytes (per-file overhead inflates the post-resize total — the 4x
+    # hysteresis is what keeps the follow-up merge from thrashing on it)
+    assert bt.n_buckets > tbl.AUTO_MIN_BUCKETS
+    # resize preserved every live row vs the one-shot reduce
+    expected = last_writer_wins(ch, ["o_orderkey"])
+    got = live_rows(bt.read(spark))
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected.select(got.columns)).count() == 0
+    # meta: still auto, count pinned; explicit re-open defers to meta
+    bt2 = BucketedTable(path, ["o_orderkey"], n_buckets=999)
+    assert bt2.auto_sized and bt2.n_buckets == bt.n_buckets
+    # steady state: a tiny follow-up merge does not thrash the layout
+    one = ch.orderBy(F.col("id").desc()).limit(1).localCheckpoint()
+    n_before = bt2.n_buckets
+    bt2.merge_changes(spark, one, ["o_orderkey"], pinned=True)
+    assert bt2.n_buckets == n_before
+
+
+def test_right_sized_buckets_rule(monkeypatch):
+    import dbsync_spark.sinks.table as tbl
+
+    monkeypatch.setenv("SPARK_GRAFT_BUCKET_BYTES", str(1 << 20))
+    monkeypatch.setenv("SPARK_GRAFT_MAX_BUCKETS", "4096")
+    assert tbl.right_sized_buckets(0) == tbl.AUTO_MIN_BUCKETS
+    assert tbl.right_sized_buckets(3 << 20) == 4
+    assert tbl.right_sized_buckets(19 << 20) == 32
+    assert tbl.right_sized_buckets(350 << 20) == 512
+    assert tbl.right_sized_buckets(1 << 50) == 4096  # ceiling holds
