@@ -95,25 +95,31 @@ def gate_verdict(t: float, prev_vals) -> bool:
     return gate_trips(t, max(vals))
 
 
-def recover_bench(path: str) -> tuple[dict, float | None]:
-    """(queries dict, sf) from a bench artifact: bench.py's own output
-    (top-level "queries"/"sf") or the grading driver's wrapper
+def recover_bench(path: str) -> tuple[dict, float | None, int | None]:
+    """(queries dict, sf, cpus) from a bench artifact: bench.py's own
+    output (top-level "queries"/"sf") or the grading driver's wrapper
     ({"tail": <last stdout bytes>, "parsed": <line or null>}) — r4's
     wrapper had parsed=null, which silently no-opped the noise gate;
-    recover the queries dict from the tail text too."""
+    recover the queries dict from the tail text too. `cpus` is the core
+    count the artifact was measured at (None when the artifact predates
+    recording it) — the r10 driver's 8-CPU scaling run clobbered the
+    local[32] anchor, so the gate must be able to tell them apart."""
     try:
         with open(path) as fh:
             data = json.load(fh)
     except (OSError, ValueError):
-        return {}, None
+        return {}, None, None
     parsed = data.get("parsed")
     sf = data.get("sf")
+    cpus = data.get("cpus")
     if sf is None and isinstance(parsed, dict):
         sf = parsed.get("sf")
+    if cpus is None and isinstance(parsed, dict):
+        cpus = parsed.get("cpus")
     if isinstance(data.get("queries"), dict):
-        return data["queries"], sf
+        return data["queries"], sf, cpus
     if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
-        return parsed["queries"], sf
+        return parsed["queries"], sf, cpus
     tail = data.get("tail")
     if isinstance(tail, str) and '"queries": {' in tail:
         frag = tail[tail.index('"queries": {') + len('"queries": '):]
@@ -125,9 +131,9 @@ def recover_bench(path: str) -> tuple[dict, float | None]:
                 depth -= 1
                 if depth == 0:
                     try:
-                        return json.loads(frag[:i + 1]), sf
+                        return json.loads(frag[:i + 1]), sf, cpus
                     except ValueError:
-                        return {}, sf
+                        return {}, sf, cpus
     if isinstance(tail, str):
         # tail truncated BEFORE the "queries" opener (r5/r6 wrappers cut
         # mid-dict): recover the scalar pairs that survived. Non-query
@@ -141,23 +147,51 @@ def recover_bench(path: str) -> tuple[dict, float | None]:
             q = {k: float(v) for k, v in pairs}
             if sf is None and "sf" in q:
                 sf = q["sf"]
-            return q, sf
-    return {}, sf
+            return q, sf, cpus
+    return {}, sf, cpus
 
 
-def gate_baselines(repo_dir: str, cur_sf: float | None
+def stdout_line(result: dict) -> dict:
+    """The minimal one-line JSON for stdout: exactly the driver-contract
+    keys ({metric, value, unit, queries, sf}), seconds rounded to 2
+    decimals (3 below 50 ms so sub-centisecond cells keep signal). Must
+    serialize (tight separators) well under the driver's ~2000-byte
+    stdout tail — pinned by tests/test_bench_gate.py against the real
+    committed cell set."""
+    def _r(v: float) -> float:
+        return round(v, 2) if v >= 0.05 else round(v, 3)
+
+    return {
+        "metric": result["metric"],
+        "value": _r(result["value"]),
+        "unit": result["unit"],
+        "queries": {k: _r(v) for k, v in result["queries"].items()},
+        "sf": result["sf"],
+    }
+
+
+def gate_baselines(repo_dir: str, cur_sf: float | None,
+                   cur_cpus: int | None = None
                    ) -> tuple[list[tuple[str, dict]], list[str]]:
     """The per-query noise gate's baselines (judge r6 item #5): BOTH the
     newest recoverable artifact (BENCH_LOCAL.json, overwritten per run)
-    AND the round anchor (the newest driver-committed BENCH_r*.json,
+    AND the round anchor (the newest driver-committed BENCH_r<n>.json,
     never overwritten locally) — gating only against the former lets a
     sequence of sub-threshold regressions compound invisibly across runs
     within a round. A candidate whose recorded `sf` differs from the
     current run's is SKIPPED (judge r6 ADVICE: a developer run at
-    another scale factor must not become the baseline). Returns
-    ([(label, queries), ...] deduped, [labels])."""
-    round_arts = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")),
-                        reverse=True)
+    another scale factor must not become the baseline), and so is one
+    whose recorded `cpus` differs (judge r10 item #2: the driver's
+    8-CPU scaling leg must never become the local[32] baseline).
+    Builder-side adjudication artifacts (BENCH_r10_TRY2.json & co.) are
+    not round anchors — only the driver's strict BENCH_r<digits>.json.
+    Returns ([(label, queries), ...] deduped, [labels])."""
+    import re as _re
+
+    round_arts = sorted(
+        (p for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+         if _re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p))),
+        reverse=True)
     local_art = os.path.join(repo_dir, "BENCH_LOCAL.json")
 
     def first_recoverable(paths: list[str]) -> tuple[str, dict] | None:
@@ -165,9 +199,15 @@ def gate_baselines(repo_dir: str, cur_sf: float | None
         # never silently gate against {} (ADVICE r5: a truncated tail
         # disables the gate for a whole round)
         for cand in paths:
-            q, sf = recover_bench(cand)
-            if q and (cur_sf is None or sf is None or sf == cur_sf):
-                return os.path.basename(cand), q
+            q, sf, cpus = recover_bench(cand)
+            if not q:
+                continue
+            if cur_sf is not None and sf is not None and sf != cur_sf:
+                continue
+            if (cur_cpus is not None and cpus is not None
+                    and cpus != cur_cpus):
+                continue
+            return os.path.basename(cand), q
         return None
 
     recent = first_recoverable(
@@ -501,16 +541,22 @@ def main() -> None:
     # -- MERGE cost vs TARGET SIZE (the 100 TB scale property) ----------------
     # fixed 200-row and 20-row batches merged into 1x / 8x / 32x targets:
     # the snapshot layout's cost is O(|target|), the bucketed layout's is
-    # O(touched buckets). Locally the bucketed path carries a ~1.5-2.5s
-    # fixed floor (5 scheduler jobs + dir swaps + 256-dir listings), so
-    # snapshot wins below the crossover; the 32x column makes the
-    # crossover itself reproducible from this artifact (measured quiet:
-    # 20-row batch at 32x = 1.8s bucketed vs 4.0s snapshot). The 20-row
-    # batch is the honest trickle shape: 200 random keys into 256
-    # buckets touch ~54% of the target (see the n_buckets sizing rule in
-    # sinks/table.py), while 20 keys touch ~7%, so pruning actually
-    # bites. Targets are seeded from direct change frames (no JSON
-    # round-trip — setup cost, not the measured path).
+    # O(touched buckets). Since r11 the bucketed targets are AUTO-SIZED
+    # (n_buckets=None: bytes-per-bucket pinned to the advisory
+    # SPARK_GRAFT_BUCKET_BYTES — sinks/table.py sizing block), so bucket
+    # COUNT grows with the multiplier (16 / 128 / 512 at sf0.1's 12 / 87
+    # / 350 MB targets) and a trickle batch's rewritten bytes stay
+    # O(batch keys) at every target size — previously a fixed 256 made
+    # the touched slice grow with the target (the r10 profile's 2.95 s
+    # staging write, BUCKETED_MERGE_PROFILE.json). Crossover: the
+    # bucketed path still carries a per-batch fixed floor (5 scheduler
+    # jobs + dir swaps), so snapshot wins when a batch touches most
+    # buckets of a SMALL target (200 rows into 1x: every bucket of 16 is
+    # hit, a full rewrite plus swap overhead); pruning takes over from
+    # the 8x column up where the touched fraction falls. Targets are
+    # seeded from direct change frames (no JSON round-trip — setup cost,
+    # not the measured path; the seed merge includes the one-shot
+    # auto-rebucket to the right-sized count).
     from dbsync_spark.sinks.table import BucketedTable, ParquetTable
 
     quiet_gate("merge_sweep")
@@ -531,7 +577,8 @@ def main() -> None:
         small200 = big.orderBy("id").limit(200).localCheckpoint()
         small20 = big.orderBy("id").limit(20).localCheckpoint()
         pt = ParquetTable(f"{workdir}/mt_snap{mult}")
-        bt = BucketedTable(f"{workdir}/mt_buck{mult}", keys2, n_buckets=256)
+        bt = BucketedTable(f"{workdir}/mt_buck{mult}", keys2,
+                           n_buckets=None)
         pt.merge_changes(spark, big, keys2)
         bt.merge_changes(spark, big, keys2, pinned=True)
         for nrows, small in (("200", small200), ("20", small20)):
@@ -641,6 +688,39 @@ def main() -> None:
             sum(s[1] for s in stats_10k[-q:]) / q, 1),
     }
 
+    # -- streaming simjoin service: per-batch floor (judge r10 item #5) -----
+    # The exact-similarity streaming index's per-batch cost was optimized
+    # in r10 (delta writes overlapped with the probe, IN-list driver cost
+    # removed) but only soak evidence could see it — this cell makes the
+    # floor part of the driver's ground truth. Fixed shape: the documents
+    # corpus fed in 10 deterministic batches (doc_id % 10), maintain()
+    # after each (the deployed cadence); the cell is the full-ingest wall
+    # and the derived per-batch number is computed after the gate, like
+    # the microbatch latencies. Exactness of the operator under ANY
+    # batching is the declared q_streaming_simjoin contract; this cell
+    # only times it.
+    from dbsync_spark.streaming.simjoin_index import StreamingSimJoinIndex
+
+    quiet_gate("streaming_simjoin")
+    sj_docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    sj_runs = {"n": 0}
+
+    def _run_sj_stream() -> None:
+        # fresh state root per run so a gate remeasure replays the
+        # identical 10-batch ingest, never a warm resume
+        sj_runs["n"] += 1
+        root = f"{workdir}/sj_{sj_runs['n']}"
+        idx = StreamingSimJoinIndex(spark, root)
+        for epoch in range(10):
+            idx.process_batch(
+                sj_docs.where(F.col("doc_id") % 10 == epoch),
+                epoch_id=epoch)
+            idx.maintain()
+
+    remeasure["streaming_simjoin_ingest"] = _run_sj_stream
+    with timed("streaming_simjoin_ingest"):
+        _run_sj_stream()
+
     # -- per-query noise gate (judge r4 item #2) ---------------------------
     # The section-level quiet_gate can't catch a mid-section host stall
     # poisoning ONE query (snapshot_diff 1.05->1.61 s in r4 with an
@@ -653,7 +733,9 @@ def main() -> None:
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     cur_sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     cur_sf = float(cur_sf) if cur_sf.replace(".", "").isdigit() else None
-    baselines, gate_baseline = gate_baselines(repo_dir, cur_sf)
+    _cpus_env = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cur_cpus = int(_cpus_env) if _cpus_env.isdigit() else None
+    baselines, gate_baseline = gate_baselines(repo_dir, cur_sf, cur_cpus)
     if not baselines:
         print("# WARNING: per-query noise gate DISABLED — no prior "
               "bench artifact at this SF had a recoverable queries dict",
@@ -685,6 +767,8 @@ def main() -> None:
     for key in ("microbatch_total", "microbatch_bucketed_total"):
         timings[key.replace("total", "latency_per_10k")] = round(
             timings[key] / n_batches * (10_000 / (olog_rows / n_batches)), 3)
+    timings["streaming_simjoin_batch"] = round(
+        timings["streaming_simjoin_ingest"] / 10, 3)
 
     shutil.rmtree(workdir, ignore_errors=True)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -694,6 +778,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cur_cpus,
         "log_rows": log_rows,
         "apply_rows_per_sec": round(log_rows / timings["apply_e2e"]),
         "calibration_probe_s": calibration,
@@ -704,16 +789,28 @@ def main() -> None:
     }
     spark.stop()
     # commit-able full artifact: the grading driver's wrapper keeps only a
-    # 2000-byte stdout tail (lost the queries dict in r5); this file is
-    # the always-recoverable baseline the next run's gate compares against.
-    # SPARK_GRAFT_BENCH_OUT redirects it so a non-local[32] evidence run
-    # (tools/bench_cluster.py) never clobbers the local[32] baseline.
+    # ~2000-byte stdout tail (lost the queries dict in r5, and r9's whole
+    # line in r10's PERF comparison); this file is the always-recoverable
+    # baseline the next run's gate compares against. Two clobber guards
+    # (judge r10 items #1b/#2): SPARK_GRAFT_BENCH_OUT redirects it for
+    # evidence runs, and a run at any core count other than 32 lands in
+    # BENCH_LOCAL_c<n>.json so the driver's own scaling leg can never
+    # overwrite the local[32] anchor again.
+    default_name = ("BENCH_LOCAL.json" if cur_cpus == 32
+                    else f"BENCH_LOCAL_c{cur_cpus}.json")
     out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT", os.path.join(repo_dir, "BENCH_LOCAL.json"))
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(repo_dir, default_name))
     with open(out_path, "w") as fh:
         json.dump(result, fh)
         fh.write("\n")
-    print(json.dumps(result))
+    # the ONE stdout line must survive the driver's ~2000-byte stdout tail
+    # capture whole, or the next PERF round has no round-over-round
+    # comparison at all (r9's ~6 KB line was unparseable -> PERF_r10
+    # n_common=0). Minimal keys, no whitespace, 2-decimal seconds: ~1.9 KB
+    # at 78 cells. The key names alone are ~1.5 KB and renaming/removing
+    # cells is forbidden, so this is the floor. Everything else
+    # (noise_gate, calibration, bpe curves) lives in the file artifact.
+    print(json.dumps(stdout_line(result), separators=(",", ":")))
 
 
 if __name__ == "__main__":

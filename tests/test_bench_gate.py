@@ -102,8 +102,61 @@ def test_truncated_tail_partial_recovery(tmp_path):
     the round anchor must not silently fall back to an ancient round."""
     tail = '.42, "rolling_7d": 0.144, "bm25_topk": 0.66}, "sf": 0.1, "log_rows": 755599}'
     _write(tmp_path / "BENCH_r06.json", {"parsed": None, "tail": tail})
-    q, sf = BENCH.recover_bench(str(tmp_path / "BENCH_r06.json"))
+    q, sf, _cpus = BENCH.recover_bench(str(tmp_path / "BENCH_r06.json"))
     assert q["rolling_7d"] == 0.144 and q["bm25_topk"] == 0.66
     assert sf == 0.1
     baselines, labels = BENCH.gate_baselines(str(tmp_path), 0.1)
     assert labels == ["BENCH_r06.json"]
+
+
+def test_baseline_at_wrong_cpu_count_is_skipped(tmp_path):
+    """The driver's 8-CPU scaling leg clobbered the local[32] anchor in
+    r10 (judge r10 item #2): an artifact recorded at a different core
+    count must never become the baseline for a local[32] run. Artifacts
+    that predate cpus recording (cpus absent) stay eligible."""
+    _write(tmp_path / "BENCH_r06.json",
+           {"queries": {"q": 1.0}, "sf": 0.1})           # pre-cpus anchor
+    _write(tmp_path / "BENCH_LOCAL.json",
+           {"queries": {"q": 9.0}, "sf": 0.1, "cpus": 8})  # c8 clobber
+    baselines, labels = BENCH.gate_baselines(str(tmp_path), 0.1, 32)
+    assert labels == ["BENCH_r06.json"]
+    assert baselines[0][1] == {"q": 1.0}
+
+
+def test_builder_adjudication_artifacts_are_not_round_anchors(tmp_path):
+    """Only the driver's strict BENCH_r<digits>.json is a round anchor:
+    builder-side adjudication files (BENCH_r10_TRY2.json & co., committed
+    as evidence of noisy attempts) must not outrank it lexically."""
+    _write(tmp_path / "BENCH_r06.json",
+           {"queries": {"q": 1.0}, "sf": 0.1})
+    _write(tmp_path / "BENCH_r06_TRY2.json",
+           {"queries": {"q": 5.0}, "sf": 0.1})
+    _write(tmp_path / "BENCH_r06_c8.json",
+           {"queries": {"q": 9.0}, "sf": 0.1})
+    baselines, labels = BENCH.gate_baselines(str(tmp_path), 0.1, 32)
+    assert labels == ["BENCH_r06.json"]
+
+
+def test_stdout_line_fits_the_driver_tail_capture():
+    """The printed one-line JSON must survive the grading driver's
+    ~2000-byte stdout tail whole (r9's ~6 KB line parsed to null and
+    PERF_r10 lost the whole round-over-round comparison). Pin the size
+    against the REAL committed cell set plus headroom for a few added
+    cells; the renaming floor (key names alone ~1.5 KB) is documented in
+    OPTIMIZATION_r11.md."""
+    with open("/root/repo/BENCH_r10.json") as fh:
+        real = json.load(fh)["parsed"]
+    queries = dict(real["queries"])
+    # headroom: the cells this round ADDs (additions only, never renames)
+    queries["streaming_simjoin_ingest"] = 85.523
+    queries["streaming_simjoin_batch"] = 8.552
+    line = BENCH.stdout_line({
+        "metric": real["metric"], "value": real["value"], "unit": "sec",
+        "queries": queries, "sf": real["sf"]})
+    encoded = json.dumps(line, separators=(",", ":"))
+    assert len(encoded) < 1950, len(encoded)
+    assert set(line) == {"metric", "value", "unit", "queries", "sf"}
+    # rounding must not zero out real sub-centisecond cells
+    assert BENCH.stdout_line(
+        {"metric": "m", "value": 0.004, "unit": "sec",
+         "queries": {"q": 0.004}, "sf": 0.1})["queries"]["q"] == 0.004
