@@ -348,7 +348,11 @@ def main() -> None:
     # after a 5-min idle, three times in a row). If both runs look
     # throttled, wait out the window once and re-measure the headline.
     if timings["apply_e2e"] > 10.0:
-        time.sleep(90)
+        # wait out the stall behind the calibrated quiet gate, not a
+        # blind sleep: the r11 cold-start run slept 90 s straight into
+        # the SAME window and recorded run3 = 57.9 s, a number nothing
+        # ever remeasures (run3 has no baseline for the noise gate)
+        quiet_gate("apply_stall_recovery")
         _run_apply("apply_e2e_run3")
         timings["apply_e2e"] = min(timings["apply_e2e"],
                                    timings["apply_e2e_run3"])

@@ -440,7 +440,20 @@ class StreamingSimJoinIndex:
             arrays = arrays.where(_in_list("doc_id", ids))
         else:
             arrays = arrays.join(touched, on="doc_id", how="leftsemi")
-        arr_sets = arrays.select("doc_id", "_sh")
+        # The verify join broadcasts the candidate pairs (narrow ids),
+        # so its map parallelism is the ARRAYS-scan partitioning — a
+        # handful of small state files, i.e. 2-5 tasks regardless of
+        # core count (r11 event-log profile: an 11 s verify stage of 5
+        # tasks carrying ~55 task-seconds of intersect work). Demanded
+        # work is n_candidates x mean set width; hash-repartition the
+        # touched arrays (tiny: <= prune-capped docs x one array row)
+        # so the intersect runs as wide as that work warrants.
+        ver_parts = min(
+            self.spark.sparkContext.defaultParallelism,
+            max(1, int(n_cands * max(mean_width or 1.0, 1.0)) // 2_000_000
+                + 1))
+        arr_sets = arrays.select("doc_id", "_sh").repartition(
+            ver_parts, "doc_id")
         pairs = _chunked_union(
             cand, chunks,
             lambda c: simjoin_verify_arrays(
@@ -512,7 +525,13 @@ class StreamingSimJoinIndex:
             # above _PAIR_DESER_MAX) and the verify join is chunk-
             # bounded from the same measurement, so an adversarial batch
             # degrades to spill + K bounded verify passes, not an OOM.
-            (pairs.coalesce(write_parts(self.spark))
+            # repartition, NOT coalesce: coalesce fuses into the verify
+            # stage and throttles the whole intersect computation to the
+            # output-file count (r11 profile); the repartition exchange
+            # moves only the VERIFIED pairs (threshold survivors, orders
+            # of magnitude fewer than candidates), so the verify keeps
+            # its own width and the file count stays write_parts.
+            (pairs.repartition(write_parts(self.spark))
              .write.mode("overwrite")
              .parquet(f"{self.root}/pairs/epoch={epoch_id}"))
         finally:
