@@ -727,10 +727,15 @@ def fuzzy_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     right = keyed.select(F.col(id_col).alias("doc_b"),
                          *[F.col(c) for c in block_keys],
                          F.col("_prefix").alias("_pb"))
+    # threshold-form levenshtein (Spark 3.5+): banded O(len x k) instead
+    # of the full O(len^2) matrix, returning -1 past the bound — so
+    # `dist >= 0` is exactly the old `dist <= max_dist`, and survivors'
+    # dist values are the true distances (A/B at sf0.1: identical rows
+    # AND values, pair pass 5.4 -> 2.0 s; guide §1.2 per-task work)
     return (left.join(right, on=block_keys)
             .where(F.col("doc_a") < F.col("doc_b"))
-            .withColumn("dist", F.levenshtein("_pa", "_pb"))
-            .where(F.col("dist") <= max_dist)
+            .withColumn("dist", F.levenshtein("_pa", "_pb", max_dist))
+            .where(F.col("dist") >= 0)
             .select("doc_a", "doc_b", "dist"))
 
 
