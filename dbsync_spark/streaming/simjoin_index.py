@@ -568,7 +568,9 @@ class StreamingSimJoinIndex:
             index_sets, new_docs, threshold_num=self.num,
             threshold_den=self.den, shingle_fn=self.shingle_fn)
         all_sh.unpersist()
-        (pairs.coalesce(write_parts(self.spark))
+        # repartition, not coalesce — same verify-width reasoning as the
+        # default path's pairs write (process_batch above)
+        (pairs.repartition(write_parts(self.spark))
          .write.mode("overwrite")
          .parquet(f"{self.root}/pairs/epoch={epoch_id}"))
         return self.spark.read.parquet(
